@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data Link_Profiler rebuild.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (crawl → link profiles) on
+sf0.001.  ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 (+ the training-data extensions);  ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible query —
+crawl ordering, sketch-based dedup, ANN and language-ID are verified
+by pytest oracles instead (rows-only here).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller; nothing here calls ray.init().
 """
 
 from __future__ import annotations
@@ -18,27 +15,220 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from ray.data.aggregate import Count
+
+    res = run_crawl(SF_SMOKE, CrawlConfig(num_seen_shards=2, num_fetchers=2))
+    edges = rd.from_arrow(res.edges)
+    profiles = edges.groupby("target_url").aggregate(Count(alias_name="total_backlinks"))
+    return profiles
+
+
+def _crawl_bfs(sf_dir: str):
+    from link_profiler_repo_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(politeness=False, num_seen_shards=2, num_fetchers=2)
+    res = run_crawl(sf_dir, cfg)
+    return res.order.select(["url", "depth"])
+
+
+def _crawl_ordered(sf_dir: str):
+    from link_profiler_repo_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(num_seen_shards=2, num_fetchers=2)
+    res = run_crawl(sf_dir, cfg)
+    return res.order
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from link_profiler_repo_ray.pipelines import graph, relational, textdata
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl core
+        "text_extract": textdata.text_extract_roundtrip,
+        "extract_links": lambda sf: graph.edges_dataset(sf).select_columns(
+            ["source_url", "target_url", "anchor_text", "link_type"]
+        ),
+        "crawl_bfs": _crawl_bfs,
+        "crawl_ordered": _crawl_ordered,
+        # graph analytics
+        "link_profiles": graph.link_profiles,
+        "host_graph": graph.host_graph,
+        "referring_domains_exact": graph.referring_domains_exact,
+        "referring_domains_hll": graph.referring_domains_hll,
+        "link_intersect": lambda sf: graph.link_intersect(sf, "h1.example.com", "h2.example.com"),
+        "link_velocity": graph.link_velocity,
+        # training-data ops
+        "token_stats": textdata.token_stats,
+        "doc_quality": textdata.doc_quality,
+        "lang_id": textdata.lang_id_docs,
+        "fingerprints": textdata.fingerprints,
+        "dedup_exact": textdata.dedup_exact,
+        "minhash_lsh_dups": textdata.minhash_lsh_dups,
+        "simhash_dups": textdata.simhash_dups,
+        "word_jaccard_pairs": textdata.word_jaccard_pairs,
+        "embedding_topk": textdata.embedding_topk,
+        "embedding_centroids": textdata.embedding_centroids,
+        "knn_ivf": textdata.knn_ivf,
+        "media_features": textdata.media_features,
+        # relational breadth
+        "q1_lineitem": relational.q1_lineitem,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "order_priority_revenue": relational.order_priority_revenue,
+        "top_parts_per_brand": relational.top_parts_per_brand,
+        "events_by_day": relational.events_by_day,
+        "sessionize": relational.sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from link_profiler_repo_ray.sources.corpus import edges_cte, hosts_cte
+
+    graph_cte = "WITH " + hosts_cte() + "," + edges_cte()
+    stop_list = "('the','and','of','a','to','in','is','that','it','for')"
+    return {
+        "text_extract": "SELECT doc_id, text FROM documents",
+        "extract_links": graph_cte
+        + """
+SELECT source_url, target_url, anchor_text, link_type FROM edges""",
+        "crawl_bfs": "WITH RECURSIVE "
+        + hosts_cte().lstrip()
+        + ","
+        + edges_cte()
+        + """,
+allowed AS (SELECT doc_id, url FROM docurl WHERE host_id % 7 <> 3),
+reach(doc_id, depth) AS (
+  SELECT doc_id, 0 FROM allowed WHERE doc_id % 17 = 0
+  UNION
+  SELECT e.tdoc, r.depth + 1
+  FROM reach r JOIN edges e ON e.sdoc = r.doc_id
+  JOIN allowed a ON a.doc_id = e.tdoc
+  WHERE r.depth < 2
+),
+crawled AS (SELECT doc_id, min(depth) AS depth FROM reach GROUP BY doc_id)
+SELECT u.url AS url, c.depth::SMALLINT AS depth FROM crawled c JOIN docurl u USING (doc_id)
+UNION ALL SELECT 'https://h0.example.com/doc/999999999', 0::SMALLINT
+UNION ALL SELECT 'https://unknown.example.org/', 0::SMALLINT""",
+        "link_profiles": graph_cte
+        + """
+SELECT target_url,
+       count(*)::BIGINT AS total_backlinks,
+       count(DISTINCT source_host)::BIGINT AS unique_referring_domains,
+       sum(CASE WHEN link_type = 'dofollow' THEN 1 ELSE 0 END)::BIGINT AS dofollow_backlinks,
+       sum(CASE WHEN link_type = 'nofollow' THEN 1 ELSE 0 END)::BIGINT AS nofollow_backlinks,
+       sum(CASE WHEN link_type = 'sponsored' THEN 1 ELSE 0 END)::BIGINT AS sponsored_backlinks,
+       sum(CASE WHEN link_type = 'ugc' THEN 1 ELSE 0 END)::BIGINT AS ugc_backlinks
+FROM edges GROUP BY target_url""",
+        "host_graph": graph_cte
+        + """
+SELECT source_host, target_host, count(*)::BIGINT AS n_links
+FROM edges GROUP BY source_host, target_host""",
+        "referring_domains_exact": graph_cte
+        + """
+SELECT target_host, count(DISTINCT source_host)::BIGINT AS referring_domains
+FROM edges GROUP BY target_host""",
+        "link_intersect": graph_cte
+        + """
+SELECT source_host FROM edges WHERE target_host = 'h1.example.com'
+INTERSECT
+SELECT source_host FROM edges WHERE target_host = 'h2.example.com'""",
+        "link_velocity": graph_cte
+        + """
+SELECT target_host,
+       date_trunc('day', TIMESTAMP '2024-03-01' + (97 * sdoc) * INTERVAL 1 MINUTE) AS day,
+       count(*)::BIGINT AS n_new_links
+FROM edges GROUP BY 1, 2""",
+        "token_stats": """
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens
+FROM documents""",
+        "doc_quality": f"""
+WITH t AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> lower(x) IN {stop_list}))::BIGINT AS n_stop
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       (n_chars - (n_tokens - 1)) / n_tokens AS mean_token_len,
+       n_stop / n_tokens AS stopword_ratio
+FROM t""",
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "word_jaccard_pairs": """
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT s.doc_a, s.doc_b, s.shared::DOUBLE / (sa.sz + sb.sz - s.shared) AS jaccard
+FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE s.shared::DOUBLE / (sa.sz + sb.sz - s.shared) >= 0.9""",
+        "embedding_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+s AS (SELECT q.query_id, c.vec_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS score
+      FROM q CROSS JOIN c),
+r AS (SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, round(score, 5) AS score, rank FROM r WHERE rank <= 10""",
+        "embedding_centroids": """
+SELECT label::BIGINT AS label, (g.i - 1)::BIGINT AS dim, round(avg(embedding[g.i]::DOUBLE), 6) AS value
+FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
+GROUP BY 1, 2""",
+        "media_features": """
+SELECT doc_id, n_chars AS n_bytes,
+       (64 + n_chars % 64)::INTEGER AS width,
+       (64 + (n_chars // 2) % 64)::INTEGER AS height
+FROM documents""",
+        "q1_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "revenue_by_nation": """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*)::BIGINT AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name""",
+        "order_priority_revenue": """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority""",
+        "top_parts_per_brand": """
+WITH r AS (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part)
+SELECT p_brand, p_partkey, p_name, p_retailprice, rank FROM r WHERE rank <= 3""",
+        "events_by_day": """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2""",
+        "sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT user_id, event_id, ts,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM e)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY 1, 2""",
+    }

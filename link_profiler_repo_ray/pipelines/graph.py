@@ -1,0 +1,274 @@
+"""Backlink-graph analytics: pure ``ray.data`` Dataset pipelines.
+
+Operators covered (SURVEY.md §2): A1 link profiles, A4 referring-domain
+cardinality (exact + HyperLogLog), A6 link velocity, D1 edge dedup,
+J2 link intersect, plus the salted (source_host, target_host) edge
+rollup the BASELINE north-star names explicitly.
+
+Shuffle discipline (SURVEY.md §7.4): every aggregation goes through
+``ops.hash_aggregate`` — a per-block vectorized combiner (which bounds
+hub-key skew: a hot host contributes one partial row per block, the
+combiner IS the salt) followed by a hash-partition exchange and a
+vectorized per-partition merge.  Raw edges are never shuffled.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import polars as pl
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.sketches import HyperLogLog, token_hashes
+from ..ops import hash_aggregate, hash_group_apply
+from ..sources import corpus as corpus_mod
+from ..stages import ExtractLinksStage
+
+__all__ = [
+    "pages_dataset",
+    "edges_dataset",
+    "link_profiles",
+    "top_anchor_profiles",
+    "host_graph",
+    "referring_domains_exact",
+    "referring_domains_hll",
+    "link_intersect",
+    "link_velocity",
+]
+
+_LINK_TYPES = ("dofollow", "nofollow", "sponsored", "ugc")
+
+
+def corpus_files(sf_dir: str, multiplier: int = 1) -> list[str]:
+    cdir = corpus_mod.corpus_dir(sf_dir, multiplier)
+    return sorted(glob.glob(os.path.join(cdir, "pages_*.parquet")))
+
+
+def pages_dataset(sf_dir: str, multiplier: int = 1, columns: list[str] | None = None) -> rd.Dataset:
+    """The Common-Crawl-style pages table (column-pruned at the read)."""
+    return rd.read_parquet(corpus_files(sf_dir, multiplier), columns=columns)
+
+
+def edges_dataset(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Full-corpus link extraction: pages -> exploded edge rows (M2)."""
+    ds = pages_dataset(sf_dir, multiplier, columns=["url", "warc_ts", "html"])
+    return ds.map_batches(ExtractLinksStage(), batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- A1: link profiles ----------------------------------------------------
+
+def link_profiles(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Per-target profile counts (core/models.py:449-491).
+
+    total_backlinks counts every edge (canonical pseudo-edges included,
+    matching create_link_profile_from_backlinks which appends them to
+    the total but to no per-type counter); per-type counters cover the
+    four rel-derived classes the extractor can produce.
+
+    Two hash-aggregates: edges → one row per (target_url, source_host)
+    pair, then pairs → per-target totals where the pair-row count IS
+    the distinct-referring-domain count.
+    """
+    edges = edges_dataset(sf_dir, multiplier).select_columns(
+        ["target_url", "source_host", "link_type"]
+    )
+    pair = hash_aggregate(
+        edges,
+        ["target_url", "source_host"],
+        combine=[
+            pl.len().cast(pl.Int64).alias("n"),
+            *[
+                (pl.col("link_type") == t).sum().cast(pl.Int64).alias(f"{t}_backlinks")
+                for t in _LINK_TYPES
+            ],
+        ],
+        merge=[
+            pl.col("n").sum(),
+            *[pl.col(f"{t}_backlinks").sum() for t in _LINK_TYPES],
+        ],
+    )
+    return hash_aggregate(
+        pair,
+        ["target_url"],
+        combine=[
+            pl.col("n").sum().alias("total_backlinks"),
+            pl.len().cast(pl.Int64).alias("unique_referring_domains"),
+            *[pl.col(f"{t}_backlinks").sum() for t in _LINK_TYPES],
+        ],
+        merge=[
+            pl.col("total_backlinks").sum(),
+            pl.col("unique_referring_domains").sum(),
+            *[pl.col(f"{t}_backlinks").sum() for t in _LINK_TYPES],
+        ],
+    )
+
+
+def top_anchor_profiles(sf_dir: str, multiplier: int = 1, k: int = 10) -> rd.Dataset:
+    """Top-k anchor texts + referring domains per target (O3).
+
+    Count-desc, then first-seen (anchor asc as the deterministic proxy)
+    per core/models.py:481,489.  Keys are pre-counted per block
+    (combiner), the apply stage does one vectorized top-k per partition.
+    """
+    edges = edges_dataset(sf_dir, multiplier).select_columns(
+        ["target_url", "anchor_text", "source_host"]
+    )
+
+    def topk(df: pl.DataFrame) -> pl.DataFrame:
+        def top_map(sub: pl.DataFrame, col: str) -> pl.DataFrame:
+            counts = (
+                sub.group_by(["target_url", col])
+                .agg(pl.col("cnt").sum().alias("c"))
+                .sort(["target_url", "c", col], descending=[False, True, False])
+                .with_columns(pl.col(col).cum_count().over("target_url").alias("r"))
+                .filter(pl.col("r") <= k)
+            )
+            return counts.group_by("target_url").agg(
+                pl.col(col).alias(f"top_{col}_keys"), pl.col("c").alias(f"top_{col}_counts")
+            )
+
+        a = top_map(df, "anchor_text")
+        d = top_map(df, "source_host")
+        return a.join(d, on="target_url", how="full", coalesce=True)
+
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.group_by(["target_url", "anchor_text", "source_host"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+
+    return hash_group_apply(edges, ["target_url"], topk, pre=pre)
+
+
+# --- host-pair rollup (the salted groupby of the north star) -------------
+
+def host_graph(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """(source_host, target_host) edge counts.
+
+    Hub-domain skew is absorbed by the combine stage: a hub pair is
+    reduced to ONE partial row per block before the exchange, so the
+    reduce side receives O(blocks) rows per hot pair, never O(edges).
+    """
+    edges = edges_dataset(sf_dir, multiplier).select_columns(["source_host", "target_host"])
+    return hash_aggregate(
+        edges,
+        ["source_host", "target_host"],
+        combine=[pl.len().cast(pl.Int64).alias("n_links")],
+        merge=[pl.col("n_links").sum()],
+    )
+
+
+# --- A4: referring-domain cardinality ------------------------------------
+
+def referring_domains_exact(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Exact distinct source hosts per target host (test-scale ground truth)."""
+    pairs = hash_aggregate(
+        edges_dataset(sf_dir, multiplier).select_columns(["target_host", "source_host"]),
+        ["target_host", "source_host"],
+        combine=[pl.len().alias("_n")],
+        merge=[pl.col("_n").sum()],
+    )
+    return hash_aggregate(
+        pairs,
+        ["target_host"],
+        combine=[pl.len().cast(pl.Int64).alias("referring_domains")],
+        merge=[pl.col("referring_domains").sum()],
+    )
+
+
+def referring_domains_hll(sf_dir: str, multiplier: int = 1, p: int = 12) -> rd.Dataset:
+    """HLL sketch per target host — the 10^10-scale path (BASELINE A4).
+
+    One (target_host, 2^p-byte register blob) row per (host, block)
+    leaves the map stage; the exchange moves sketches, not host lists.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        hosts_out, blobs = [], []
+        for (th,), g in df.group_by("target_host"):
+            hll = HyperLogLog(p)
+            hll.add_hashes(token_hashes(g.get_column("source_host").to_list()))
+            hosts_out.append(th)
+            blobs.append(hll.to_bytes())
+        return pa.table(
+            {"target_host": pa.array(hosts_out, pa.string()), "sketch": pa.array(blobs, pa.binary())}
+        )
+
+    def merge(df: pl.DataFrame) -> pl.DataFrame:
+        hosts_out, ests = [], []
+        for (th,), g in df.group_by("target_host"):
+            hll = HyperLogLog(p)
+            for blob in g.get_column("sketch"):
+                hll.merge(HyperLogLog.from_bytes(blob, p))
+            hosts_out.append(th)
+            ests.append(hll.estimate())
+        return pl.DataFrame({"target_host": hosts_out, "referring_domains_est": ests})
+
+    partials = (
+        edges_dataset(sf_dir, multiplier)
+        .select_columns(["target_host", "source_host"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return hash_group_apply(partials, ["target_host"], merge)
+
+
+# --- J2: link intersect ---------------------------------------------------
+
+def link_intersect(sf_dir: str, host_a: str, host_b: str, multiplier: int = 1) -> rd.Dataset:
+    """Source hosts linking to BOTH targets (backlink_service.py:627-653).
+
+    Semi-join shape: broadcast two-host predicate inside map_batches
+    (no shuffle), distinct pairs, then per-source target count == 2.
+    """
+
+    def pick(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (
+            df.filter(pl.col("target_host").is_in([host_a, host_b]))
+            .select(["source_host", "target_host"])
+            .unique()
+            .to_arrow()
+        )
+
+    pairs = hash_aggregate(
+        edges_dataset(sf_dir, multiplier)
+        .select_columns(["source_host", "target_host"])
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True),
+        ["source_host", "target_host"],
+        combine=[pl.len().alias("_n")],
+        merge=[pl.col("_n").sum()],
+    )
+    both = hash_aggregate(
+        pairs,
+        ["source_host"],
+        combine=[pl.len().cast(pl.Int64).alias("n_targets")],
+        merge=[pl.col("n_targets").sum()],
+    )
+    return both.filter(expr="n_targets == 2").select_columns(["source_host"])
+
+
+# --- A6: link velocity ----------------------------------------------------
+
+def link_velocity(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """New backlinks per (target_host, day) (api/analytics.py:40-66)."""
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col("target_host"), pl.col("crawl_ts").dt.truncate("1d").alias("day")
+        ).to_arrow()
+
+    daily = (
+        edges_dataset(sf_dir, multiplier)
+        .select_columns(["target_host", "crawl_ts"])
+        .map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return hash_aggregate(
+        daily,
+        ["target_host", "day"],
+        combine=[pl.len().cast(pl.Int64).alias("n_new_links")],
+        merge=[pl.col("n_new_links").sum()],
+    )

@@ -1,0 +1,224 @@
+"""General relational operators over the TPC-H-ish testdata tables.
+
+These exercise the engine breadth the crawl/graph pipelines rely on —
+grouped aggregation with per-block combiners (``ops.hash_aggregate``),
+broadcast joins, partitioned hash joins for large⋈large
+(``ops.tagged_union_join``), windowed top-k and session windows
+(``ops.hash_group_apply``) — each with an exact DuckDB oracle.
+
+Money sums use integer cents (floor(x*100 + 0.5), identical scalar op
+in polars and DuckDB) so cross-engine float summation order can never
+perturb the comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..ops import hash_aggregate, hash_group_apply, tagged_union_join
+
+__all__ = [
+    "q1_lineitem",
+    "revenue_by_nation",
+    "order_priority_revenue",
+    "top_parts_per_brand",
+    "events_by_day",
+    "sessionize",
+]
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(col: str) -> pl.Expr:
+    return (pl.col(col) * 100 + 0.5).floor().cast(pl.Int64)
+
+
+# --- grouped aggregate with per-block combiner (TPC-H Q1 shape) ----------
+
+def q1_lineitem(sf_dir: str) -> rd.Dataset:
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return hash_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        combine=[
+            _cents("l_quantity").sum().alias("sum_qty_cents"),
+            _cents("l_extendedprice").sum().alias("sum_price_cents"),
+            ((pl.col("l_extendedprice") * (1 - pl.col("l_discount"))) * 100 + 0.5)
+            .floor()
+            .cast(pl.Int64)
+            .sum()
+            .alias("sum_disc_price_cents"),
+            pl.len().cast(pl.Int64).alias("count_order"),
+        ],
+        merge=[
+            pl.col("sum_qty_cents").sum(),
+            pl.col("sum_price_cents").sum(),
+            pl.col("sum_disc_price_cents").sum(),
+            pl.col("count_order").sum(),
+        ],
+    )
+
+
+# --- broadcast join (small dimension side) -------------------------------
+
+def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer ⋈ nation, revenue per nation.
+
+    customer and nation are dimension-sized → broadcast both through
+    ``ray.put`` once; each batch does a polars join against the
+    in-memory side.  No shuffle except the final tiny aggregate
+    (J1's broadcast-join shape, crawl_service.py:638-654).
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    dim = (
+        pl.from_arrow(cust)
+        .join(pl.from_arrow(nat), left_on="c_nationkey", right_on="n_nationkey")
+        .select(["c_custkey", "n_name"])
+    )
+    ref = ray.put(dim)
+
+    class Lookup:
+        def __init__(self, ref):
+            self.dim = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            return (
+                df.join(self.dim, left_on="o_custkey", right_on="c_custkey", how="left")
+                .select(["n_name", "o_totalprice"])
+                .to_arrow()
+            )
+
+    joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        Lookup, fn_constructor_args=(ref,), batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2,
+    )
+    return hash_aggregate(
+        joined,
+        ["n_name"],
+        combine=[
+            _cents("o_totalprice").sum().alias("revenue_cents"),
+            pl.len().cast(pl.Int64).alias("n_orders"),
+        ],
+        merge=[pl.col("revenue_cents").sum(), pl.col("n_orders").sum()],
+    )
+
+
+# --- partitioned hash join (large ⋈ large) -------------------------------
+
+def order_priority_revenue(sf_dir: str) -> rd.Dataset:
+    """lineitem ⋈ orders (both large) via the partitioned hash join,
+
+    then revenue per o_orderpriority."""
+    li = hash_aggregate(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+        ["l_orderkey"],
+        combine=[
+            ((pl.col("l_extendedprice") * (1 - pl.col("l_discount"))) * 100 + 0.5)
+            .floor()
+            .cast(pl.Int64)
+            .sum()
+            .alias("rev_cents")
+        ],
+        merge=[pl.col("rev_cents").sum()],
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = tagged_union_join(li, orders, "l_orderkey", "o_orderkey")
+    return hash_aggregate(
+        joined,
+        ["o_orderpriority"],
+        combine=[pl.col("rev_cents").sum().alias("revenue_cents")],
+        merge=[pl.col("revenue_cents").sum()],
+    )
+
+
+# --- windowed top-k -------------------------------------------------------
+
+def top_parts_per_brand(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-k parts by retail price per brand (deterministic tie-break
+
+    on p_partkey) — the reference's O3 top-k shape as a window op."""
+
+    def topk(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.sort(["p_brand", "p_retailprice", "p_partkey"], descending=[False, True, False])
+            .with_columns(pl.col("p_partkey").cum_count().over("p_brand").cast(pl.Int64).alias("rank"))
+            .filter(pl.col("rank") <= k)
+        )
+
+    return hash_group_apply(
+        _read(sf_dir, "part", ["p_brand", "p_partkey", "p_name", "p_retailprice"]),
+        ["p_brand"],
+        topk,
+    )
+
+
+# --- event-log analytics --------------------------------------------------
+
+def events_by_day(sf_dir: str) -> rd.Dataset:
+    """Tumbling daily counts per event type (A6's time-bucket shape)."""
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col("ts").dt.truncate("1d").alias("day"),
+            pl.col("event_type"),
+            pl.col("value"),
+        ).to_arrow()
+
+    daily = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        add_day, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_aggregate(
+        daily,
+        ["day", "event_type"],
+        combine=[
+            _cents("value").sum().alias("sum_value_cents"),
+            pl.len().cast(pl.Int64).alias("n_events"),
+        ],
+        merge=[pl.col("sum_value_cents").sum(), pl.col("n_events").sum()],
+    )
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows per user (30-min inactivity gap).
+
+    The ordered, partitioned-log pattern: hash-partition by user_id,
+    sort by ts inside the partition, per-user gap-break cumulative sum
+    = session id — fully vectorized over each partition.
+    """
+
+    def windows(df: pl.DataFrame) -> pl.DataFrame:
+        df = df.sort(["user_id", "ts"])
+        brk = (
+            (pl.col("ts").diff().over("user_id") > pl.duration(minutes=gap_minutes))
+            .fill_null(False)
+            .cast(pl.Int64)
+        )
+        df = df.with_columns(brk.cum_sum().over("user_id").alias("session_id"))
+        return (
+            df.group_by(["user_id", "session_id"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("ts").min().alias("start_ts"),
+                pl.col("ts").max().alias("end_ts"),
+            )
+        )
+
+    return hash_group_apply(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"]), ["user_id"], windows
+    )

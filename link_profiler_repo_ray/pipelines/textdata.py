@@ -1,0 +1,679 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+These extend the reference's capabilities with the operations a
+large-scale (100 TB) training-data pipeline needs: deduplication
+(exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
+(brute-force cosine top-k + IVF-bucketed ANN), text analysis
+(language-ID, token/quality stats, fingerprints), and multimodal
+binary-column plumbing (decode stubbed, Ray-side schema/actors real).
+
+All heavy stages are ``map_batches`` over Arrow with numpy/polars
+kernels; broadcast sides go through ``ray.put`` once and are read in
+actor ``__init__``, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions import textstats
+from ..ops import hash_aggregate, hash_group_apply
+from ..functions.htmlx import extract_text_batch
+from ..functions.sketches import (
+    band_hashes,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+    token_hashes,
+)
+
+__all__ = [
+    "documents_dataset",
+    "text_extract_roundtrip",
+    "token_stats",
+    "doc_quality",
+    "lang_id_docs",
+    "fingerprints",
+    "dedup_exact",
+    "minhash_lsh_dups",
+    "simhash_dups",
+    "word_jaccard_pairs",
+    "embedding_topk",
+    "embedding_centroids",
+    "knn_ivf",
+    "media_features",
+]
+
+
+def documents_dataset(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def embeddings_dataset(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+
+# --- text extraction invariant over a clean wrapper ----------------------
+
+_WRAP_PRE = (
+    '<html><head><title></title><style>body { color: #111; }</style></head>'
+    '<body><script>var trap = "<b>&amp; nested</b>";</script><p> '
+)
+_WRAP_POST = " </p><div></div></body></html>"
+
+
+def text_extract_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Wrap each document in HTML (script/style/entity traps), extract.
+
+    By construction of the wrapper, the byte-identical extraction
+    invariant (content_validator.py:87-101 semantics) demands the
+    output equal the original ``text`` exactly — which is what the SQL
+    oracle asserts.
+    """
+
+    def run(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        wrapped = [(_WRAP_PRE + t + _WRAP_POST).encode() for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(extract_text_batch(wrapped), pa.string()),
+            }
+        )
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- token / quality stats ------------------------------------------------
+
+def token_stats(sf_dir: str) -> rd.Dataset:
+    def run(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+            pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("n_tokens"),
+            pl.col("text").str.split(" ").list.n_unique().cast(pl.Int64).alias("n_distinct_tokens"),
+        )
+        return out.to_arrow()
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_quality(sf_dir: str) -> rd.Dataset:
+    """Per-doc quality ratios (SQL-mirrorable subset of functions.textstats)."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        rows = [textstats.text_stats(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+                "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+                "mean_token_len": pa.array(
+                    [
+                        (r["n_chars"] - (r["n_tokens"] - 1)) / r["n_tokens"] if r["n_tokens"] else 0.0
+                        for r in rows
+                    ],
+                    pa.float64(),
+                ),
+                "stopword_ratio": pa.array([r["stopword_ratio"] for r in rows], pa.float64()),
+            }
+        )
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class _LangIdStage:
+    """Actor-pool language ID (model 'load' = stopword tables in __init__)."""
+
+    def __init__(self):
+        self.fn = textstats.lang_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.fn(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "lang_pred": pa.array(preds, pa.string())}
+        )
+
+
+def lang_id_docs(sf_dir: str) -> rd.Dataset:
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        _LangIdStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    def run(batch: pa.Table) -> pa.Table:
+        fps = [int(textstats.fingerprint64(t)) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.uint64())}
+        )
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- deduplication --------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup: first (min doc_id) survivor per identical text.
+
+    Hash-partition by content hash, per-group min — the Ray shape of
+    ClickHouse ReplacingMergeTree dedup (SURVEY.md A5/D1).  The shuffle
+    moves (hash, doc_id) pairs, never the text.
+    """
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        h = token_hashes(batch.column("text").to_pylist())
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "content_hash": pa.array(h, pa.uint64())}
+        )
+
+    survivors = hash_aggregate(
+        documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+            hash_stage, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["content_hash"],
+        combine=[pl.col("doc_id").min().alias("doc_id")],
+        merge=[pl.col("doc_id").min()],
+    )
+    return survivors.select_columns(["doc_id"])
+
+
+class _ShingleVerifier:
+    """Holds shingle sets of candidate docs (broadcast via ray.put)."""
+
+    def __init__(self, shingles_ref, n: int):
+        self.shingles = ray.get(shingles_ref)
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        jac = []
+        for x, y in zip(a, b):
+            sa, sb = self.shingles.get(x), self.shingles.get(y)
+            if sa is None or sb is None or not (len(sa) or len(sb)):
+                jac.append(0.0)
+                continue
+            inter = len(sa & sb)
+            jac.append(inter / (len(sa) + len(sb) - inter))
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+
+def minhash_lsh_dups(
+    sf_dir: str,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    extra_docs: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """MinHash+LSH near-dup pairs with exact Jaccard verification.
+
+    shingle→minhash per batch → explode to (band, band_hash, doc_id) →
+    bucket groupby → candidate pairs → exact-Jaccard verify against
+    broadcast shingle sets → pairs with jaccard >= threshold.
+
+    At 100 TB the verify stage joins texts by hash-partition instead of
+    broadcasting; candidate generation is unchanged.
+    """
+    docs = extra_docs if extra_docs is not None else documents_dataset(sf_dir, ["doc_id", "text"])
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        ids, band_ids, bhashes = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            sig = minhash_signature(shingle_hashes(text, shingle_n), num_perm)
+            bh = band_hashes(sig, bands)
+            ids.extend([did] * bands)
+            band_ids.extend(range(bands))
+            bhashes.extend(int(x) for x in bh)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(bhashes, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(df: pl.DataFrame) -> pl.DataFrame:
+        buckets = df.group_by(["band", "band_hash"]).agg(pl.col("doc_id").unique().sort().alias("ids"))
+        a_out, b_out = [], []
+        for ids in buckets.get_column("ids"):
+            if len(ids) < 2:
+                continue
+            arr = ids.to_numpy()
+            i, j = np.triu_indices(len(arr), k=1)
+            a_out.append(arr[i])
+            b_out.append(arr[j])
+        if not a_out:
+            return pl.DataFrame({"doc_a": pl.Series([], dtype=pl.Int64), "doc_b": pl.Series([], dtype=pl.Int64)})
+        return pl.DataFrame(
+            {"doc_a": np.concatenate(a_out).astype(np.int64), "doc_b": np.concatenate(b_out).astype(np.int64)}
+        )
+
+    candidates = hash_group_apply(
+        docs.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["band", "band_hash"],
+        bucket_pairs,
+    )
+    candidates = hash_aggregate(
+        candidates,
+        ["doc_a", "doc_b"],
+        combine=[pl.len().alias("_n")],
+        merge=[pl.col("_n").sum()],
+    )
+
+    # broadcast shingle sets for exact verification (test-scale corpus)
+    texts = {}
+    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for did, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            texts[did] = set(shingle_hashes(t, shingle_n).tolist())
+    ref = ray.put(texts)
+
+    verified = candidates.map_batches(
+        _ShingleVerifier,
+        fn_constructor_args=(ref, shingle_n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    return verified.filter(expr=f"jaccard >= {threshold}")
+
+
+def simhash_dups(sf_dir: str, max_hamming: int = 3, extra_docs: rd.Dataset | None = None) -> rd.Dataset:
+    """SimHash near-dup pairs: 4×16-bit band blocking, Hamming verify."""
+    docs = extra_docs if extra_docs is not None else documents_dataset(sf_dir, ["doc_id", "text"])
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        ids, band_ids, keys, sigs = [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            sig = int(simhash64(token_hashes(text.split())))
+            for band in range(4):
+                ids.append(did)
+                band_ids.append(band)
+                keys.append((sig >> (16 * band)) & 0xFFFF)
+                sigs.append(sig)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band": pa.array(band_ids, pa.int32()),
+                "key": pa.array(keys, pa.int32()),
+                "sig": pa.array(sigs, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(df: pl.DataFrame) -> pl.DataFrame:
+        buckets = (
+            df.unique(["band", "key", "doc_id"])
+            .sort("doc_id")
+            .group_by(["band", "key"])
+            .agg(pl.col("doc_id").alias("ids"), pl.col("sig").alias("sigs"))
+        )
+        a_out, b_out, ham_out = [], [], []
+        for ids, sigs in zip(buckets.get_column("ids"), buckets.get_column("sigs")):
+            if len(ids) < 2:
+                continue
+            arr = ids.to_numpy()
+            sg = sigs.to_numpy().astype(np.uint64)
+            i, j = np.triu_indices(len(arr), k=1)
+            x = sg[i] ^ sg[j]
+            # vectorized popcount via byte-view lookup
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            a_out.append(arr[i][keep])
+            b_out.append(arr[j][keep])
+            ham_out.append(ham[keep])
+        if not a_out:
+            return pl.DataFrame(
+                {
+                    "doc_a": pl.Series([], dtype=pl.Int64),
+                    "doc_b": pl.Series([], dtype=pl.Int64),
+                    "hamming": pl.Series([], dtype=pl.Int64),
+                }
+            )
+        return pl.DataFrame(
+            {
+                "doc_a": np.concatenate(a_out).astype(np.int64),
+                "doc_b": np.concatenate(b_out).astype(np.int64),
+                "hamming": np.concatenate(ham_out).astype(np.int64),
+            }
+        )
+
+    pairs = hash_group_apply(
+        docs.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["band", "key"],
+        bucket_pairs,
+    )
+    return hash_aggregate(
+        pairs,
+        ["doc_a", "doc_b"],
+        combine=[pl.col("hamming").min().alias("hamming")],
+        merge=[pl.col("hamming").min()],
+    )
+
+
+def word_jaccard_pairs(sf_dir: str, threshold: float = 0.9) -> rd.Dataset:
+    """Exact word-set Jaccard >= threshold via token-inverted-index join.
+
+    Explode (token, doc_id) distinct rows, group by token to emit
+    co-occurrence pairs, count shared tokens per pair, then jaccard =
+    shared / (|A| + |B| - shared) with broadcast doc sizes.  Fully
+    SQL-mirrorable (the oracle does the same join in DuckDB).
+    """
+
+    def tok_stage(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            for t in set(text.split()):
+                ids.append(did)
+                toks.append(t)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "token": pa.array(toks, pa.string())})
+
+    docs = documents_dataset(sf_dir, ["doc_id", "text"])
+    tokens = docs.map_batches(tok_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    sizes: dict[int, int] = {}
+    for b in token_stats(sf_dir).iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for did, n in zip(b.column("doc_id").to_pylist(), b.column("n_distinct_tokens").to_pylist()):
+            sizes[did] = n
+    sizes_ref = ray.put(sizes)
+
+    def pair_stage(df: pl.DataFrame) -> pl.DataFrame:
+        # NOTE: with a hub token shared by most documents this emits
+        # O(n^2) pairs — the standard mitigation (drop tokens whose doc
+        # frequency exceeds a cap, as such tokens cannot distinguish
+        # near-dups at high thresholds) applies at scale; kept exact
+        # here because the SQL oracle does the identical join.
+        groups = df.group_by("token").agg(pl.col("doc_id").unique().sort().alias("ids"))
+        a_out, b_out = [], []
+        for ids in groups.get_column("ids"):
+            if len(ids) < 2:
+                continue
+            arr = ids.to_numpy()
+            i, j = np.triu_indices(len(arr), k=1)
+            a_out.append(arr[i])
+            b_out.append(arr[j])
+        if not a_out:
+            return pl.DataFrame({"doc_a": pl.Series([], dtype=pl.Int64), "doc_b": pl.Series([], dtype=pl.Int64)})
+        return pl.DataFrame(
+            {"doc_a": np.concatenate(a_out).astype(np.int64), "doc_b": np.concatenate(b_out).astype(np.int64)}
+        )
+
+    shared = hash_aggregate(
+        hash_group_apply(tokens, ["token"], pair_stage),
+        ["doc_a", "doc_b"],
+        combine=[pl.len().cast(pl.Int64).alias("shared")],
+        merge=[pl.col("shared").sum()],
+    )
+
+    class Finalize:
+        def __init__(self, sizes_ref):
+            self.sizes = ray.get(sizes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("doc_a").to_pylist()
+            b = batch.column("doc_b").to_pylist()
+            s = batch.column("shared").to_pylist()
+            jac = [
+                sh / (self.sizes[x] + self.sizes[y] - sh) if (self.sizes[x] + self.sizes[y] - sh) else 0.0
+                for x, y, sh in zip(a, b, s)
+            ]
+            t = pa.table(
+                {
+                    "doc_a": pa.array(a, pa.int64()),
+                    "doc_b": pa.array(b, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+            mask = pa.array([j >= threshold for j in jac])
+            return t.filter(mask)
+
+    return shared.map_batches(
+        Finalize, fn_constructor_args=(sizes_ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=2,
+    )
+
+
+# --- similarity search ----------------------------------------------------
+
+def _load_queries(sf_dir: str, n_queries: int):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, n_queries)
+    q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return t.column("vec_id").to_pylist(), q
+
+
+def embedding_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> rd.Dataset:
+    """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
+
+    matmul + partial top-k, final per-query merge.  The baseline ANN
+    path; the scale path is :func:`knn_ivf`."""
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    ref = ray.put((qids, qnorm))
+
+    class Partial:
+        def __init__(self, ref):
+            self.qids, self.q = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            mask = vids >= len(self.qids)  # exclude the query vectors themselves
+            if not mask.any():
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)[mask]
+            vids = vids[mask]
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = self.q @ emb.T  # (nq, nb)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_v, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                for j in idx[qi]:
+                    out_q.append(self.qids[qi])
+                    out_v.append(int(vids[j]))
+                    out_s.append(float(sims[qi, j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    def merge(df):
+        df = df.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        df = df.assign(rank=range(1, len(df) + 1), score=df["score"].round(5))
+        return df
+
+    return (
+        embeddings_dataset(sf_dir, ["vec_id", "embedding"])
+        .map_batches(Partial, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     zero_copy_batch=True, concurrency=2)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def embedding_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label mean vector in long form (label, dim, value)."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_pylist()
+        embs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n, d = embs.shape if embs.size else (0, 0)
+        if n == 0:
+            return pa.table({"label": pa.array([], pa.int32()), "dim": pa.array([], pa.int32()),
+                             "value": pa.array([], pa.float64())})
+        lab = np.repeat(np.asarray(labels, dtype=np.int32), d)
+        dim = np.tile(np.arange(d, dtype=np.int32), n)
+        return pa.table(
+            {"label": pa.array(lab), "dim": pa.array(dim), "value": pa.array(embs.ravel())}
+        )
+
+    sums = hash_aggregate(
+        embeddings_dataset(sf_dir, ["label", "embedding"]).map_batches(
+            expand, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["label", "dim"],
+        combine=[pl.col("value").sum().alias("s"), pl.len().cast(pl.Int64).alias("n")],
+        merge=[pl.col("s").sum(), pl.col("n").sum()],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col("label").cast(pl.Int64),
+            pl.col("dim").cast(pl.Int64),
+            (pl.col("s") / pl.col("n")).round(6).alias("value"),
+        ).to_arrow()
+
+    return sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5, n_probe: int = 3) -> rd.Dataset:
+    """IVF-style ANN: label partitions as coarse cells, probe the
+
+    ``n_probe`` nearest centroids per query, exact search inside.
+    Scale path: the per-cell search is an independent map over
+    hash-partitioned cells; recall vs :func:`embedding_topk` is
+    asserted in tests."""
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    # centroids per label (small: #labels × dim) — computed distributed
+    cents = embedding_centroids(sf_dir).to_pandas()
+    labels = sorted(cents["label"].unique())
+    cmat = np.zeros((len(labels), qmat.shape[1]))
+    for i, lab in enumerate(labels):
+        sub = cents[cents["label"] == lab].sort_values("dim")
+        cmat[i] = sub["value"].to_numpy()
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    probe = np.argsort(-(qnorm @ cnorm.T), axis=1)[:, :n_probe]
+    probe_labels = [{int(labels[j]) for j in row} for row in probe]
+    ref = ray.put((qids, qnorm, probe_labels))
+
+    class CellSearch:
+        def __init__(self, ref):
+            self.qids, self.q, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            labs = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
+            embs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            out_q, out_v, out_s = [], [], []
+            for qi, qvec in enumerate(self.q):
+                mask = np.isin(labs, list(self.probe[qi])) & (vids >= len(self.qids))
+                if not mask.any():
+                    continue
+                sub = embs[mask]
+                sub = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+                sims = sub @ qvec
+                svids = vids[mask]
+                kk = min(k, len(sims))
+                idx = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.extend([self.qids[qi]] * kk)
+                out_v.extend(int(v) for v in svids[idx])
+                out_s.extend(float(s) for s in sims[idx])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "score": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    def merge(df):
+        df = df.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return df.assign(rank=range(1, len(df) + 1))
+
+    return (
+        embeddings_dataset(sf_dir, ["vec_id", "label", "embedding"])
+        .map_batches(CellSearch, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     zero_copy_batch=True, concurrency=2)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# --- multimodal plumbing (decode stubbed) --------------------------------
+
+class MediaDecodeStage:
+    """Actor-pool media feature extraction over an opaque binary column.
+
+    The image/audio decode libraries are not in this container, so the
+    decode itself is a deterministic fake (dimensions derived from the
+    byte length); the Ray-side plumbing — binary batches in, typed
+    metadata out, actor-pool construction, small batch sizes for large
+    payloads — is real and tested.  Swap ``_decode`` for PIL/ffmpeg in
+    production.
+    """
+
+    def __init__(self):
+        self.decoder = self._decode
+
+    @staticmethod
+    def _decode(payload: bytes) -> tuple[int, int]:
+        n = len(payload)
+        return 64 + n % 64, 64 + (n // 2) % 64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        dims = [self.decoder(p or b"") for p in payloads]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bytes": pa.array([len(p or b"") for p in payloads], pa.int64()),
+                "width": pa.array([d[0] for d in dims], pa.int32()),
+                "height": pa.array([d[1] for d in dims], pa.int32()),
+            }
+        )
+
+
+def media_features(sf_dir: str) -> rd.Dataset:
+    """documents.text re-encoded as a binary payload column -> features."""
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in batch.column("text").to_pylist()], pa.binary()
+                ),
+            }
+        )
+
+    return (
+        documents_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(to_binary, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=2, batch_size=256)
+    )
