@@ -559,44 +559,69 @@ def embedding_centroids(sf_dir: str) -> rd.Dataset:
     return sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5, n_probe: int = 3) -> rd.Dataset:
-    """IVF-style ANN: label partitions as coarse cells, probe the
+def _kmeans_centroids(sf_dir: str, n_cells: int, iters: int = 8) -> np.ndarray:
+    """Coarse IVF centroids via spherical k-means on a sample.
 
-    ``n_probe`` nearest centroids per query, exact search inside.
-    Scale path: the per-cell search is an independent map over
-    hash-partitioned cells; recall vs :func:`embedding_topk` is
-    asserted in tests."""
+    At test scale the sample is the whole table; at 100 TB this reads a
+    bounded random sample (ds.random_sample) — the clustering cost is
+    O(sample × cells), independent of corpus size.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(42)
+    cents = x[rng.choice(len(x), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    return cents
+
+
+def knn_ivf(
+    sf_dir: str, k: int = 10, n_queries: int = 5, n_probe: int = 3, n_cells: int = 10
+) -> rd.Dataset:
+    """IVF ANN: k-means coarse cells, probe the ``n_probe`` nearest
+
+    cells per query, exact cosine search inside probed cells only.
+    Scale path: cell assignment is a per-batch matmul; each batch
+    contributes candidates only for queries probing its vectors' cells;
+    recall vs :func:`embedding_topk` is asserted in tests."""
     qids, qmat = _load_queries(sf_dir, n_queries)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
 
-    # centroids per label (small: #labels × dim) — computed distributed
-    cents = embedding_centroids(sf_dir).to_pandas()
-    labels = sorted(cents["label"].unique())
-    cmat = np.zeros((len(labels), qmat.shape[1]))
-    for i, lab in enumerate(labels):
-        sub = cents[cents["label"] == lab].sort_values("dim")
-        cmat[i] = sub["value"].to_numpy()
-    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-    probe = np.argsort(-(qnorm @ cnorm.T), axis=1)[:, :n_probe]
-    probe_labels = [{int(labels[j]) for j in row} for row in probe]
-    ref = ray.put((qids, qnorm, probe_labels))
+    cents = _kmeans_centroids(sf_dir, n_cells)
+    probe = np.argsort(-(qnorm @ cents.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qnorm, cents, [set(row.tolist()) for row in probe]))
 
     class CellSearch:
         def __init__(self, ref):
-            self.qids, self.q, self.probe = ray.get(ref)
+            self.qids, self.q, self.cents, self.probe = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            labs = np.asarray(batch.column("label").to_pylist(), dtype=np.int64)
             embs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            keep = vids >= len(self.qids)
+            if not keep.any():
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            vids = vids[keep]
+            embs = embs[keep]
+            embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+            cell = np.argmax(embs @ self.cents.T, axis=1)
             out_q, out_v, out_s = [], [], []
             for qi, qvec in enumerate(self.q):
-                mask = np.isin(labs, list(self.probe[qi])) & (vids >= len(self.qids))
+                mask = np.isin(cell, list(self.probe[qi]))
                 if not mask.any():
                     continue
-                sub = embs[mask]
-                sub = sub / np.linalg.norm(sub, axis=1, keepdims=True)
-                sims = sub @ qvec
+                sims = embs[mask] @ qvec
                 svids = vids[mask]
                 kk = min(k, len(sims))
                 idx = np.argpartition(-sims, kk - 1)[:kk]
@@ -616,7 +641,7 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 5, n_probe: int = 3) -> r
         return df.assign(rank=range(1, len(df) + 1))
 
     return (
-        embeddings_dataset(sf_dir, ["vec_id", "label", "embedding"])
+        embeddings_dataset(sf_dir, ["vec_id", "embedding"])
         .map_batches(CellSearch, fn_constructor_args=(ref,), batch_format="pyarrow",
                      zero_copy_batch=True, concurrency=2)
         .groupby("query_id")

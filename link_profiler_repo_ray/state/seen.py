@@ -97,7 +97,8 @@ class SeenSet:
         dumps = ray.get([s.dump.remote() for s in self.shards])
         for i, arr in enumerate(dumps):
             tmp = os.path.join(directory, f"shard-{i}.npy.tmp")
-            np.save(tmp, arr)
+            with open(tmp, "wb") as fh:
+                np.save(fh, arr)
             os.replace(tmp, os.path.join(directory, f"shard-{i}.npy"))
 
     def restore(self, directory: str) -> None:

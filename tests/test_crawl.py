@@ -1,0 +1,122 @@
+"""Crawl engine vs the sequential reference-semantics oracle:
+
+crawl order, final URL-seen set, crawled set, politeness budget,
+max_pages cap, retry demotion, and checkpoint/resume equivalence
+(FIXTURES.md §8 protocol)."""
+
+import numpy as np
+import pytest
+
+from link_profiler_repo_ray.pipelines.crawl import CrawlConfig, oracle_crawl, run_crawl
+
+SF = "/root/testdata/sf0.001"
+
+
+def _order_pairs(res):
+    return list(zip(res.order.column("url").to_pylist(), res.order.column("depth").to_pylist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawl:
+    def test_ordered_crawl_matches_oracle(self):
+        cfg = CrawlConfig(num_seen_shards=2, num_fetchers=2)
+        res = run_crawl(SF, cfg)
+        ora = oracle_crawl(SF, cfg)
+        assert _order_pairs(res) == ora["order"]
+        assert set(res.counters["seen_urls"]) == ora["seen"]
+        assert {u for u, _ in _order_pairs(res)} == ora["crawled"]
+
+    def test_bfs_mode_matches_oracle(self):
+        cfg = CrawlConfig(politeness=False, num_seen_shards=2, num_fetchers=2)
+        res = run_crawl(SF, cfg)
+        ora = oracle_crawl(SF, cfg)
+        assert _order_pairs(res) == ora["order"]
+        assert set(res.counters["seen_urls"]) == ora["seen"]
+
+    def test_max_pages_budget(self):
+        cfg = CrawlConfig(max_pages=30, num_seen_shards=2, num_fetchers=2)
+        res = run_crawl(SF, cfg)
+        ora = oracle_crawl(SF, cfg)
+        assert res.counters["pages_fetched"] == 30
+        assert _order_pairs(res) == ora["order"]
+
+    def test_robots_denied_counted(self):
+        cfg = CrawlConfig(num_seen_shards=2, num_fetchers=2)
+        res = run_crawl(SF, cfg)
+        assert res.counters["robots_denied"] > 0
+        # no crawled url may live on a disallowed host (host_id % 7 == 3)
+        for h in res.order.column("host").to_pylist():
+            hid = h.split(".")[0]
+            if hid.startswith("h") and hid[1:].isdigit():
+                assert int(hid[1:]) % 7 != 3
+
+    def test_resume_equals_uninterrupted(self, tmp_path):
+        ck = str(tmp_path / "ck")
+        cfg_full = CrawlConfig(num_seen_shards=2, num_fetchers=2, checkpoint_dir=ck)
+        full = run_crawl(SF, cfg_full)
+
+        ck2 = str(tmp_path / "ck2")
+        cfg_a = CrawlConfig(num_seen_shards=2, num_fetchers=2, checkpoint_dir=ck2, stop_after_round=4)
+        run_crawl(SF, cfg_a)
+        cfg_b = CrawlConfig(num_seen_shards=2, num_fetchers=2, checkpoint_dir=ck2, resume=True)
+        resumed = run_crawl(SF, cfg_b)
+
+        assert _order_pairs(resumed) == _order_pairs(full)
+        assert resumed.counters["seen_urls"] == full.counters["seen_urls"]
+        assert resumed.edges.num_rows == full.edges.num_rows
+
+    def test_retry_demotion_and_success_on_second_attempt(self):
+        cfg = CrawlConfig(num_seen_shards=2, num_fetchers=2, flaky_mod=50)
+        res = run_crawl(SF, cfg)
+        assert res.counters["fetch_errors"] > 0
+        # every flaky url must eventually be fetched (retry succeeded)
+        ora = oracle_crawl(SF, CrawlConfig())
+        flaky_crawled_ora = {u for u in ora["crawled"] if u.rsplit("/", 1)[-1].isdigit() and int(u.rsplit("/", 1)[-1]) % 50 == 0}
+        crawled = {u for u, _ in _order_pairs(res)}
+        assert flaky_crawled_ora <= crawled
+        assert res.counters["dead_lettered"] == 0
+
+    def test_edges_deduplicated_per_crawl(self):
+        cfg = CrawlConfig(num_seen_shards=2, num_fetchers=2)
+        res = run_crawl(SF, cfg)
+        # one fetch per url → edge rows unique per (source,target,anchor)
+        import polars as pl
+
+        df = pl.from_arrow(res.edges.select(["source_url", "target_url", "anchor_text"]))
+        assert df.height == df.unique().height
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seen_shards_batch_semantics():
+    from link_profiler_repo_ray.state.seen import SeenSet
+
+    s = SeenSet(2)
+    h = np.array([1, 2, 3, 2, 1], dtype=np.uint64)
+    mask = s.filter_new(h)
+    assert mask.tolist() == [True, True, True, False, False]
+    mask2 = s.filter_new(np.array([3, 4], dtype=np.uint64))
+    assert mask2.tolist() == [False, True]
+    assert s.size() == 4
+    s.shutdown()
+
+
+def test_politeness_logical_clock():
+    from link_profiler_repo_ray.state.politeness import HostClock, RobotsIndex
+
+    robots = RobotsIndex({"a.com": "User-agent: *\nCrawl-delay: 2\n", "b.com": ""})
+    clock = HostClock(robots)
+    assert clock.eligible("a.com", 0)
+    clock.mark_crawled("a.com", 0)
+    assert not clock.eligible("a.com", 1)
+    assert clock.eligible("a.com", 2)
+    clock.mark_crawled("b.com", 0)
+    assert clock.eligible("b.com", 1)  # default delay 1 round
+
+
+def test_robots_rules():
+    from link_profiler_repo_ray.state.politeness import RobotsIndex
+
+    r = RobotsIndex({"a.com": "User-agent: *\nDisallow: /doc/\n"})
+    assert not r.allowed("a.com", "https://a.com/doc/1")
+    assert r.allowed("a.com", "https://a.com/other")
+    assert r.allowed("unknown.com", "https://unknown.com/x")  # 404 ⇒ allow-all

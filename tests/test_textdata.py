@@ -1,0 +1,98 @@
+"""Training-data ops: planted near-dup recall, ANN recall vs brute
+
+force, determinism of fingerprints, language-ID sanity."""
+
+import numpy as np
+import polars as pl
+import pytest
+import pyarrow as pa
+import ray.data as rd
+
+from link_profiler_repo_ray.pipelines import textdata
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_planted_dups():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    n = len(ids)
+    # plant near-dups: copy of doc i with one word changed
+    extra_ids, extra_texts, expected_pairs = [], [], []
+    for k, i in enumerate(range(0, 50, 10)):
+        words = texts[i].split()
+        words[len(words) // 2] = "zzz"
+        extra_ids.append(n + k)
+        extra_texts.append(" ".join(words))
+        expected_pairs.append((ids[i], n + k))
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids + extra_ids, pa.int64()),
+            "text": pa.array(texts + extra_texts, pa.string()),
+        }
+    )
+    return rd.from_arrow(table), expected_pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNearDup:
+    def test_minhash_lsh_finds_planted_dups(self):
+        docs, expected = _docs_with_planted_dups()
+        out = textdata.minhash_lsh_dups(SF, threshold=0.7, extra_docs=docs).to_pandas()
+        found = set(zip(out["doc_a"], out["doc_b"]))
+        for pair in expected:
+            assert pair in found, f"missing planted near-dup {pair}"
+        # verification is exact: every reported pair's jaccard >= threshold
+        assert (out["jaccard"] >= 0.7).all()
+
+    def test_simhash_finds_planted_dups(self):
+        docs, expected = _docs_with_planted_dups()
+        out = textdata.simhash_dups(SF, max_hamming=6, extra_docs=docs).to_pandas()
+        found = set(zip(out["doc_a"], out["doc_b"]))
+        hit = sum(1 for p in expected if p in found)
+        assert hit >= len(expected) * 0.6  # simhash is lossier than minhash
+
+    def test_exact_dedup_drops_planted_exact_copy(self):
+        ds = textdata.dedup_exact(SF).to_pandas()
+        # source table has no exact dups → all docs survive
+        assert len(ds) == 500
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def test_knn_ivf_recall_vs_bruteforce(self):
+        brute = textdata.embedding_topk(SF, k=10).to_pandas()
+        ivf = textdata.knn_ivf(SF, k=10, n_probe=4).to_pandas()
+        recalls = []
+        for q in brute["query_id"].unique():
+            b = set(brute[brute["query_id"] == q]["vec_id"])
+            a = set(ivf[ivf["query_id"] == q]["vec_id"])
+            recalls.append(len(a & b) / len(b))
+        assert np.mean(recalls) >= 0.5  # 4/10 cells probed
+
+    def test_topk_scores_sorted(self):
+        brute = textdata.embedding_topk(SF, k=10).to_pandas()
+        for q in brute["query_id"].unique():
+            s = brute[brute["query_id"] == q].sort_values("rank")["score"].to_numpy()
+            assert (np.diff(s) <= 1e-9).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextAnalysis:
+    def test_fingerprints_deterministic(self):
+        a = textdata.fingerprints(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = textdata.fingerprints(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_lang_id_returns_known_codes(self):
+        out = textdata.lang_id_docs(SF).to_pandas()
+        assert len(out) == 500
+        assert set(out["lang_pred"]).issubset({"en", "es", "fr", "de", "zh", "und"})
+
+    def test_media_features_dims(self):
+        out = textdata.media_features(SF).to_pandas()
+        assert ((out["width"] >= 64) & (out["width"] < 128)).all()
+        assert (out["n_bytes"] > 0).all()
