@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS,
+default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages_fetched_per_sec": ..., "frontier_ops_per_sec": ...}
+
+``--scaling`` runs the identical workload in two fresh processes at
+num_cpus=8 and num_cpus=32 and reports both throughputs plus
+efficiency = (T8/T32)/4 — the sandbox evidence protocol for the
+N→4N ≥ 0.8 criterion (BASELINE.md).
+
+The synthetic page corpus is scaled with a doc multiplier so the crawl
+works over ~LPR_BENCH_PAGES pages (default 200k); corpus generation
+and a warm-up read are excluded from timings (page cache warm).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TARGET_PAGES = int(os.environ.get("LPR_BENCH_PAGES", "200000"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from link_profiler_repo_ray.pipelines import graph, relational, textdata
+    from link_profiler_repo_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from link_profiler_repo_ray.sources import corpus as corpus_mod
+
+    base_n = corpus_mod.corpus_n_docs(SF_DIR)
+    mult = max(1, TARGET_PAGES // base_n)
+
+    # untimed: corpus generation (cached across runs) + page-cache warm-up
+    cdir = corpus_mod.corpus_dir(SF_DIR, mult)
+    for f in sorted(os.listdir(cdir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(cdir, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # 1. the crawl itself: frontier + politeness + fetch + parse
+    n_shards = 8
+    n_fetchers = max(2, NUM_CPUS - math.ceil(n_shards * 0.25) - 1)
+    # politeness budget 32/host/round: high enough that compute, not
+    # the logical politeness clock, bounds throughput (the budget is a
+    # config knob; order-determinism vs the oracle is pytest-verified
+    # at the reference budget of 2).  Page/edge payloads are persisted
+    # to Parquet by the fetch actors (output_dir), never shipped to the
+    # driver.
+    import shutil
+
+    out_root = f"/tmp/lpr_crawl_out_{NUM_CPUS}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    cfg = CrawlConfig(
+        num_seen_shards=n_shards,
+        num_fetchers=n_fetchers,
+        fetch_batch_size=4096,
+        max_per_host_per_round=32,
+        max_pages=None,
+        output_dir=os.path.join(out_root, "polite"),
+        collect_edges=False,
+    )
+    t0 = time.time()
+    res = run_crawl(SF_DIR, cfg, multiplier=mult)
+    dt = time.time() - t0
+    timings["crawl"] = dt
+    extras["pages_fetched"] = res.counters["pages_fetched"]
+    extras["frontier_ops"] = res.counters["frontier_ops"]
+    extras["crawl_rounds"] = res.counters["rounds"]
+    extras["pages_fetched_per_sec"] = res.counters["pages_fetched"] / dt
+    extras["frontier_ops_per_sec"] = res.counters["frontier_ops"] / dt
+
+    # politeness-off BFS crawl: the CPU-scaling measurement (a
+    # politeness-bound crawl is rate-limited by the logical host clock,
+    # which no amount of CPU can speed up — BFS mode exposes the
+    # engine's compute path: frontier dedup + fetch + parse + persist)
+    from dataclasses import replace
+
+    cfg_bfs = replace(cfg, politeness=False, output_dir=os.path.join(out_root, "bfs"))
+    t0 = time.time()
+    res_bfs = run_crawl(SF_DIR, cfg_bfs, multiplier=mult)
+    dt = time.time() - t0
+    timings["crawl_bfs"] = dt
+    extras["bfs_pages_fetched"] = res_bfs.counters["pages_fetched"]
+    extras["bfs_pages_per_sec"] = res_bfs.counters["pages_fetched"] / dt
+
+    # 2. full-corpus link extraction → partitioned edges table (the
+    # materialize-once step a production pipeline would run; analytics
+    # below read the edges Parquet, not the raw HTML again)
+    import ray.data as rd
+    import shutil
+
+    edges_dir = f"/tmp/lpr_bench_edges_{NUM_CPUS}"
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    t0 = time.time()
+    graph.edges_dataset(SF_DIR, multiplier=mult).write_parquet(edges_dir)
+    timings["extract_edges"] = time.time() - t0
+
+    def edges():
+        return rd.read_parquet(edges_dir)
+
+    # 3. salted host-pair rollup over the edges table
+    t0 = time.time()
+    n_pairs = graph.host_graph(SF_DIR, edges=edges()).count()
+    timings["host_graph"] = time.time() - t0
+    extras["host_pairs"] = n_pairs
+
+    # 4. link profiles (two-level aggregate incl. distinct referrers)
+    t0 = time.time()
+    graph.link_profiles(SF_DIR, edges=edges()).count()
+    timings["link_profiles"] = time.time() - t0
+
+    # 5. referring-domain HLL sketch rollup
+    t0 = time.time()
+    graph.referring_domains_hll(SF_DIR, edges=edges()).count()
+    timings["referring_domains_hll"] = time.time() - t0
+
+    # 5. MinHash-LSH near-dup over documents
+    t0 = time.time()
+    textdata.minhash_lsh_dups(SF_DIR).count()
+    timings["minhash_lsh"] = time.time() - t0
+
+    # 6. brute-force cosine top-k
+    t0 = time.time()
+    textdata.embedding_topk(SF_DIR).count()
+    timings["embedding_topk"] = time.time() - t0
+
+    # 7. relational aggregate
+    t0 = time.time()
+    relational.q1_lineitem(SF_DIR).count()
+    timings["q1_lineitem"] = time.time() - t0
+
+    ray.shutdown()
+    total = sum(timings.values())
+    return {
+        "metric": "headline pipeline suite wall time (crawl + graph analytics + dedup + ANN + relational)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_pages": base_n * mult,
+        **{k: round(v, 3) if isinstance(v, float) else v for k, v in extras.items()},
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff_total = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff_crawl = (r_lo["queries"]["crawl"] / r_hi["queries"]["crawl"]) / (hi / lo)
+    eff_bfs = (r_lo["queries"]["crawl_bfs"] / r_hi["queries"]["crawl_bfs"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency N -> 4N (fresh processes, same input)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "crawl_sec_lo": r_lo["queries"]["crawl"],
+        "crawl_sec_hi": r_hi["queries"]["crawl"],
+        "bfs_pages_per_sec_lo": r_lo["bfs_pages_per_sec"],
+        "bfs_pages_per_sec_hi": r_hi["bfs_pages_per_sec"],
+        "pages_per_sec_lo": r_lo["pages_fetched_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_fetched_per_sec"],
+        "scaling_efficiency_total": round(eff_total, 3),
+        "scaling_efficiency_crawl": round(eff_crawl, 3),
+        "scaling_efficiency_crawl_bfs": round(eff_bfs, 3),
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -76,6 +76,8 @@ class CrawlConfig:
     num_fetchers: int = 4
     fetch_batch_size: int = 2048
     checkpoint_dir: str | None = None
+    output_dir: str | None = None  # actors persist pages/edges here when no checkpoint
+    collect_edges: bool = True  # return edge tables to the driver (small runs/tests)
     resume: bool = False
     stop_after_round: int | None = None  # test hook for kill/resume
     flaky_mod: int | None = None  # test hook: doc_id % mod == 0 fails once with 503
@@ -107,21 +109,38 @@ class CrawlResult:
 
 
 @ray.remote(num_cpus=1)
+def _split_corpus_file(path: str, num_shards: int) -> list[pa.Table]:
+    """Read one corpus shard file ONCE and hash-partition its rows.
+
+    This is the one-time exchange that co-locates the replay corpus
+    with the url_hash-routed fetch shards; each file is read exactly
+    once regardless of pool size (a per-actor full-corpus scan made the
+    pool *anti*-scale).
+    """
+    t = pq.read_table(path, columns=["url", "warc_ts", "html", "lang"])
+    h = can.url_hash64(t.column("url").to_pylist())
+    shard_ids = (h % np.uint64(num_shards)).astype(np.int64)
+    return [t.filter(pa.array(shard_ids == s)) for s in range(num_shards)]
+
+
+@ray.remote(num_cpus=1)
 class FetchParseActor:
     """Corpus-replay fetch + parse for one hash shard of the corpus.
 
-    Real-web deployments replace the constructor body with an aiohttp
-    session (crawlers/web_crawler.py:262-328) — the batch interface
+    Receives object-store refs of its hash-partition slices (zero-copy
+    Arrow), holding corpus/P rows.  Real-web deployments replace the
+    constructor body with an aiohttp session
+    (crawlers/web_crawler.py:262-328) — the batch interface
     (frontier rows in → pages+edges out) is unchanged.
     """
 
-    def __init__(self, corpus_files: list[str], shard: int, num_shards: int, flaky_mod=None):
+    def __init__(self, shard_tables: list, flaky_mod=None):
+        # nested ObjectRefs are not auto-resolved in collections
+        shard_tables = [
+            ray.get(t) if isinstance(t, ray.ObjectRef) else t for t in shard_tables
+        ]
         self.index: dict[str, tuple] = {}
-        for f in corpus_files:
-            t = pq.read_table(f, columns=["url", "warc_ts", "html", "lang"])
-            h = can.url_hash64(t.column("url").to_pylist())
-            mask = (h % np.uint64(num_shards)) == np.uint64(shard)
-            t = t.filter(pa.array(mask))
+        for t in shard_tables:
             for u, ts, html, lang in zip(
                 t.column("url").to_pylist(),
                 t.column("warc_ts").to_pylist(),
@@ -132,11 +151,24 @@ class FetchParseActor:
         self.flaky_mod = flaky_mod
         self._attempted: set[str] = set()
 
-    def fetch_parse(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
-        """Frontier rows -> (pages table, edges table).
+    def ready(self) -> int:
+        return len(self.index)
 
-        pages: url, warc_ts, html, text, lang, status, depth
-        edges: schemas.EDGES columns
+    def fetch_parse(
+        self,
+        batch: pa.Table,
+        persist_dir: str | None = None,
+        shard_tag: str = "0",
+        collect_edges: bool = True,
+    ) -> tuple[pa.Table, pa.Table, pa.Table | None]:
+        """Frontier rows -> (meta, expansion candidates, edges|None).
+
+        The heavy page payloads (html, byte-identical text) and full
+        edge rows are persisted to Parquet *by the actor* when
+        ``persist_dir`` is given — only light control metadata returns
+        to the driver: meta = (url, status); cand = per-batch distinct
+        (target_url, target_host, depth) with min depth.  Shipping full
+        pages driver-ward every round was the crawl's scaling ceiling.
         """
         urls = batch.column("url").to_pylist()
         depths = batch.column("depth").to_pylist()
@@ -165,6 +197,17 @@ class FetchParseActor:
 
         html_strs = ["" if h is None else bytes(h).decode("utf-8", errors="replace") for h in htmls]
         texts = extract_text_batch(html_strs)
+        # per-page scoring, as the reference's crawl loop does between
+        # fetch and persist (crawl_service.py:545-593: content quality
+        # M6 + SEO metrics M4/M8)
+        from ..functions.htmlx import parse_seo
+        from ..functions.quality import quality_metrics
+
+        qual = [quality_metrics(t) for t in texts]
+        seo = [
+            parse_seo(u, h) if st == 200 else None
+            for u, h, st in zip(urls, html_strs, status)
+        ]
         pages = pa.table(
             {
                 "url": pa.array(urls, pa.string()),
@@ -174,6 +217,20 @@ class FetchParseActor:
                 "lang": pa.array(langs, pa.string()),
                 "status": pa.array(status, pa.int16()),
                 "depth": pa.array(depths, pa.int16()),
+                "word_count": pa.array([q["word_count"] for q in qual], pa.int32()),
+                "readability_score": pa.array([q["readability_score"] for q in qual], pa.float64()),
+                "spam_score": pa.array([q["spam_score"] for q in qual], pa.float64()),
+                "quality_score": pa.array([q["quality_score"] for q in qual], pa.float64()),
+                "content_hash": pa.array([q["content_hash"] for q in qual], pa.string()),
+                "seo_score": pa.array(
+                    [None if s is None else s["seo_score"] for s in seo], pa.float64()
+                ),
+                "title_length": pa.array(
+                    [None if s is None else s["title_length"] for s in seo], pa.int32()
+                ),
+                "h1_count": pa.array(
+                    [None if s is None else s["h1_count"] for s in seo], pa.int32()
+                ),
             }
         )
 
@@ -203,57 +260,41 @@ class FetchParseActor:
             },
             schema=schemas.EDGES,
         )
-        return pages, edges
 
+        if persist_dir is not None:
+            for sub, table in (("pages", pages), ("edges", edges)):
+                d = os.path.join(persist_dir, sub)
+                os.makedirs(d, exist_ok=True)
+                part = os.path.join(d, f"part-{shard_tag}.parquet")
+                pq.write_table(table, part + ".tmp")
+                os.replace(part + ".tmp", part)
 
-def _frontier_table(rows: dict) -> pa.Table:
-    return pa.table(
-        {
-            "url": pa.array(rows["url"], pa.string()),
-            "url_hash": pa.array(rows["url_hash"], pa.uint64()),
-            "host": pa.array(rows["host"], pa.string()),
-            "priority": pa.array(rows["priority"], pa.int8()),
-            "depth": pa.array(rows["depth"], pa.int16()),
-            "retries": pa.array(rows["retries"], pa.int8()),
-        },
-        schema=schemas.FRONTIER,
-    )
-
-
-def _empty_frontier() -> pa.Table:
-    return _frontier_table({k: [] for k in ("url", "url_hash", "host", "priority", "depth", "retries")})
-
-
-def _admit(
-    frontier: pa.Table,
-    round_no: int,
-    clock: HostClock,
-    cfg: CrawlConfig,
-    remaining_budget: int | None,
-) -> tuple[pa.Table, pa.Table]:
-    """Deterministic per-round admission (O1 + O4).  Returns (admitted, rest)."""
-    if frontier.num_rows == 0:
-        return frontier, frontier
-    f = pl.from_arrow(frontier)
-    if cfg.politeness:
-        hosts = f.get_column("host").unique().to_list()
-        eligible_hosts = {h for h in hosts if clock.eligible(h, round_no)}
-        elig = f.filter(pl.col("host").is_in(eligible_hosts))
-        rest0 = f.filter(~pl.col("host").is_in(eligible_hosts))
-        elig = (
-            elig.sort(["priority", "depth", "url"])
-            .with_columns(pl.col("url").cum_count().over("host").alias("_rank"))
+        meta = pa.table(
+            {"url": pa.array(urls, pa.string()), "status": pa.array(status, pa.int16())}
         )
-        admitted = elig.filter(pl.col("_rank") <= cfg.max_per_host_per_round).drop("_rank")
-        overflow = elig.filter(pl.col("_rank") > cfg.max_per_host_per_round).drop("_rank")
-        rest = pl.concat([rest0, overflow])
-    else:
-        admitted, rest = f, f.clear()
-    admitted = admitted.sort(["priority", "depth", "host", "url"])
-    if remaining_budget is not None and admitted.height > remaining_budget:
-        rest = pl.concat([rest, admitted.slice(remaining_budget)])
-        admitted = admitted.slice(0, remaining_budget)
-    return admitted.to_arrow().cast(schemas.FRONTIER), rest.to_arrow().cast(schemas.FRONTIER)
+        # per-batch expansion pre-reduction: distinct targets, min depth
+        if edges.num_rows:
+            depth_map = dict(zip(urls, depths))
+            e = pl.from_arrow(edges.select(["source_url", "target_url", "target_host"]))
+            cand = (
+                e.with_columns(
+                    (pl.col("source_url").replace_strict(depth_map, default=None) + 1)
+                    .cast(pl.Int16)
+                    .alias("depth")
+                )
+                .group_by("target_url")
+                .agg(pl.col("target_host").first().alias("host"), pl.col("depth").min())
+                .to_arrow()
+            )
+        else:
+            cand = pa.table(
+                {
+                    "target_url": pa.array([], pa.string()),
+                    "host": pa.array([], pa.string()),
+                    "depth": pa.array([], pa.int16()),
+                }
+            )
+        return meta, cand, (edges if collect_edges else None)
 
 
 def _route_chunks(table: pa.Table, num_shards: int, batch_size: int):
@@ -290,47 +331,40 @@ class _Checkpointer:
     def write_round(
         self,
         r: int,
-        frontier: pa.Table,
-        clock: HostClock,
-        seen: SeenSet,
+        frontier: "DistributedFrontier",
         order_delta: pa.Table,
-        pages_delta: pa.Table,
-        edges_delta: pa.Table,
         counters: dict,
     ) -> None:
+        """Per-round checkpoint: per-shard frontier/seen/clock dumps +
+
+        order delta + manifest (counters, per-partition lineage),
+        manifest written last via atomic rename."""
         if not self.root:
             return
         d = self.round_dir(r)
         os.makedirs(d, exist_ok=True)
         lineage = {"round": r, "inputs": [], "outputs": []}
-        pq.write_table(frontier, os.path.join(d, "frontier.parquet"))
-        host_rows = clock.state_rows()
-        pq.write_table(
-            pa.table(
-                {
-                    "host": pa.array([x["host"] for x in host_rows], pa.string()),
-                    "last_crawl_round": pa.array(
-                        [x["last_crawl_round"] for x in host_rows], pa.int32()
-                    ),
-                }
-            ),
-            os.path.join(d, "host_state.parquet"),
-        )
+        for sub in ("pages", "edges"):
+            for pth in sorted(glob.glob(os.path.join(d, sub, "*.parquet"))):
+                lineage["outputs"].append({"table": sub, "path": pth})
+        dumps = ray.get([s.dump.remote() for s in frontier.shards])
+        for i, (ftab, seen_arr, clock) in enumerate(dumps):
+            pq.write_table(ftab, os.path.join(d, f"shard-{i}-frontier.parquet"))
+            with open(os.path.join(d, f"shard-{i}-seen.npy.tmp"), "wb") as fh:
+                np.save(fh, seen_arr)
+            os.replace(
+                os.path.join(d, f"shard-{i}-seen.npy.tmp"),
+                os.path.join(d, f"shard-{i}-seen.npy"),
+            )
+            pq.write_table(clock, os.path.join(d, f"shard-{i}-clock.parquet"))
+            lineage["outputs"].append(
+                {"table": "frontier", "shard": i, "rows": ftab.num_rows}
+            )
         pq.write_table(order_delta, os.path.join(d, "order.parquet"))
-        if pages_delta.num_rows:
-            os.makedirs(os.path.join(d, "pages"), exist_ok=True)
-            p = os.path.join(d, "pages", "part-0.parquet")
-            pq.write_table(pages_delta, p)
-            lineage["outputs"].append({"table": "pages", "path": p, "rows": pages_delta.num_rows})
-        if edges_delta.num_rows:
-            os.makedirs(os.path.join(d, "edges"), exist_ok=True)
-            p = os.path.join(d, "edges", "part-0.parquet")
-            pq.write_table(edges_delta, p)
-            lineage["outputs"].append({"table": "edges", "path": p, "rows": edges_delta.num_rows})
-        seen.checkpoint(os.path.join(d, "seen"))
         manifest = {
             "round": r,
             "config_hash": self.cfg.config_hash(),
+            "num_shards": frontier.num_shards,
             "counters": counters,
             "lineage": lineage,
             "complete": True,
@@ -340,23 +374,91 @@ class _Checkpointer:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(d, "manifest.json"))
 
+    def restore_round(self, r: int, frontier: "DistributedFrontier") -> dict:
+        d = self.round_dir(r)
+        futures = []
+        for i, s in enumerate(frontier.shards):
+            ftab = pq.read_table(os.path.join(d, f"shard-{i}-frontier.parquet"))
+            seen_arr = np.load(os.path.join(d, f"shard-{i}-seen.npy"))
+            clock = pq.read_table(os.path.join(d, f"shard-{i}-clock.parquet"))
+            futures.append(s.load.remote(ftab, seen_arr, clock))
+        ray.get(futures)
+        with open(os.path.join(d, "manifest.json")) as fh:
+            return json.load(fh)
+
+
+class CrawlEngine:
+    """Prepared crawl: corpus shards loaded, actor pools up.
+
+    Separates one-time cluster preparation (corpus hash-partitioning,
+    fetch + frontier actor construction — the analogue of satellites
+    joining the queue before a job starts, QUEUE_SYSTEM.md) from the
+    crawl itself, so ``run()`` measures frontier + fetch + parse +
+    persist.  Single-use: one ``run()`` per engine.
+    """
+
+    def __init__(self, sf_dir: str, cfg: CrawlConfig | None = None, multiplier: int = 1):
+        from ..state.frontier import DistributedFrontier
+
+        self.sf_dir = sf_dir
+        self.cfg = cfg or CrawlConfig()
+        self.multiplier = multiplier
+        cdir = corpus_mod.corpus_dir(sf_dir, multiplier)
+        self.n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
+        corpus_files = sorted(glob.glob(os.path.join(cdir, "pages_*.parquet")))
+        robots_map = corpus_mod.robots_map(self.n_docs)
+        self.frontier = DistributedFrontier(
+            self.cfg.num_seen_shards,
+            robots_map,
+            self.cfg.max_per_host_per_round,
+            self.cfg.politeness,
+            self.cfg.max_depth,
+            collect_seen=self.cfg.collect_edges,
+        )
+        # one read of each corpus file, hash-partitioned into P shard refs
+        nf = self.cfg.num_fetchers
+        split_refs = [
+            _split_corpus_file.options(num_returns=nf).remote(f, nf)
+            if nf > 1
+            else [_split_corpus_file.remote(f, nf)]
+            for f in corpus_files
+        ]
+        self.fetchers = [
+            FetchParseActor.remote([refs[s] for refs in split_refs], self.cfg.flaky_mod)
+            for s in range(nf)
+        ]
+        # block until every actor finished building its index
+        ray.get([f.ready.remote() for f in self.fetchers])
+
+    def shutdown(self):
+        self.frontier.shutdown()
+        for f in self.fetchers:
+            ray.kill(f)
+
+    def run(self) -> CrawlResult:
+        return _run_prepared(self)
+
 
 def run_crawl(sf_dir: str, cfg: CrawlConfig | None = None, multiplier: int = 1) -> CrawlResult:
     """Run the full crawl over the synthetic corpus of ``sf_dir``."""
-    cfg = cfg or CrawlConfig()
-    cdir = corpus_mod.corpus_dir(sf_dir, multiplier)
-    n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
-    corpus_files = sorted(glob.glob(os.path.join(cdir, "pages_*.parquet")))
-    robots = RobotsIndex(corpus_mod.robots_map(n_docs))
-    clock = HostClock(robots, cfg.max_per_host_per_round)
-    seen = SeenSet(cfg.num_seen_shards)
-    fetchers = [
-        FetchParseActor.remote(corpus_files, s, cfg.num_fetchers, cfg.flaky_mod)
-        for s in range(cfg.num_fetchers)
-    ]
+    return CrawlEngine(sf_dir, cfg, multiplier).run()
+
+
+def _run_prepared(engine: CrawlEngine) -> CrawlResult:
+    import time as _time
+
+    cfg = engine.cfg
+    n_docs = engine.n_docs
+    frontier, fetchers = engine.frontier, engine.fetchers
+    shards = frontier.shards
     ckpt = _Checkpointer(cfg.checkpoint_dir, cfg)
 
     counters = {
+        "t_admit": 0.0,
+        "t_fetch": 0.0,
+        "t_expand": 0.0,
+        "t_order": 0.0,
+        "t_checkpoint": 0.0,
         "pages_fetched": 0,
         "fetch_misses": 0,
         "fetch_errors": 0,
@@ -377,225 +479,201 @@ def run_crawl(sf_dir: str, cfg: CrawlConfig | None = None, multiplier: int = 1) 
     resumed = cfg.resume and ckpt.latest_complete_round() is not None
     if resumed:
         r0 = ckpt.latest_complete_round()
-        d = ckpt.round_dir(r0)
-        frontier = pq.read_table(os.path.join(d, "frontier.parquet"))
-        hs = pq.read_table(os.path.join(d, "host_state.parquet"))
-        clock.load_state(
-            [
-                {"host": h, "last_crawl_round": rr}
-                for h, rr in zip(hs.column("host").to_pylist(), hs.column("last_crawl_round").to_pylist())
-            ]
-        )
-        seen.restore(os.path.join(d, "seen"))
-        with open(os.path.join(d, "manifest.json")) as fh:
-            m = json.load(fh)
+        m = ckpt.restore_round(r0, frontier)
         counters.update(m["counters"])
         seen_urls = list(counters.pop("seen_urls", []))
         seq = counters.pop("next_seq", 0)
         start_round = r0 + 1
         for rr in range(r0 + 1):
-            rd = ckpt.round_dir(rr)
-            op = os.path.join(rd, "order.parquet")
+            rd_ = ckpt.round_dir(rr)
+            op = os.path.join(rd_, "order.parquet")
             if os.path.exists(op):
                 order_parts.append(pq.read_table(op))
-            for p in sorted(glob.glob(os.path.join(rd, "edges", "*.parquet"))):
-                edges_parts.append(pq.read_table(p))
-            pages_paths.extend(sorted(glob.glob(os.path.join(rd, "pages", "*.parquet"))))
+            for pth in sorted(glob.glob(os.path.join(rd_, "edges", "*.parquet"))):
+                edges_parts.append(pq.read_table(pth))
+            pages_paths.extend(sorted(glob.glob(os.path.join(rd_, "pages", "*.parquet"))))
     else:
         if cfg.checkpoint_dir and os.path.isdir(cfg.checkpoint_dir):
             shutil.rmtree(cfg.checkpoint_dir)
-        # seed the frontier
+        # seed the frontier (canonicalize -> host shard routing -> dedup)
         seed_rows = corpus_mod.seed_rows(n_docs)
-        seed_urls = can.canonicalize_batch([r["url"] for r in seed_rows])
-        rows = {"url": [], "url_hash": [], "host": [], "priority": [], "depth": [], "retries": []}
-        kept_urls, kept_prio = [], []
-        for u, r in zip(seed_urls, seed_rows):
-            if u is not None:
-                kept_urls.append(u)
-                kept_prio.append(r["priority"])
-        if kept_urls:
-            hashes = can.url_hash64(kept_urls)
-            new_mask = seen.filter_new(hashes)
-            for u, p, h, new in zip(kept_urls, kept_prio, hashes, new_mask):
-                if not new:
-                    counters["dedup_hits"] += 1
-                    continue
-                seen_urls.append(u)
-                rows["url"].append(u)
-                rows["url_hash"].append(int(h))
-                rows["host"].append(can.host_of(u))
-                rows["priority"].append(p)
-                rows["depth"].append(0)
-                rows["retries"].append(0)
-        frontier = _frontier_table(rows)
+        canon = can.canonicalize_batch([r["url"] for r in seed_rows])
+        kept = [(u, r["priority"]) for u, r in zip(canon, seed_rows) if u is not None]
+        if kept:
+            urls = [u for u, _ in kept]
+            seeds_df = pl.DataFrame(
+                {
+                    "url": urls,
+                    "url_hash": can.url_hash64(urls),
+                    "host": can.host_of_batch(urls),
+                    "priority": pl.Series([p for _, p in kept], dtype=pl.Int8),
+                }
+            )
+            futures = [
+                shards[sid].insert_seeds.remote(sub.to_arrow())
+                for sid, sub in frontier.route(seeds_df, "host")
+            ]
+            for newly in ray.get(futures):
+                seen_urls.extend(newly)
+            counters["frontier_ops"] += seeds_df.height
 
     round_no = start_round
-    while frontier.num_rows > 0:
+    while True:
         if cfg.max_pages is not None and counters["pages_fetched"] >= cfg.max_pages:
             break
         remaining = (
             None if cfg.max_pages is None else cfg.max_pages - counters["pages_fetched"]
         )
-        admitted, frontier = _admit(frontier, round_no, clock, cfg, remaining)
-        counters["frontier_ops"] += admitted.num_rows
-        if admitted.num_rows == 0:
-            # politeness stall: advance the logical clock one round
-            round_no += 1
+
+        # --- admission: all shards in parallel, then global order ----
+        _t = _time.perf_counter()
+        admit_out = ray.get([s.admit.remote(round_no) for s in shards])
+        admitted_parts = [a for a, _, _ in admit_out if a.num_rows]
+        rest_sizes = sum(fs for _, fs, _ in admit_out)
+        if not admitted_parts:
+            if rest_sizes == 0:
+                break
+            nxt = min(nr for _, fs, nr in admit_out if fs > 0)
+            round_no = max(round_no + 1, nxt)
             if round_no - start_round > 10_000_000:
                 raise RuntimeError("crawl failed to make progress")
             continue
-
-        # robots gate (before fetch, consuming the admission slot — §3.1)
-        hosts = admitted.column("host").to_pylist()
-        urls = admitted.column("url").to_pylist()
-        allowed = np.array(robots.allowed_batch(hosts, urls), dtype=bool)
-        counters["robots_denied"] += int((~allowed).sum())
-        admitted = admitted.filter(pa.array(allowed))
-        fetched_hosts = set(admitted.column("host").to_pylist())
-
-        # fetch + parse via the persistent actor pool
-        futures = []
-        for shard, chunk in _route_chunks(admitted, cfg.num_fetchers, cfg.fetch_batch_size):
-            futures.append(fetchers[shard].fetch_parse.remote(chunk))
-        results = ray.get(futures)
-        pages_list = [p for p, _ in results]
-        edges_list = [e for _, e in results if e.num_rows]
-
-        pages_round = (
-            pa.concat_tables(pages_list) if pages_list else None
+        admitted = (
+            pl.from_arrow(pa.concat_tables(admitted_parts))
+            .sort(["priority", "depth", "host", "url"])
         )
-        retry_rows = {k: [] for k in ("url", "url_hash", "host", "priority", "depth", "retries")}
-        if pages_round is not None and pages_round.num_rows:
-            # deterministic page order within the round for the output
-            pages_round = pages_round.sort_by([("url", "ascending")])
-            st = pages_round.column("status").to_numpy()
-            counters["pages_fetched"] += int((st != 503).sum())
-            counters["fetch_misses"] += int((st == 404).sum())
-            counters["fetch_errors"] += int((st == 503).sum())
-            # O6: retry with demoted priority on server errors
-            if (st == 503).any():
-                fail = pages_round.filter(pa.array(st == 503))
-                adm = pl.from_arrow(admitted)
-                fl = adm.filter(pl.col("url").is_in(fail.column("url").to_pylist()))
-                for row in fl.iter_rows(named=True):
-                    if row["retries"] + 1 > cfg.max_retries:
-                        counters["dead_lettered"] += 1
-                        continue
-                    retry_rows["url"].append(row["url"])
-                    retry_rows["url_hash"].append(row["url_hash"])
-                    retry_rows["host"].append(row["host"])
-                    retry_rows["priority"].append(
-                        min(schemas.PRIORITY_LOW, row["priority"] + 1)
-                    )
-                    retry_rows["depth"].append(row["depth"])
-                    retry_rows["retries"].append(row["retries"] + 1)
+        counters["frontier_ops"] += admitted.height
+        rejected_by_shard: dict[int, pa.Table] = {}
+        if remaining is not None and admitted.height > remaining:
+            # budget truncation BEFORE the robots drop: a denied URL
+            # still consumed its admission slot (oracle discipline)
+            rejected = admitted.slice(remaining)
+            admitted = admitted.slice(0, remaining)
+            for sid, sub in frontier.route(rejected, "host"):
+                rejected_by_shard[sid] = sub.to_arrow()
+        confirm_futures = [
+            s.confirm.remote(round_no, rejected_by_shard.get(i))
+            for i, s in enumerate(shards)
+        ]
+        denied = int((~admitted.get_column("allowed")).sum())
+        counters["robots_denied"] += denied
+        admitted = admitted.filter(pl.col("allowed")).drop("allowed")
+        if admitted.height == 0:
+            ray.get(confirm_futures)
+            counters["rounds"] += 1
+            round_no += 1
+            continue
+        admitted_tab = admitted.to_arrow().cast(schemas.FRONTIER)
+        counters["t_admit"] += _time.perf_counter() - _t
 
-        for h in fetched_hosts:
-            clock.mark_crawled(h, round_no)
-
-        # admission/order log
-        n_adm = admitted.num_rows
-        status_by_url = {}
-        if pages_round is not None:
-            status_by_url = dict(
-                zip(pages_round.column("url").to_pylist(), pages_round.column("status").to_pylist())
+        # --- fetch + parse via the persistent actor pool --------------
+        # heavy outputs are persisted by the actors; only (url, status)
+        # + pre-reduced expansion candidates come back
+        _t = _time.perf_counter()
+        if cfg.checkpoint_dir:
+            persist_dir = ckpt.round_dir(round_no)
+        elif cfg.output_dir:
+            persist_dir = os.path.join(cfg.output_dir, f"round={round_no:05d}")
+        else:
+            persist_dir = None
+        bs = max(256, min(cfg.fetch_batch_size, -(-admitted_tab.num_rows // (cfg.num_fetchers * 2))))
+        futures = []
+        for i, (shard, chunk) in enumerate(
+            _route_chunks(admitted_tab, cfg.num_fetchers, bs)
+        ):
+            futures.append(
+                fetchers[shard].fetch_parse.remote(
+                    chunk, persist_dir, f"{shard:03d}-{i:04d}", cfg.collect_edges
+                )
             )
+        results = ray.get(futures)
+        metas = [m for m, _, _ in results]
+        cands = [c for _, c, _ in results if c.num_rows]
+        edges_list = [e for _, _, e in results if e is not None and e.num_rows]
+        ray.get(confirm_futures)
+        counters["t_fetch"] += _time.perf_counter() - _t
+
+        _t = _time.perf_counter()
+        meta = pa.concat_tables(metas) if metas else pa.table(
+            {"url": pa.array([], pa.string()), "status": pa.array([], pa.int16())}
+        )
+        st = meta.column("status").to_numpy()
+        counters["pages_fetched"] += int((st != 503).sum())
+        counters["fetch_misses"] += int((st == 404).sum())
+        counters["fetch_errors"] += int((st == 503).sum())
+
+        # admission/order log + O6 retry demotion, one vectorized pass
+        joined = (
+            admitted  # already in final (priority, depth, host, url) order
+            .join(pl.from_arrow(meta), on="url", how="left", maintain_order="left")
+            .with_columns(pl.col("status").fill_null(-1).cast(pl.Int16))
+        )
+        n_adm = joined.height
         order_delta = pa.table(
             {
                 "seq": pa.array(range(seq, seq + n_adm), pa.int64()),
                 "round": pa.array([round_no] * n_adm, pa.int32()),
-                "url": admitted.column("url"),
-                "host": admitted.column("host"),
-                "depth": admitted.column("depth"),
-                "priority": admitted.column("priority"),
-                "status": pa.array(
-                    [status_by_url.get(u, -1) for u in admitted.column("url").to_pylist()],
-                    pa.int16(),
-                ),
+                "url": joined.get_column("url").to_arrow(),
+                "host": joined.get_column("host").to_arrow(),
+                "depth": joined.get_column("depth").to_arrow(),
+                "priority": joined.get_column("priority").to_arrow(),
+                "status": joined.get_column("status").to_arrow(),
             }
         )
         seq += n_adm
         order_parts.append(order_delta)
 
-        edges_round = (
-            pa.concat_tables(edges_list)
-            if edges_list
-            else pa.Table.from_pylist([], schema=schemas.EDGES)
-        )
-        if edges_round.num_rows:
-            edges_parts.append(edges_round)
-
-        # frontier expansion: canonical targets -> min-depth per url -> seen filter
-        new_frontier_parts = [frontier]
-        if retry_rows["url"]:
-            new_frontier_parts.append(_frontier_table(retry_rows))
-        if edges_round.num_rows:
-            tgt = pl.from_arrow(
-                edges_round.select(["target_url", "target_host", "source_url"])
-            )
-            depth_by_url = dict(
-                zip(admitted.column("url").to_pylist(), admitted.column("depth").to_pylist())
-            )
-            tgt = tgt.with_columns(
-                (pl.col("source_url").replace_strict(depth_by_url, default=None) + 1).alias("depth")
-            )
-            cand = (
-                tgt.group_by("target_url")
-                .agg(
-                    pl.col("target_host").first().alias("host"),
-                    pl.col("depth").min().alias("depth"),
+        failed = joined.filter(pl.col("status") == 503)
+        retry_futures = []
+        if failed.height:
+            counters["dead_lettered"] += failed.filter(
+                pl.col("retries") + 1 > cfg.max_retries
+            ).height
+            retry = (
+                failed.filter(pl.col("retries") + 1 <= cfg.max_retries)
+                .with_columns(
+                    pl.min_horizontal(
+                        pl.lit(schemas.PRIORITY_LOW), pl.col("priority") + 1
+                    ).cast(pl.Int8).alias("priority"),
+                    (pl.col("retries") + 1).cast(pl.Int8).alias("retries"),
                 )
-                .sort("target_url")
+                .select(["url", "url_hash", "host", "priority", "depth", "retries"])
             )
-            counters["discovered"] += cand.height
-            urls_c = cand.get_column("target_url").to_list()
-            hashes_c = can.url_hash64(urls_c)
-            new_mask = seen.filter_new(hashes_c)
-            counters["dedup_hits"] += int((~new_mask).sum())
-            counters["frontier_ops"] += len(urls_c)
-            rows = {k: [] for k in ("url", "url_hash", "host", "priority", "depth", "retries")}
-            for u, h, hsh, dep, new in zip(
-                urls_c,
-                cand.get_column("host").to_list(),
-                hashes_c,
-                cand.get_column("depth").to_list(),
-                new_mask,
-            ):
-                if not new:
-                    continue
-                seen_urls.append(u)
-                if dep >= cfg.max_depth:
-                    continue  # seen but never crawled (depth cap, O4)
-                rows["url"].append(u)
-                rows["url_hash"].append(int(hsh))
-                rows["host"].append(h)
-                rows["priority"].append(schemas.PRIORITY_MEDIUM)
-                rows["depth"].append(dep)
-                rows["retries"].append(0)
-            if rows["url"]:
-                new_frontier_parts.append(_frontier_table(rows))
+            for sid, sub in frontier.route(retry, "host"):
+                retry_futures.append(shards[sid].insert_retries.remote(sub.to_arrow()))
+        counters["t_order"] += _time.perf_counter() - _t
 
-        frontier = pa.concat_tables([t for t in new_frontier_parts if t.num_rows > 0]) if any(
-            t.num_rows for t in new_frontier_parts
-        ) else _empty_frontier()
+        if edges_list:
+            edges_parts.extend(edges_list)
 
+        # --- expansion: route candidates to their host shards ----------
+        _t = _time.perf_counter()
+        if cands:
+            cand = pl.from_arrow(pa.concat_tables(cands))
+            ins_futures = [
+                shards[sid].insert_candidates.remote(sub.to_arrow())
+                for sid, sub in frontier.route(cand, "host")
+            ]
+            for n_new, n_dup, newly in ray.get(ins_futures):
+                counters["discovered"] += n_new + n_dup
+                counters["dedup_hits"] += n_dup
+                counters["frontier_ops"] += n_new + n_dup
+                seen_urls.extend(newly)
+        if retry_futures:
+            ray.get(retry_futures)
+        counters["t_expand"] += _time.perf_counter() - _t
         counters["rounds"] += 1
+
+        _t = _time.perf_counter()
         if cfg.checkpoint_dir:
             ck_counters = dict(counters)
             ck_counters["seen_urls"] = sorted(seen_urls)
             ck_counters["next_seq"] = seq
-            ckpt.write_round(
-                round_no,
-                frontier,
-                clock,
-                seen,
-                order_delta,
-                pages_round if pages_round is not None else pa.table({"url": pa.array([], pa.string())}),
-                edges_round,
-                ck_counters,
+            ckpt.write_round(round_no, frontier, order_delta, ck_counters)
+            pages_paths.extend(
+                sorted(glob.glob(os.path.join(ckpt.round_dir(round_no), "pages", "*.parquet")))
             )
-            if pages_round is not None and pages_round.num_rows:
-                pages_paths.append(os.path.join(ckpt.round_dir(round_no), "pages", "part-0.parquet"))
+        counters["t_checkpoint"] += _time.perf_counter() - _t
 
         if cfg.stop_after_round is not None and round_no >= cfg.stop_after_round:
             break
@@ -612,9 +690,7 @@ def run_crawl(sf_dir: str, cfg: CrawlConfig | None = None, multiplier: int = 1) 
         if edges_parts
         else pa.Table.from_pylist([], schema=schemas.EDGES)
     )
-    seen.shutdown()
-    for f in fetchers:
-        ray.kill(f)
+    engine.shutdown()
     return CrawlResult(order=order, edges=edges, pages_paths=pages_paths, counters=counters)
 
 

@@ -59,7 +59,7 @@ def edges_dataset(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
 
 # --- A1: link profiles ----------------------------------------------------
 
-def link_profiles(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+def link_profiles(sf_dir: str, multiplier: int = 1, edges: rd.Dataset | None = None) -> rd.Dataset:
     """Per-target profile counts (core/models.py:449-491).
 
     total_backlinks counts every edge (canonical pseudo-edges included,
@@ -71,9 +71,9 @@ def link_profiles(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     pair, then pairs → per-target totals where the pair-row count IS
     the distinct-referring-domain count.
     """
-    edges = edges_dataset(sf_dir, multiplier).select_columns(
-        ["target_url", "source_host", "link_type"]
-    )
+    if edges is None:
+        edges = edges_dataset(sf_dir, multiplier)
+    edges = edges.select_columns(["target_url", "source_host", "link_type"])
     pair = hash_aggregate(
         edges,
         ["target_url", "source_host"],
@@ -144,16 +144,17 @@ def top_anchor_profiles(sf_dir: str, multiplier: int = 1, k: int = 10) -> rd.Dat
 
 # --- host-pair rollup (the salted groupby of the north star) -------------
 
-def host_graph(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+def host_graph(sf_dir: str, multiplier: int = 1, edges: rd.Dataset | None = None) -> rd.Dataset:
     """(source_host, target_host) edge counts.
 
     Hub-domain skew is absorbed by the combine stage: a hub pair is
     reduced to ONE partial row per block before the exchange, so the
     reduce side receives O(blocks) rows per hot pair, never O(edges).
     """
-    edges = edges_dataset(sf_dir, multiplier).select_columns(["source_host", "target_host"])
+    if edges is None:
+        edges = edges_dataset(sf_dir, multiplier)
     return hash_aggregate(
-        edges,
+        edges.select_columns(["source_host", "target_host"]),
         ["source_host", "target_host"],
         combine=[pl.len().cast(pl.Int64).alias("n_links")],
         merge=[pl.col("n_links").sum()],
@@ -162,10 +163,12 @@ def host_graph(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
 
 # --- A4: referring-domain cardinality ------------------------------------
 
-def referring_domains_exact(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+def referring_domains_exact(sf_dir: str, multiplier: int = 1, edges: rd.Dataset | None = None) -> rd.Dataset:
     """Exact distinct source hosts per target host (test-scale ground truth)."""
+    if edges is None:
+        edges = edges_dataset(sf_dir, multiplier)
     pairs = hash_aggregate(
-        edges_dataset(sf_dir, multiplier).select_columns(["target_host", "source_host"]),
+        edges.select_columns(["target_host", "source_host"]),
         ["target_host", "source_host"],
         combine=[pl.len().alias("_n")],
         merge=[pl.col("_n").sum()],
@@ -178,7 +181,7 @@ def referring_domains_exact(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     )
 
 
-def referring_domains_hll(sf_dir: str, multiplier: int = 1, p: int = 12) -> rd.Dataset:
+def referring_domains_hll(sf_dir: str, multiplier: int = 1, p: int = 12, edges: rd.Dataset | None = None) -> rd.Dataset:
     """HLL sketch per target host — the 10^10-scale path (BASELINE A4).
 
     One (target_host, 2^p-byte register blob) row per (host, block)
@@ -186,30 +189,79 @@ def referring_domains_hll(sf_dir: str, multiplier: int = 1, p: int = 12) -> rd.D
     """
 
     def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         df = pl.from_arrow(batch)
-        hosts_out, blobs = [], []
-        for (th,), g in df.group_by("target_host"):
-            hll = HyperLogLog(p)
-            hll.add_hashes(token_hashes(g.get_column("source_host").to_list()))
-            hosts_out.append(th)
-            blobs.append(hll.to_bytes())
+        # one vectorized register update across ALL groups in the batch:
+        # flat register index = group_index * 2^p + bucket
+        gid = df.get_column("target_host").cast(pl.Categorical).to_physical().to_numpy()
+        n_groups = int(gid.max()) + 1 if len(gid) else 0
+        if n_groups == 0:
+            return pa.table(
+                {"target_host": pa.array([], pa.string()), "sketch": pa.array([], pa.binary())}
+            )
+        h = token_hashes(df.get_column("source_host").to_list())
+        m = 1 << p
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)).astype(np.uint64)
+        rank = np.full(h.shape, 64 - p + 1, dtype=np.int64)
+        nz = rest != 0
+        if nz.any():
+            bl = np.zeros(int(nz.sum()), dtype=np.int64)
+            r = rest[nz]
+            for shift in (32, 16, 8, 4, 2, 1):
+                ge = r >= (np.uint64(1) << np.uint64(shift))
+                bl += np.where(ge, shift, 0)
+                r = np.where(ge, r >> np.uint64(shift), r)
+            rank[nz] = np.minimum(64 - (bl + 1) + 1, 64 - p + 1)
+        # SPARSE sketch rows: pack (bucket, rank) as uint32 (idx<<6|rank),
+        # dedup per (group, bucket) keeping max rank — a partial for a
+        # small group costs O(distinct) bytes, not 2^p (dense 4 KiB
+        # blobs per (host, block) were 95% of this stage's cost)
+        packed = (gid.astype(np.uint64) << np.uint64(32)) | (
+            (idx.astype(np.uint64) << np.uint64(6)) | rank.astype(np.uint64)
+        )
+        packed = np.sort(packed)
+        # keep max rank per (group, bucket): after sort, the LAST entry
+        # of each (group,bucket) run has the max rank (rank is low bits)
+        key = packed >> np.uint64(6)
+        last = np.ones(len(packed), dtype=bool)
+        last[:-1] = key[:-1] != key[1:]
+        packed = packed[last]
+        grp = (packed >> np.uint64(32)).astype(np.int64)
+        entries = (packed & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        # group id → host name (categorical physical codes are in first-
+        # appearance order; recover via unique(maintain_order=True))
+        hosts_in_order = (
+            df.select(pl.col("target_host")).unique(maintain_order=True).get_column("target_host")
+        ).to_list()
+        bounds = np.searchsorted(grp, np.arange(n_groups + 1))
+        blobs = [entries[bounds[g] : bounds[g + 1]].tobytes() for g in range(n_groups)]
         return pa.table(
-            {"target_host": pa.array(hosts_out, pa.string()), "sketch": pa.array(blobs, pa.binary())}
+            {
+                "target_host": pa.array(hosts_in_order, pa.string()),
+                "sketch": pa.array(blobs, pa.binary()),
+            }
         )
 
     def merge(df: pl.DataFrame) -> pl.DataFrame:
+        import numpy as np
+
         hosts_out, ests = [], []
+        m = 1 << p
         for (th,), g in df.group_by("target_host"):
-            hll = HyperLogLog(p)
+            dense = np.zeros(m, dtype=np.uint8)
             for blob in g.get_column("sketch"):
-                hll.merge(HyperLogLog.from_bytes(blob, p))
+                arr = np.frombuffer(blob, dtype=np.uint32)
+                np.maximum.at(dense, arr >> 6, (arr & 63).astype(np.uint8))
             hosts_out.append(th)
-            ests.append(hll.estimate())
+            ests.append(HyperLogLog(p, registers=dense).estimate())
         return pl.DataFrame({"target_host": hosts_out, "referring_domains_est": ests})
 
+    if edges is None:
+        edges = edges_dataset(sf_dir, multiplier)
     partials = (
-        edges_dataset(sf_dir, multiplier)
-        .select_columns(["target_host", "source_host"])
+        edges.select_columns(["target_host", "source_host"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     )
     return hash_group_apply(partials, ["target_host"], merge)

@@ -10,7 +10,7 @@ a DuckDB SQL oracle can recompute the expected output of link
 extraction / profile aggregation / BFS crawl from ``documents`` alone.
 
 Structure (N = number of documents, H = max(5, N // 50) hosts):
-- host(d)   = 0 if d % 5 == 0 else d % H        (host 0 is the hub → skew)
+- host(d)   = 0 if d % 37 == 0 else d % H       (host 0 is the hub → skew)
 - url(d)    = https://h{host(d)}.example.com/doc/{d}
 - warc_ts   = 2024-03-01T00:00:00 + 97*d minutes
 - out-degree K(d) = 2 + d % 4,  targets t(d,j) = (31*d + 17*j + 7) % N
@@ -49,7 +49,7 @@ from ..functions.htmlx import extract_text
 from .. import schemas
 
 CACHE_ROOT = os.environ.get("LPR_CORPUS_CACHE", "/tmp/lpr_corpus")
-_GEN_VERSION = 3  # bump to invalidate cached corpora
+_GEN_VERSION = 4  # bump to invalidate cached corpora
 _TS0 = datetime(2024, 3, 1)
 ROWS_PER_FILE = 20_000
 
@@ -67,7 +67,7 @@ def n_hosts(n_docs: int) -> int:
 
 
 def host_id(d: int, n_docs: int) -> int:
-    return 0 if d % 5 == 0 else d % n_hosts(n_docs)
+    return 0 if d % 37 == 0 else d % n_hosts(n_docs)
 
 
 def host_name(hid: int) -> str:
@@ -160,12 +160,42 @@ def _read_documents(sf_dir: str):
     return t
 
 
+def _write_shard(out_dir: str, start: int, stop: int, texts, langs, base_n: int, n_docs: int) -> str:
+    part = os.path.join(out_dir, f"pages_{start:09d}.parquet")
+    if os.path.exists(part):
+        return os.path.basename(part)
+    urls, tss, htmls, txts, lgs = [], [], [], [], []
+    for d in range(start, stop):
+        html = page_html(d, texts[d % base_n], n_docs)
+        urls.append(url_of(d, n_docs))
+        tss.append(warc_ts_of(d))
+        htmls.append(html.encode("utf-8"))
+        txts.append(extract_text(html))
+        lgs.append(langs[d % base_n])
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(txts, pa.large_string()),
+            "lang": pa.array(lgs, pa.string()),
+        },
+        schema=schemas.PAGES,
+    )
+    tmp = part + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, part)  # atomic per shard → resumable generation
+    return os.path.basename(part)
+
+
 def corpus_dir(sf_dir: str, multiplier: int = 1) -> str:
     """Generate (or reuse cached) pages Parquet; returns the directory.
 
     ``multiplier`` > 1 synthesizes a corpus of multiplier*N docs reusing
     document texts cyclically — used by bench.py to scale the workload;
-    SQL oracles only apply at multiplier == 1.
+    SQL oracles only apply at multiplier == 1.  Generation writes one
+    atomic Parquet shard per doc range (resumable) and fans out as Ray
+    tasks when a session is live.
     """
     docs = _read_documents(sf_dir)
     base_n = docs.num_rows
@@ -181,36 +211,33 @@ def corpus_dir(sf_dir: str, multiplier: int = 1) -> str:
 
     texts = docs.column("text").to_pylist()
     langs = docs.column("lang").to_pylist()
+    ranges = [
+        (start, min(start + ROWS_PER_FILE, n_docs)) for start in range(0, n_docs, ROWS_PER_FILE)
+    ]
 
-    files = []
-    for start in range(0, n_docs, ROWS_PER_FILE):
-        stop = min(start + ROWS_PER_FILE, n_docs)
-        part = os.path.join(out_dir, f"pages_{start:09d}.parquet")
-        tmp = part + ".tmp"
-        if os.path.exists(part):
-            files.append(os.path.basename(part))
-            continue
-        urls, tss, htmls, txts, lgs = [], [], [], [], []
-        for d in range(start, stop):
-            html = page_html(d, texts[d % base_n], n_docs)
-            urls.append(url_of(d, n_docs))
-            tss.append(warc_ts_of(d))
-            htmls.append(html.encode("utf-8"))
-            txts.append(extract_text(html))
-            lgs.append(langs[d % base_n])
-        table = pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(tss, pa.timestamp("us")),
-                "html": pa.array(htmls, pa.binary()),
-                "text": pa.array(txts, pa.large_string()),
-                "lang": pa.array(lgs, pa.string()),
-            },
-            schema=schemas.PAGES,
+    use_ray = False
+    if len(ranges) > 1:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            pass
+
+    if use_ray:
+        import ray
+
+        texts_ref = ray.put(texts)
+        langs_ref = ray.put(langs)
+        shard_task = ray.remote(num_cpus=1)(_write_shard)
+        files = ray.get(
+            [
+                shard_task.remote(out_dir, a, b, texts_ref, langs_ref, base_n, n_docs)
+                for a, b in ranges
+            ]
         )
-        pq.write_table(table, tmp)
-        os.replace(tmp, part)  # atomic per shard → resumable generation
-        files.append(os.path.basename(part))
+    else:
+        files = [_write_shard(out_dir, a, b, texts, langs, base_n, n_docs) for a, b in ranges]
 
     with open(done + ".tmp", "w") as f:
         json.dump({"n_docs": n_docs, "base_n": base_n, "files": files}, f)
@@ -256,7 +283,7 @@ params AS (
 ),
 dochost AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % (SELECT h FROM params) END AS host_id
+         CASE WHEN doc_id % 37 = 0 THEN 0 ELSE doc_id % (SELECT h FROM params) END AS host_id
   FROM documents
 ),
 docurl AS (

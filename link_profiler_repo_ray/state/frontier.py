@@ -1,0 +1,287 @@
+"""Distributed frontier: host-bucketed shard actors (T1+T2+T3 unified).
+
+The BASELINE north-star prescribes exactly this layout: "a sharded
+URL-seen set lives in an actor pool keyed by hash-partitioned host
+buckets, and per-domain politeness gates a priority queue".  Every
+host belongs to exactly one shard (``hash(host) % S``), therefore each
+shard can independently and deterministically perform, for its hosts:
+
+- frontier storage + per-host politeness admission (O1 discipline:
+  per host take up to ``max_per_host`` in (priority, depth, url)
+  order, smart_crawler_queue.py:65-113,149-169),
+- robots.txt gating (robots_parser.py semantics),
+- URL-seen dedup + min-depth merge for discovered candidates (a URL's
+  host pins it to one shard, so the seen set needs no cross-shard
+  coordination),
+- logical-clock Crawl-delay bookkeeping.
+
+The driver only concatenates the shards' admitted sets (already
+host-capped), applies the global (priority, depth, host, url) sort +
+max_pages truncation, and routes fetch results back — O(admitted) per
+round instead of O(frontier).  At 10^10 URLs the shard count scales
+the frontier horizontally; shard state (polars frontier + uint64 seen
+set + clock dict) serializes to the checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+
+from .. import schemas
+from ..functions import canonical as can
+from .politeness import RobotsIndex, USER_AGENT
+
+_FRONTIER_POLARS_SCHEMA = {
+    "url": pl.Utf8,
+    "url_hash": pl.UInt64,
+    "host": pl.Utf8,
+    "priority": pl.Int8,
+    "depth": pl.Int16,
+    "retries": pl.Int8,
+}
+
+
+def _empty_frontier_df() -> pl.DataFrame:
+    return pl.DataFrame(schema=_FRONTIER_POLARS_SCHEMA)
+
+
+@ray.remote(num_cpus=0.5)
+class FrontierShard:
+    def __init__(
+        self,
+        shard_id: int,
+        robots_by_host: dict[str, str],
+        max_per_host: int,
+        politeness: bool,
+        max_depth: int,
+        collect_seen: bool,
+    ):
+        self.shard_id = shard_id
+        self.robots = RobotsIndex(robots_by_host)
+        self.max_per_host = max_per_host
+        self.politeness = politeness
+        self.max_depth = max_depth
+        self.collect_seen = collect_seen
+        self.frontier: pl.DataFrame = _empty_frontier_df()
+        self.seen: set[int] = set()
+        self.last_crawl_round: dict[str, int] = {}
+        self._pending: pl.DataFrame | None = None  # admitted, awaiting confirm
+
+    # --- ingest ----------------------------------------------------------
+
+    def insert_seeds(self, table: pa.Table) -> list[str]:
+        """Seed rows (url, url_hash, host, priority); dedups via seen."""
+        df = pl.from_arrow(table)
+        newly = []
+        keep = np.zeros(df.height, dtype=bool)
+        hashes = df.get_column("url_hash").to_numpy()
+        for i, h in enumerate(hashes.tolist()):
+            if h not in self.seen:
+                self.seen.add(h)
+                keep[i] = True
+        df = df.filter(pl.Series(keep))
+        if self.collect_seen:
+            newly = df.get_column("url").to_list()
+        rows = df.select(
+            pl.col("url"),
+            pl.col("url_hash").cast(pl.UInt64),
+            pl.col("host"),
+            pl.col("priority").cast(pl.Int8),
+            pl.lit(0).cast(pl.Int16).alias("depth"),
+            pl.lit(0).cast(pl.Int8).alias("retries"),
+        )
+        self.frontier = pl.concat([self.frontier, rows])
+        return newly
+
+    def insert_candidates(self, table: pa.Table) -> tuple[int, int, list[str]]:
+        """Discovered (target_url, host, depth) for this shard's hosts.
+
+        Min-depth merged, seen-filtered; rows below max_depth join the
+        frontier.  Returns (n_new, n_dup, newly_seen_urls?).
+        """
+        df = pl.from_arrow(table)
+        if df.height == 0:
+            return 0, 0, []
+        cand = (
+            df.group_by("target_url")
+            .agg(pl.col("host").first(), pl.col("depth").min())
+            .sort("target_url")
+        )
+        urls = cand.get_column("target_url").to_list()
+        hashes = can.url_hash64(urls)
+        keep = np.zeros(len(urls), dtype=bool)
+        for i, h in enumerate(hashes.tolist()):
+            if h not in self.seen:
+                self.seen.add(h)
+                keep[i] = True
+        n_new = int(keep.sum())
+        n_dup = len(urls) - n_new
+        cand = cand.with_columns(pl.Series("url_hash", hashes), pl.Series("_new", keep))
+        newly = cand.filter(pl.col("_new"))
+        newly_urls = newly.get_column("target_url").to_list() if self.collect_seen else []
+        fresh = (
+            newly.filter(pl.col("depth") < self.max_depth)
+            .select(
+                pl.col("target_url").alias("url"),
+                pl.col("url_hash").cast(pl.UInt64),
+                pl.col("host"),
+                pl.lit(schemas.PRIORITY_MEDIUM).cast(pl.Int8).alias("priority"),
+                pl.col("depth").cast(pl.Int16),
+                pl.lit(0).cast(pl.Int8).alias("retries"),
+            )
+        )
+        if fresh.height:
+            self.frontier = pl.concat([self.frontier, fresh])
+        return n_new, n_dup, newly_urls
+
+    def insert_retries(self, table: pa.Table) -> None:
+        df = pl.from_arrow(table).select(list(_FRONTIER_POLARS_SCHEMA))
+        self.frontier = pl.concat([self.frontier, df.cast(_FRONTIER_POLARS_SCHEMA)])
+
+    # --- admission -------------------------------------------------------
+
+    def admit(self, round_no: int) -> tuple[pa.Table, int, int]:
+        """Per-host-capped admission for this round.
+
+        Returns (admitted_with_allowed_col, frontier_size,
+        next_eligible_round).  Robots is evaluated here (parallel
+        across shards) but only ANNOTATED — denial must still consume a
+        global max_pages budget slot (§3.1 discipline), so the driver
+        truncates before dropping denied rows.  Clock marks happen at
+        ``confirm``.
+        """
+        f = self.frontier
+        if f.height == 0:
+            return (
+                _empty_frontier_df().with_columns(pl.lit(True).alias("allowed")).to_arrow(),
+                0,
+                round_no + 1,
+            )
+        if self.politeness:
+            hosts = f.get_column("host").unique().to_list()
+            eligible_hosts = {
+                h
+                for h in hosts
+                if (last := self.last_crawl_round.get(h)) is None
+                or round_no >= last + self.robots.crawl_delay_rounds(h)
+            }
+            next_round = round_no + 1
+            if len(eligible_hosts) < len(hosts):
+                next_round = min(
+                    (
+                        self.last_crawl_round[h] + self.robots.crawl_delay_rounds(h)
+                        for h in hosts
+                        if h not in eligible_hosts
+                    ),
+                    default=round_no + 1,
+                )
+            elig = f.filter(pl.col("host").is_in(eligible_hosts))
+            rest = f.filter(~pl.col("host").is_in(eligible_hosts))
+            elig = elig.sort(["priority", "depth", "url"]).with_columns(
+                pl.col("url").cum_count().over("host").alias("_rank")
+            )
+            admitted = elig.filter(pl.col("_rank") <= self.max_per_host).drop("_rank")
+            overflow = elig.filter(pl.col("_rank") > self.max_per_host).drop("_rank")
+            self.frontier = pl.concat([rest, overflow])
+        else:
+            admitted = f.sort(["priority", "depth", "url"])
+            self.frontier = _empty_frontier_df()
+            next_round = round_no + 1
+
+        # robots evaluated here, annotated for the driver (§3.1)
+        hosts_l = admitted.get_column("host").to_list()
+        urls_l = admitted.get_column("url").to_list()
+        mask = self.robots.allowed_batch(hosts_l, urls_l)
+        admitted = admitted.with_columns(pl.Series("allowed", np.asarray(mask, dtype=bool)))
+        self._pending = admitted
+        return admitted.to_arrow(), self.frontier.height, max(next_round, round_no + 1)
+
+    def confirm(self, round_no: int, rejected: pa.Table | None = None) -> None:
+        """Finalize the round: reinsert budget-rejected rows, mark the
+
+        politeness clock for hosts that actually fetched (admitted,
+        not budget-rejected, robots-allowed)."""
+        pending = self._pending if self._pending is not None else _empty_frontier_df().with_columns(pl.lit(True).alias("allowed"))
+        self._pending = None
+        rejected_urls: set[str] = set()
+        if rejected is not None and rejected.num_rows:
+            rej = pl.from_arrow(rejected).select(list(_FRONTIER_POLARS_SCHEMA)).cast(
+                _FRONTIER_POLARS_SCHEMA
+            )
+            rejected_urls = set(rej.get_column("url").to_list())
+            self.frontier = pl.concat([self.frontier, rej])
+        if self.politeness and pending.height:
+            fetched = pending.filter(pl.col("allowed"))
+            if rejected_urls:
+                fetched = fetched.filter(~pl.col("url").is_in(rejected_urls))
+            for h in fetched.get_column("host").unique().to_list():
+                self.last_crawl_round[h] = round_no
+
+    # --- introspection / checkpoint --------------------------------------
+
+    def sizes(self) -> tuple[int, int]:
+        return self.frontier.height, len(self.seen)
+
+    def dump(self) -> tuple[pa.Table, np.ndarray, pa.Table]:
+        clock = pl.DataFrame(
+            {
+                "host": list(self.last_crawl_round.keys()),
+                "last_crawl_round": list(self.last_crawl_round.values()),
+            },
+            schema={"host": pl.Utf8, "last_crawl_round": pl.Int64},
+        )
+        seen_arr = np.sort(np.fromiter(self.seen, dtype=np.uint64, count=len(self.seen)))
+        return self.frontier.to_arrow(), seen_arr, clock.to_arrow()
+
+    def load(self, frontier: pa.Table, seen_arr: np.ndarray, clock: pa.Table) -> None:
+        self.frontier = pl.from_arrow(frontier).cast(_FRONTIER_POLARS_SCHEMA)
+        self.seen = set(seen_arr.tolist())
+        c = pl.from_arrow(clock)
+        self.last_crawl_round = dict(
+            zip(c.get_column("host").to_list(), c.get_column("last_crawl_round").to_list())
+        )
+
+    def ready(self) -> bool:
+        return True
+
+
+class DistributedFrontier:
+    """Driver-side facade over the shard pool."""
+
+    def __init__(
+        self,
+        num_shards: int,
+        robots_by_host: dict[str, str],
+        max_per_host: int,
+        politeness: bool,
+        max_depth: int,
+        collect_seen: bool = True,
+    ):
+        self.num_shards = num_shards
+        self.shards = [
+            FrontierShard.remote(
+                s, robots_by_host, max_per_host, politeness, max_depth, collect_seen
+            )
+            for s in range(num_shards)
+        ]
+        ray.get([s.ready.remote() for s in self.shards])
+
+    def shard_of(self, hosts) -> np.ndarray:
+        return (can.url_hash64(hosts) % np.uint64(self.num_shards)).astype(np.int64)
+
+    def route(self, df: pl.DataFrame, host_col: str):
+        """Yield (shard_id, sub_df) partitions by host hash."""
+        sid = self.shard_of(df.get_column(host_col).to_list())
+        df = df.with_columns(pl.Series("_shard", sid))
+        for (s,), sub in df.partition_by("_shard", maintain_order=True, as_dict=True).items():
+            yield int(s), sub.drop("_shard")
+
+    def shutdown(self):
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -40,12 +40,20 @@ class RobotsIndex:
     def __init__(self, robots_by_host: dict[str, str]):
         self._parsers: dict[str, RobotFileParser] = {}
         self._delays: dict[str, int] = {}
+        self._allow_all: set[str] = set()
         for host, body in robots_by_host.items():
             p = RobotFileParser()
             p.parse(body.splitlines())
             self._parsers[host] = p
             d = p.crawl_delay(USER_AGENT)
             self._delays[host] = int(d) if d else 1
+            # fast path: a parser that can never deny skips per-URL checks
+            entries = list(getattr(p, "entries", []) or [])
+            default = getattr(p, "default_entry", None)
+            if not entries and (
+                default is None or all(rl.allowance for rl in default.rulelines)
+            ):
+                self._allow_all.add(host)
 
     def allowed(self, host: str, url: str) -> bool:
         p = self._parsers.get(host)
@@ -53,8 +61,30 @@ class RobotsIndex:
             return True  # 404 / unknown host ⇒ allow-all (robots_parser.py:74-76)
         return p.can_fetch(USER_AGENT, url)
 
+    def slow_hosts(self) -> set[str]:
+        """Hosts whose robots.txt contains rules that can deny."""
+        return set(self._parsers) - self._allow_all
+
     def allowed_batch(self, hosts, urls):
-        return [self.allowed(h, u) for h, u in zip(hosts, urls)]
+        """Vectorized gate: unknown / provably-allow-all hosts short-
+
+        circuit True; only hosts with real Disallow rules pay a
+        per-URL ``can_fetch``.  The membership test is vectorized in
+        polars so the Python loop only touches deniable-host rows."""
+        import numpy as np
+        import polars as pl
+
+        n = len(hosts)
+        out = np.ones(n, dtype=bool)
+        slow = self.slow_hosts()
+        if not slow or n == 0:
+            return out
+        mask = pl.Series(hosts).is_in(slow).to_numpy()
+        idx = np.nonzero(mask)[0]
+        parsers = self._parsers
+        for i in idx.tolist():
+            out[i] = parsers[hosts[i]].can_fetch(USER_AGENT, urls[i])
+        return out
 
     def crawl_delay_rounds(self, host: str) -> int:
         return self._delays.get(host, 1)
