@@ -71,7 +71,7 @@ def run_bench() -> dict:
 
     # 1. the crawl itself: frontier + politeness + fetch + parse
     n_shards = 8
-    n_fetchers = max(2, NUM_CPUS - math.ceil(n_shards * 0.25) - 1)
+    n_fetchers = max(2, NUM_CPUS - 5)
     # politeness budget 32/host/round: high enough that compute, not
     # the logical politeness clock, bounds throughput (the budget is a
     # config knob; order-determinism vs the oracle is pytest-verified

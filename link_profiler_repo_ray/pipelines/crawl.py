@@ -21,23 +21,29 @@ Semantics reproduced (see SURVEY.md §3.1 step 4 and §2.6 O1/O4):
   (O6, smart_crawler_queue.py:182-192): retries+1, priority demoted one
   level toward LOW, dropped to the dead-letter output after 3 retries.
 
-Execution model: a persistent actor pool (corpus-replay fetch+parse
-actors, hash-sharded so each holds 1/P of the corpus index) serves
-every round — the idiomatic Ray shape for a continuous frontier
-scheduler, where per-round Dataset pipelines would re-create actor
-pools each round.  The full-corpus analytics in pipelines/graph.py and
-pipelines/pages.py are pure ``ray.data`` Dataset pipelines.  Frontier
-bookkeeping is vectorized polars/arrow on the driver; the frontier is
-orders of magnitude smaller than the corpus (it holds only
-not-yet-crawled URLs), and every operation on it (eligibility mask,
-per-host top-k, sort, anti-join) is expressed as columnar kernels that
-move verbatim into ``map_groups`` when a 10^10-URL frontier outgrows
-one node — the checkpoint layout (hash-partitioned parquet) already
-supports that.
+Execution model — two persistent actor pools serve every round (the
+idiomatic Ray shape for a continuous frontier scheduler; per-round
+Dataset pipelines would re-create pools each round):
+
+- ``state.frontier.FrontierShard`` actors, keyed by ``hash(host) % S``
+  (the BASELINE north-star's "seen set in an actor pool keyed by
+  hash-partitioned host buckets"): each owns its hosts' frontier rows,
+  seen set, robots rules and politeness clocks, and performs
+  admission / dedup / min-depth merge locally and in parallel.
+- ``FetchParseActor`` pool, keyed by ``url_hash % P``: corpus-replay
+  fetch + parse + per-page scoring; page/edge Parquet shards are
+  persisted BY the actors — only (url, status) metadata and per-batch
+  pre-reduced expansion candidates return to the driver.
+
+The driver's per-round work is O(admitted), not O(frontier): concat
+the shards' host-capped admissions, one global (priority, depth, host,
+url) sort, max_pages truncation, and routing of fetch results back to
+their host shards.  Full-corpus analytics (pipelines/graph.py) are
+pure ``ray.data`` Dataset pipelines.
 
 Checkpoints: after each round, ``checkpoint_dir/round=K/`` holds
-frontier.parquet, host_state.parquet, order.parquet, seen/shard-*.npy,
-pages/ and edges/ parquet deltas, and manifest.json with counters +
+per-shard frontier/seen/clock dumps, order.parquet, the actors' pages/
+and edges/ parquet deltas, and manifest.json with counters +
 per-partition lineage; the manifest is written last, atomically —
 resume loads the newest complete round (SURVEY.md §4 checkpoint row).
 """
@@ -423,8 +429,11 @@ class CrawlEngine:
             else [_split_corpus_file.remote(f, nf)]
             for f in corpus_files
         ]
+        fetcher_cls = FetchParseActor.options(
+            runtime_env={"env_vars": {"POLARS_MAX_THREADS": "2"}}
+        )
         self.fetchers = [
-            FetchParseActor.remote([refs[s] for refs in split_refs], self.cfg.flaky_mod)
+            fetcher_cls.remote([refs[s] for refs in split_refs], self.cfg.flaky_mod)
             for s in range(nf)
         ]
         # block until every actor finished building its index

@@ -263,8 +263,14 @@ class DistributedFrontier:
         collect_seen: bool = True,
     ):
         self.num_shards = num_shards
+        # cap polars threads per shard actor: 8+ actors each spawning a
+        # machine-wide thread pool thrash the scheduler during the
+        # simultaneous per-round admission fan-out
+        actor_cls = FrontierShard.options(
+            runtime_env={"env_vars": {"POLARS_MAX_THREADS": "2"}}
+        )
         self.shards = [
-            FrontierShard.remote(
+            actor_cls.remote(
                 s, robots_by_host, max_per_host, politeness, max_depth, collect_seen
             )
             for s in range(num_shards)
