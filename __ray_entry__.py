@@ -47,9 +47,16 @@ def _crawl_ordered(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from link_profiler_repo_ray.pipelines import graph, relational, textdata
+    from link_profiler_repo_ray.pipelines import graph, relational, research, textdata
 
     return {
+        # research / auxiliary operators
+        "seo_metrics": research.seo_metrics,
+        "domain_value_scores": research.domain_value_scores,
+        "customers_without_orders": research.customers_without_orders,
+        "latest_event_per_user": research.latest_event_per_user,
+        "anomalous_events": research.anomalous_events,
+        "props_json_rollup": research.props_json_rollup,
         # crawl core
         "text_extract": textdata.text_extract_roundtrip,
         "extract_links": lambda sf: graph.edges_dataset(sf).select_columns(
@@ -92,7 +99,83 @@ def oracle_sql() -> dict[str, str]:
 
     graph_cte = "WITH " + hosts_cte() + "," + edges_cte()
     stop_list = "('the','and','of','a','to','in','is','that','it','for')"
+    wsum = "1.1000000000000003"  # repr(sum of |weights|), core/models.py:193-204
     return {
+        "seo_metrics": "WITH "
+        + hosts_cte()
+        + ","
+        + edges_cte()
+        + f""",
+il AS (
+  SELECT r.sdoc AS doc_id,
+         sum(CASE WHEN sh.host_id = th.host_id THEN 1 ELSE 0 END)::BIGINT AS internal_links,
+         sum(CASE WHEN sh.host_id <> th.host_id THEN 1 ELSE 0 END)::BIGINT AS external_links
+  FROM rawlinks r
+  JOIN dochost sh ON sh.doc_id = r.sdoc
+  JOIN dochost th ON th.doc_id = r.tdoc
+  GROUP BY r.sdoc)
+SELECT u.url,
+       length('Doc ' || u.doc_id || ' on h' || u.host_id)::BIGINT AS title_length,
+       length('Synthetic page ' || u.doc_id || ' hosted on h' || u.host_id
+              || '.example.com for testing')::BIGINT AS meta_description_length,
+       1::BIGINT AS h1_count,
+       1::BIGINT AS h2_count,
+       il.internal_links,
+       il.external_links,
+       (u.doc_id % 10 = 0) AS has_canonical,
+       FALSE AS has_robots_meta,
+       (u.doc_id % 7 = 0) AS has_schema_markup,
+       (u.doc_id % 3 = 0) AS mobile_friendly,
+       round((0.05 + 0.1 + 0.05
+              + CASE WHEN u.doc_id % 10 = 0 THEN 0.05 ELSE 0.0 END
+              + CASE WHEN u.doc_id % 7 = 0 THEN 0.05 ELSE 0.0 END)
+             * 100 / {wsum}, 4) AS seo_score
+FROM docurl u JOIN il ON il.doc_id = u.doc_id""",
+        "domain_value_scores": graph_cte
+        + """
+, perhost AS (
+  SELECT target_host,
+         count(*)::BIGINT AS inbound_links,
+         count(DISTINCT source_host)::BIGINT AS referring_domains,
+         sum(CASE WHEN link_type = 'dofollow' THEN 1 ELSE 0 END)::BIGINT AS dofollow_links
+  FROM edges GROUP BY target_host),
+scored AS (
+  SELECT *,
+         (CASE WHEN inbound_links >= 100 THEN 30 ELSE 0 END
+          + CASE WHEN referring_domains >= 5 THEN 25 ELSE 0 END
+          + CASE WHEN dofollow_links >= 50 THEN 40 ELSE 0 END
+          + CASE WHEN inbound_links >= 20 THEN 15 ELSE 0 END)::BIGINT AS value_score
+  FROM perhost)
+SELECT target_host, inbound_links, referring_domains, dofollow_links,
+       value_score, (value_score >= 50) AS valuable
+FROM scored""",
+        "customers_without_orders": """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_customers,
+       sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_without_orders
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment""",
+        "latest_event_per_user": """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+  FROM events) t
+WHERE rn = 1""",
+        "anomalous_events": """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events),
+s AS (
+  SELECT user_id, CAST(sum(value_cents) AS BIGINT) AS sum_cents, count(*)::BIGINT AS n
+  FROM e GROUP BY user_id)
+SELECT e.user_id, e.event_id, e.value_cents
+FROM e JOIN s USING (user_id)
+WHERE e.value_cents * s.n > 2 * s.sum_cents""",
+        "props_json_rollup": """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1""",
         "text_extract": "SELECT doc_id, text FROM documents",
         "extract_links": graph_cte
         + """

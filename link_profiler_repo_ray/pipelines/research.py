@@ -1,0 +1,229 @@
+"""Domain-research and auxiliary operators (SURVEY.md A3/A5/J4/M4/M13/S4).
+
+Each pipeline here is oracle-checked against DuckDB SQL; the arithmetic
+corpus (sources/corpus.py) makes even the SEO-metrics parse exactly
+SQL-reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..ops import hash_aggregate, hash_group_apply
+from ..stages import SeoStage
+from . import graph
+
+__all__ = [
+    "seo_metrics",
+    "domain_value_scores",
+    "customers_without_orders",
+    "latest_event_per_user",
+    "anomalous_events",
+    "props_json_rollup",
+]
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# --- M4/M8: full-corpus SEO metrics (oracle-checked) ----------------------
+
+def seo_metrics(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Wide SEO struct per page via the regex parser (content_parser.py
+
+    semantics); every field is a closed-form function of doc_id for the
+    synthetic corpus, so the DuckDB oracle recomputes it exactly."""
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col("url"),
+            pl.col("title_length").cast(pl.Int64),
+            pl.col("meta_description_length").cast(pl.Int64),
+            pl.col("h1_count").cast(pl.Int64),
+            pl.col("h2_count").cast(pl.Int64),
+            pl.col("internal_links").cast(pl.Int64),
+            pl.col("external_links").cast(pl.Int64),
+            pl.col("has_canonical"),
+            pl.col("has_robots_meta"),
+            pl.col("has_schema_markup"),
+            pl.col("mobile_friendly"),
+            pl.col("seo_score").round(4),
+        ).to_arrow()
+
+    return (
+        graph.pages_dataset(sf_dir, multiplier, columns=["url", "html"])
+        .map_batches(SeoStage(), batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+# --- A3: domain value score ----------------------------------------------
+
+def domain_value_scores(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Rule-based additive domain score over the backlink graph
+
+    (domain_analyzer_service.py:25-159's shape: thresholded bonuses on
+    inbound counts / referrer diversity / dofollow share)."""
+    edges = graph.edges_dataset(sf_dir, multiplier).select_columns(
+        ["target_host", "source_host", "link_type"]
+    )
+    pair = hash_aggregate(
+        edges,
+        ["target_host", "source_host"],
+        combine=[
+            pl.len().cast(pl.Int64).alias("n"),
+            (pl.col("link_type") == "dofollow").sum().cast(pl.Int64).alias("dofollow"),
+        ],
+        merge=[pl.col("n").sum(), pl.col("dofollow").sum()],
+    )
+    per_host = hash_aggregate(
+        pair,
+        ["target_host"],
+        combine=[
+            pl.col("n").sum().alias("inbound_links"),
+            pl.len().cast(pl.Int64).alias("referring_domains"),
+            pl.col("dofollow").sum().alias("dofollow_links"),
+        ],
+        merge=[
+            pl.col("inbound_links").sum(),
+            pl.col("referring_domains").sum(),
+            pl.col("dofollow_links").sum(),
+        ],
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        s = (
+            pl.when(pl.col("inbound_links") >= 100).then(30).otherwise(0)
+            + pl.when(pl.col("referring_domains") >= 5).then(25).otherwise(0)
+            + pl.when(pl.col("dofollow_links") >= 50).then(40).otherwise(0)
+            + pl.when(pl.col("inbound_links") >= 20).then(15).otherwise(0)
+        )
+        return df.with_columns(
+            s.cast(pl.Int64).alias("value_score"),
+            (s >= 50).alias("valuable"),
+        ).to_arrow()
+
+    return per_host.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- J4: anti-join ---------------------------------------------------------
+
+def customers_without_orders(sf_dir: str) -> rd.Dataset:
+    """Anti-join shape (competitive_analysis_service.py:55-106's
+
+    keyword-gap): broadcast the order-customer key set, mark inside
+    map_batches (no shuffle), roll up per market segment so the result
+    is schema-stable even when the gap set is empty."""
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    key_set = set(keys.column("o_custkey").to_pylist())
+    ref = ray.put(key_set)
+
+    class AntiMark:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            return df.with_columns(
+                (~pl.col("c_custkey").is_in(self.keys)).alias("no_orders")
+            ).to_arrow()
+
+    marked = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        AntiMark, fn_constructor_args=(ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=2,
+    )
+    return hash_aggregate(
+        marked,
+        ["c_mktsegment"],
+        combine=[
+            pl.len().cast(pl.Int64).alias("n_customers"),
+            pl.col("no_orders").sum().cast(pl.Int64).alias("n_without_orders"),
+        ],
+        merge=[pl.col("n_customers").sum(), pl.col("n_without_orders").sum()],
+    )
+
+
+# --- A5: dedup-on-merge, latest wins ---------------------------------------
+
+def latest_event_per_user(sf_dir: str) -> rd.Dataset:
+    """ReplacingMergeTree(latest-version) semantics
+
+    (clickhouse_loader.py:101-125): per user keep the row with max ts,
+    ties broken by min event_id."""
+
+    def latest(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.sort(["user_id", "ts", "event_id"], descending=[False, True, False])
+            .group_by("user_id", maintain_order=True)
+            .first()
+        )
+
+    return hash_group_apply(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]),
+        ["user_id"],
+        latest,
+    )
+
+
+# --- M13: anomaly flagging --------------------------------------------------
+
+def anomalous_events(sf_dir: str) -> rd.Dataset:
+    """Events whose value exceeds 2x their user's mean (integer-exact:
+
+    value_cents * n > 2 * sum_cents).  The reference's anomaly detector
+    (utils/anomaly_detector.py:41-133) flags deviations over a sliding
+    history; here the window is the user's full history."""
+
+    def flag(df: pl.DataFrame) -> pl.DataFrame:
+        cents = (pl.col("value") * 100 + 0.5).floor().cast(pl.Int64)
+        df = df.with_columns(cents.alias("value_cents"))
+        stats = df.group_by("user_id").agg(
+            pl.col("value_cents").sum().alias("sum_cents"),
+            pl.len().cast(pl.Int64).alias("n"),
+        )
+        df = df.join(stats, on="user_id")
+        return (
+            df.filter(pl.col("value_cents") * pl.col("n") > 2 * pl.col("sum_cents"))
+            .select(["user_id", "event_id", "value_cents"])
+        )
+
+    return hash_group_apply(
+        _read(sf_dir, "events", ["user_id", "event_id", "value"]), ["user_id"], flag
+    )
+
+
+# --- S4-style structured-text parsing ---------------------------------------
+
+def props_json_rollup(sf_dir: str) -> rd.Dataset:
+    """NDJSON-ish parsing (common_crawl_client.py:148-156's shape):
+
+    decode the events.props JSON column, roll up by k-bucket."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        k = (
+            df.get_column("props")
+            .str.json_path_match("$.k")
+            .cast(pl.Int64)
+        )
+        return pl.DataFrame({"k_bucket": (k // 10).cast(pl.Int64)}).to_arrow()
+
+    parsed = _read(sf_dir, "events", ["props"]).map_batches(
+        parse, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_aggregate(
+        parsed,
+        ["k_bucket"],
+        combine=[pl.len().cast(pl.Int64).alias("n_events")],
+        merge=[pl.col("n_events").sum()],
+    )
