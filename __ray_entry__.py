@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": research.latest_event_per_user,
         "anomalous_events": research.anomalous_events,
         "props_json_rollup": research.props_json_rollup,
+        "enriched_edges": research.enriched_edges,
+        "url_priority_scores": research.url_priority_scores,
+        "top_valuable_domains": research.top_valuable_domains,
         # crawl core
         "text_extract": textdata.text_extract_roundtrip,
         "extract_links": lambda sf: graph.edges_dataset(sf).select_columns(
@@ -176,6 +179,55 @@ WHERE e.value_cents * s.n > 2 * s.sum_cents""",
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY 1""",
+        "enriched_edges": graph_cte
+        + """
+, metrics AS (
+  SELECT host_id, 'h' || host_id || '.example.com' AS host,
+         ((host_id * 37 + 11) % 100)::BIGINT AS authority,
+         ((host_id * 53 + 7) % 100)::BIGINT AS trust,
+         ((host_id * 71 + 3) % 100)::BIGINT AS spam
+  FROM (SELECT DISTINCT host_id FROM dochost))
+SELECT e.source_url, e.target_url, e.source_host, e.link_type,
+       m.authority AS source_authority, m.trust AS source_trust, m.spam AS source_spam
+FROM edges e JOIN metrics m ON m.host = e.source_host
+WHERE m.spam <= 70 AND m.authority >= 5""",
+        "url_priority_scores": "WITH RECURSIVE "
+        + hosts_cte().lstrip()
+        + ","
+        + edges_cte()
+        + """,
+allowed AS (SELECT doc_id, url FROM docurl WHERE host_id % 7 <> 3),
+reach(doc_id, depth) AS (
+  SELECT doc_id, 0 FROM allowed WHERE doc_id % 17 = 0
+  UNION
+  SELECT e.tdoc, r.depth + 1
+  FROM reach r JOIN edges e ON e.sdoc = r.doc_id
+  JOIN allowed a ON a.doc_id = e.tdoc
+  WHERE r.depth < 2
+),
+crawled AS (SELECT doc_id, min(depth) AS depth FROM reach GROUP BY doc_id),
+base AS (
+  SELECT u.url AS url, c.depth::SMALLINT AS depth FROM crawled c JOIN docurl u USING (doc_id)
+  UNION ALL SELECT 'https://h0.example.com/doc/999999999', 0::SMALLINT
+  UNION ALL SELECT 'https://unknown.example.org/', 0::SMALLINT)
+SELECT url, depth, GREATEST(0, 100 - 10 * depth::BIGINT)::BIGINT AS priority_score FROM base""",
+        "top_valuable_domains": graph_cte
+        + """
+, perhost AS (
+  SELECT target_host,
+         count(*)::BIGINT AS inbound_links,
+         count(DISTINCT source_host)::BIGINT AS referring_domains,
+         sum(CASE WHEN link_type = 'dofollow' THEN 1 ELSE 0 END)::BIGINT AS dofollow_links
+  FROM edges GROUP BY target_host),
+scored AS (
+  SELECT target_host,
+         (CASE WHEN inbound_links >= 100 THEN 30 ELSE 0 END
+          + CASE WHEN referring_domains >= 5 THEN 25 ELSE 0 END
+          + CASE WHEN dofollow_links >= 50 THEN 40 ELSE 0 END
+          + CASE WHEN inbound_links >= 20 THEN 15 ELSE 0 END)::BIGINT AS value_score
+  FROM perhost)
+SELECT target_host, value_score FROM scored WHERE value_score >= 50
+ORDER BY value_score DESC, target_host LIMIT 3""",
         "text_extract": "SELECT doc_id, text FROM documents",
         "extract_links": graph_cte
         + """

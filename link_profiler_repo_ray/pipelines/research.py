@@ -227,3 +227,95 @@ def props_json_rollup(sf_dir: str) -> rd.Dataset:
         combine=[pl.len().cast(pl.Int64).alias("n_events")],
         merge=[pl.col("n_events").sum()],
     )
+
+
+# --- J1 + M9: domain-metrics enrichment join + quality filter --------------
+
+def synthetic_domain_metrics(n_hosts: int) -> dict[str, dict]:
+    """Deterministic per-host metrics (the sandbox stand-in for the
+
+    Postgres domains table of crawl_service.py:638-654) — closed-form
+    in host_id so the SQL oracle reproduces the join."""
+    out = {}
+    for h in range(n_hosts):
+        out[f"h{h}.example.com"] = {
+            "authority_score": (h * 37 + 11) % 100,
+            "trust_score": (h * 53 + 7) % 100,
+            "spam_score": (h * 71 + 3) % 100,
+        }
+    return out
+
+
+def enriched_edges(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Backlink ← source-domain metrics broadcast join (J1), then the
+
+    M9 quality filter (crawl_service.py:391-439): drop edges whose
+    source domain has spam_score > 70 or authority_score < 5."""
+    from ..sources import corpus as corpus_mod
+
+    n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
+    metrics = synthetic_domain_metrics(corpus_mod.n_hosts(n_docs))
+    dim = pl.DataFrame(
+        {
+            "source_host": list(metrics),
+            "source_authority": [m["authority_score"] for m in metrics.values()],
+            "source_trust": [m["trust_score"] for m in metrics.values()],
+            "source_spam": [m["spam_score"] for m in metrics.values()],
+        }
+    ).cast({"source_authority": pl.Int64, "source_trust": pl.Int64, "source_spam": pl.Int64})
+    ref = ray.put(dim)
+
+    class Enrich:
+        def __init__(self, ref):
+            self.dim = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            out = df.join(self.dim, on="source_host", how="left")
+            return out.filter(
+                (pl.col("source_spam") <= 70) & (pl.col("source_authority") >= 5)
+            ).to_arrow()
+
+    return (
+        graph.edges_dataset(sf_dir, multiplier)
+        .select_columns(["source_url", "target_url", "source_host", "link_type"])
+        .map_batches(Enrich, fn_constructor_args=(ref,), batch_format="pyarrow",
+                     zero_copy_batch=True, concurrency=2)
+    )
+
+
+# --- O2: deterministic URL priority scoring --------------------------------
+
+def url_priority_scores(sf_dir: str) -> rd.Dataset:
+    """Depth-decay priority per crawled URL (ai/crawl_optimizer.py:41-103,
+
+    deterministic terms only: base 100 − 10·depth, clamped at 0)."""
+    from .crawl import CrawlConfig, run_crawl
+
+    cfg = CrawlConfig(politeness=False, num_seen_shards=2, num_fetchers=2)
+    res = run_crawl(sf_dir, cfg)
+    df = pl.from_arrow(res.order.select(["url", "depth"]))
+    out = df.with_columns(
+        pl.max_horizontal(pl.lit(0), 100 - 10 * pl.col("depth").cast(pl.Int64))
+        .cast(pl.Int64)
+        .alias("priority_score")
+    )
+    return out.to_arrow()
+
+
+# --- O5: valuable-domain limit ---------------------------------------------
+
+def top_valuable_domains(sf_dir: str, k: int = 3, multiplier: int = 1):
+    """filter(valuable) → deterministic sort → limit k
+
+    (expired_domain_finder_service.py:24-79's stop-at-limit shape)."""
+    scored = domain_value_scores(sf_dir, multiplier).to_arrow_refs()
+    tables = [ray.get(r) for r in scored]
+    df = pl.concat([pl.from_arrow(t) for t in tables if t.num_rows])
+    out = (
+        df.filter(pl.col("valuable"))
+        .sort(["value_score", "target_host"], descending=[True, False])
+        .head(k)
+        .select(["target_host", "value_score"])
+    )
+    return out.to_arrow()
