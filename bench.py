@@ -15,7 +15,7 @@ efficiency = (T8/T32)/4 — the sandbox evidence protocol for the
 N→4N ≥ 0.8 criterion (BASELINE.md).
 
 The synthetic page corpus is scaled with a doc multiplier so the crawl
-works over ~LPR_BENCH_PAGES pages (default 200k); corpus generation
+works over ~LPR_BENCH_PAGES pages (default 500k); corpus generation
 and a warm-up read are excluded from timings (page cache warm).
 """
 
@@ -31,7 +31,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-TARGET_PAGES = int(os.environ.get("LPR_BENCH_PAGES", "200000"))
+TARGET_PAGES = int(os.environ.get("LPR_BENCH_PAGES", "500000"))
 
 
 def run_bench() -> dict:

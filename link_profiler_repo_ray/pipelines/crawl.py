@@ -585,7 +585,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             persist_dir = os.path.join(cfg.output_dir, f"round={round_no:05d}")
         else:
             persist_dir = None
-        bs = max(256, min(cfg.fetch_batch_size, -(-admitted_tab.num_rows // (cfg.num_fetchers * 2))))
+        bs = max(512, min(cfg.fetch_batch_size, -(-admitted_tab.num_rows // cfg.num_fetchers)))
         futures = []
         for i, (shard, chunk) in enumerate(
             _route_chunks(admitted_tab, cfg.num_fetchers, bs)
