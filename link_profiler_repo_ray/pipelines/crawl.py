@@ -140,11 +140,12 @@ class FetchParseActor:
     (frontier rows in → pages+edges out) is unchanged.
     """
 
-    def __init__(self, shard_tables: list, flaky_mod=None):
+    def __init__(self, shard_tables: list, flaky_mod=None, frontier_shards: list | None = None):
         # nested ObjectRefs are not auto-resolved in collections
         shard_tables = [
             ray.get(t) if isinstance(t, ray.ObjectRef) else t for t in shard_tables
         ]
+        self.frontier_shards = frontier_shards or []
         self.index: dict[str, tuple] = {}
         for t in shard_tables:
             for u, ts, html, lang in zip(
@@ -278,7 +279,9 @@ class FetchParseActor:
         meta = pa.table(
             {"url": pa.array(urls, pa.string()), "status": pa.array(status, pa.int16())}
         )
-        # per-batch expansion pre-reduction: distinct targets, min depth
+        # per-batch expansion pre-reduction: distinct targets, min depth,
+        # pushed DIRECTLY to the owning frontier shards (actor→actor) —
+        # the driver never touches expansion data
         if edges.num_rows:
             depth_map = dict(zip(urls, depths))
             e = pl.from_arrow(edges.select(["source_url", "target_url", "target_host"]))
@@ -290,17 +293,27 @@ class FetchParseActor:
                 )
                 .group_by("target_url")
                 .agg(pl.col("target_host").first().alias("host"), pl.col("depth").min())
-                .to_arrow()
             )
+            if self.frontier_shards:
+                ns = np.uint64(len(self.frontier_shards))
+                sid = (can.url_hash64(cand.get_column("host").to_list()) % ns).astype(np.int64)
+                cand = cand.with_columns(pl.Series("_shard", sid))
+                futures = []
+                for (s,), sub in cand.partition_by(
+                    "_shard", maintain_order=True, as_dict=True
+                ).items():
+                    futures.append(
+                        self.frontier_shards[int(s)].stage_candidates.remote(
+                            sub.drop("_shard").to_arrow()
+                        )
+                    )
+                ray.get(futures)  # staged before this fetch call returns
+                cand_out = None
+            else:
+                cand_out = cand.to_arrow()
         else:
-            cand = pa.table(
-                {
-                    "target_url": pa.array([], pa.string()),
-                    "host": pa.array([], pa.string()),
-                    "depth": pa.array([], pa.int16()),
-                }
-            )
-        return meta, cand, (edges if collect_edges else None)
+            cand_out = None
+        return meta, cand_out, (edges if collect_edges else None)
 
 
 def _route_chunks(table: pa.Table, num_shards: int, batch_size: int):
@@ -433,7 +446,9 @@ class CrawlEngine:
             runtime_env={"env_vars": {"POLARS_MAX_THREADS": "2"}}
         )
         self.fetchers = [
-            fetcher_cls.remote([refs[s] for refs in split_refs], self.cfg.flaky_mod)
+            fetcher_cls.remote(
+                [refs[s] for refs in split_refs], self.cfg.flaky_mod, self.frontier.shards
+            )
             for s in range(nf)
         ]
         # block until every actor finished building its index
@@ -597,7 +612,6 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             )
         results = ray.get(futures)
         metas = [m for m, _, _ in results]
-        cands = [c for _, c, _ in results if c.num_rows]
         edges_list = [e for _, _, e in results if e is not None and e.num_rows]
         ray.get(confirm_futures)
         counters["t_fetch"] += _time.perf_counter() - _t
@@ -655,19 +669,15 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         if edges_list:
             edges_parts.extend(edges_list)
 
-        # --- expansion: route candidates to their host shards ----------
+        # --- expansion: flush the candidates the fetch actors staged ---
         _t = _time.perf_counter()
-        if cands:
-            cand = pl.from_arrow(pa.concat_tables(cands))
-            ins_futures = [
-                shards[sid].insert_candidates.remote(sub.to_arrow())
-                for sid, sub in frontier.route(cand, "host")
-            ]
-            for n_new, n_dup, newly in ray.get(ins_futures):
-                counters["discovered"] += n_new + n_dup
-                counters["dedup_hits"] += n_dup
-                counters["frontier_ops"] += n_new + n_dup
-                seen_urls.extend(newly)
+        for n_new, n_dup, newly in ray.get(
+            [s.flush_candidates.remote() for s in shards]
+        ):
+            counters["discovered"] += n_new + n_dup
+            counters["dedup_hits"] += n_dup
+            counters["frontier_ops"] += n_new + n_dup
+            seen_urls.extend(newly)
         if retry_futures:
             ray.get(retry_futures)
         counters["t_expand"] += _time.perf_counter() - _t

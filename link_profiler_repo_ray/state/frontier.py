@@ -71,6 +71,7 @@ class FrontierShard:
         self.seen: set[int] = set()
         self.last_crawl_round: dict[str, int] = {}
         self._pending: pl.DataFrame | None = None  # admitted, awaiting confirm
+        self._staged: list[pa.Table] = []  # candidate tables pushed by fetch actors
 
     # --- ingest ----------------------------------------------------------
 
@@ -97,6 +98,25 @@ class FrontierShard:
         )
         self.frontier = pl.concat([self.frontier, rows])
         return newly
+
+    def stage_candidates(self, table: pa.Table) -> None:
+        """Buffer a fetch actor's candidate table for this round.
+
+        Fetch actors push their per-batch (target_url, host, depth)
+        candidates here directly (actor→actor) — the driver never
+        touches expansion data; it only triggers ``flush_candidates``
+        once all fetches of the round completed, which keeps the
+        min-depth merge deterministic (all of a round's candidates are
+        merged in one batch, exactly as the oracle does).
+        """
+        self._staged.append(table)
+
+    def flush_candidates(self) -> tuple[int, int, list[str]]:
+        staged = self._staged
+        self._staged = []
+        if not staged:
+            return 0, 0, []
+        return self.insert_candidates(pa.concat_tables(staged))
 
     def insert_candidates(self, table: pa.Table) -> tuple[int, int, list[str]]:
         """Discovered (target_url, host, depth) for this shard's hosts.

@@ -120,3 +120,39 @@ def test_robots_rules():
     assert not r.allowed("a.com", "https://a.com/doc/1")
     assert r.allowed("a.com", "https://a.com/other")
     assert r.allowed("unknown.com", "https://unknown.com/x")  # 404 ⇒ allow-all
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_persisted_pages_byte_identical_to_corpus(tmp_path):
+    """The BASELINE invariant end-to-end THROUGH the engine: the text
+    column the crawl persists must equal the corpus's reference
+    extraction byte-for-byte, per url."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from link_profiler_repo_ray.sources import corpus as corpus_mod
+
+    ck = str(tmp_path / "ck")
+    cfg = CrawlConfig(num_seen_shards=2, num_fetchers=2, checkpoint_dir=ck, max_pages=80)
+    run_crawl(SF, cfg)
+    pages = pq.read_table(
+        sorted(glob.glob(ck + "/round=*/pages/*.parquet")),
+        columns=["url", "text", "status"],
+    )
+    assert pages.num_rows > 0
+    cdir = corpus_mod.corpus_dir(SF)
+    ref = pq.read_table(
+        sorted(glob.glob(cdir + "/pages_*.parquet")), columns=["url", "text"]
+    )
+    ref_text = dict(zip(ref.column("url").to_pylist(), ref.column("text").to_pylist()))
+    checked = 0
+    for u, t, st in zip(
+        pages.column("url").to_pylist(),
+        pages.column("text").to_pylist(),
+        pages.column("status").to_pylist(),
+    ):
+        if st == 200:
+            assert t == ref_text[u], u
+            checked += 1
+    assert checked > 0
