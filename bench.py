@@ -69,14 +69,20 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn):
+    def settle():
+        # fair stage boundaries: release prior queries' object-store
+        # refs and flush dirty pages so writeback of one stage's output
+        # doesn't bleed into the next stage's timing
         import gc
 
-        gc.collect()  # release prior queries' object-store refs
+        gc.collect()
+        os.sync()
+
+    def timed(name: str, fn):
+        settle()
         t0 = time.time()
         out = fn()
         timings[name] = time.time() - t0
-        gc.collect()
         return out
 
     # 1. the crawl itself: frontier + politeness + fetch + parse
@@ -101,6 +107,7 @@ def run_bench() -> dict:
         output_dir=os.path.join(out_root, "polite"),
         collect_edges=False,
     )
+    settle()
     t0 = time.time()
     res = run_crawl(SF_DIR, cfg, multiplier=mult)
     dt = time.time() - t0
@@ -118,6 +125,7 @@ def run_bench() -> dict:
     from dataclasses import replace
 
     cfg_bfs = replace(cfg, politeness=False, output_dir=os.path.join(out_root, "bfs"))
+    settle()
     t0 = time.time()
     res_bfs = run_crawl(SF_DIR, cfg_bfs, multiplier=mult)
     dt = time.time() - t0
