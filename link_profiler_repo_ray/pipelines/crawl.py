@@ -85,6 +85,7 @@ class CrawlConfig:
     output_dir: str | None = None  # actors persist pages/edges here when no checkpoint
     collect_edges: bool = True  # return edge tables to the driver (small runs/tests)
     resume: bool = False
+    checkpoint_every: int = 1  # write restart-state every K executed rounds
     stop_after_round: int | None = None  # test hook for kill/resume
     flaky_mod: int | None = None  # test hook: doc_id % mod == 0 fails once with 503
     max_retries: int = 3
@@ -353,15 +354,25 @@ class _Checkpointer:
         frontier: "DistributedFrontier",
         order_delta: pa.Table,
         counters: dict,
+        with_state: bool = True,
     ) -> None:
-        """Per-round checkpoint: per-shard frontier/seen/clock dumps +
+        """Per-round checkpoint.
 
-        order delta + manifest (counters, per-partition lineage),
-        manifest written last via atomic rename."""
+        The order delta is written every round (cheap, append-only);
+        the restartable STATE (per-shard frontier/seen/clock dumps +
+        manifest, manifest last via atomic rename) only when
+        ``with_state`` — governed by ``CrawlConfig.checkpoint_every``,
+        since a full seen-set dump per round is O(rounds × seen) at
+        10^10-URL scale.  Older rounds' state dumps are pruned after a
+        newer complete state lands; page/edge/order deltas are kept
+        (they are the lineage)."""
         if not self.root:
             return
         d = self.round_dir(r)
         os.makedirs(d, exist_ok=True)
+        if not with_state:
+            pq.write_table(order_delta, os.path.join(d, "order.parquet"))
+            return
         lineage = {"round": r, "inputs": [], "outputs": []}
         for sub in ("pages", "edges"):
             for pth in sorted(glob.glob(os.path.join(d, sub, "*.parquet"))):
@@ -392,6 +403,37 @@ class _Checkpointer:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, os.path.join(d, "manifest.json"))
+        self._prune_state(r)
+
+    def _prune_state(self, newest: int) -> None:
+        """Drop restart-state of rounds older than ``newest`` (their
+
+        order/pages/edges deltas stay — they are the run's lineage)."""
+        for od in glob.glob(os.path.join(self.root, "round=*")):
+            try:
+                rr = int(os.path.basename(od).split("=")[1])
+            except (IndexError, ValueError):
+                continue
+            if rr >= newest:
+                continue
+            for pat in ("shard-*-frontier.parquet", "shard-*-seen.npy", "shard-*-clock.parquet"):
+                for f in glob.glob(os.path.join(od, pat)):
+                    os.remove(f)
+            mf = os.path.join(od, "manifest.json")
+            if os.path.exists(mf):
+                os.remove(mf)
+
+    def drop_rounds_after(self, r0: int) -> None:
+        """Remove partially-written rounds beyond the resume point so a
+
+        re-run regenerates them cleanly (atomic per-round outputs)."""
+        for od in glob.glob(os.path.join(self.root, "round=*")):
+            try:
+                rr = int(os.path.basename(od).split("=")[1])
+            except (IndexError, ValueError):
+                continue
+            if rr > r0:
+                shutil.rmtree(od, ignore_errors=True)
 
     def restore_round(self, r: int, frontier: "DistributedFrontier") -> dict:
         d = self.round_dir(r)
@@ -503,6 +545,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
     resumed = cfg.resume and ckpt.latest_complete_round() is not None
     if resumed:
         r0 = ckpt.latest_complete_round()
+        ckpt.drop_rounds_after(r0)  # partially-written tail rounds re-run cleanly
         m = ckpt.restore_round(r0, frontier)
         counters.update(m["counters"])
         seen_urls = list(counters.pop("seen_urls", []))
@@ -685,10 +728,11 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
 
         _t = _time.perf_counter()
         if cfg.checkpoint_dir:
+            with_state = counters["rounds"] % max(1, cfg.checkpoint_every) == 0
             ck_counters = dict(counters)
             ck_counters["seen_urls"] = sorted(seen_urls)
             ck_counters["next_seq"] = seq
-            ckpt.write_round(round_no, frontier, order_delta, ck_counters)
+            ckpt.write_round(round_no, frontier, order_delta, ck_counters, with_state=with_state)
             pages_paths.extend(
                 sorted(glob.glob(os.path.join(ckpt.round_dir(round_no), "pages", "*.parquet")))
             )

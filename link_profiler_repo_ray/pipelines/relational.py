@@ -222,3 +222,33 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     return hash_group_apply(
         _read(sf_dir, "events", ["user_id", "event_id", "ts"]), ["user_id"], windows
     )
+
+
+def order_priority_revenue_native(sf_dir: str) -> rd.Dataset:
+    """Same join as :func:`order_priority_revenue` but through Ray
+
+    Data's native hash-partitioned ``Dataset.join`` (available since
+    Ray 2.4x) — kept alongside the explicit ``tagged_union_join`` to
+    document both paths; equivalence is pytest-asserted."""
+    li = hash_aggregate(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+        ["l_orderkey"],
+        combine=[
+            ((pl.col("l_extendedprice") * (1 - pl.col("l_discount"))) * 100 + 0.5)
+            .floor()
+            .cast(pl.Int64)
+            .sum()
+            .alias("rev_cents")
+        ],
+        merge=[pl.col("rev_cents").sum()],
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    return hash_aggregate(
+        joined,
+        ["o_orderpriority"],
+        combine=[pl.col("rev_cents").sum().alias("revenue_cents")],
+        merge=[pl.col("revenue_cents").sum()],
+    )

@@ -50,7 +50,7 @@ def _empty_frontier_df() -> pl.DataFrame:
     return pl.DataFrame(schema=_FRONTIER_POLARS_SCHEMA)
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0.25)
 class FrontierShard:
     def __init__(
         self,

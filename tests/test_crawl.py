@@ -156,3 +156,24 @@ def test_persisted_pages_byte_identical_to_corpus(tmp_path):
             assert t == ref_text[u], u
             checked += 1
     assert checked > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_with_sparse_state_checkpoints(tmp_path):
+    """checkpoint_every=3: kill after a non-state round, resume re-runs
+    the tail deterministically and the final run equals uninterrupted."""
+    full = run_crawl(SF, CrawlConfig(num_seen_shards=2, num_fetchers=2))
+
+    ck = str(tmp_path / "ck")
+    cfg_a = CrawlConfig(
+        num_seen_shards=2, num_fetchers=2, checkpoint_dir=ck,
+        checkpoint_every=3, stop_after_round=7,
+    )
+    run_crawl(SF, cfg_a)
+    cfg_b = CrawlConfig(
+        num_seen_shards=2, num_fetchers=2, checkpoint_dir=ck,
+        checkpoint_every=3, resume=True,
+    )
+    resumed = run_crawl(SF, cfg_b)
+    assert _order_pairs(resumed) == _order_pairs(full)
+    assert resumed.counters["seen_urls"] == full.counters["seen_urls"]

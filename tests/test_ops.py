@@ -108,3 +108,13 @@ def test_tagged_union_join_matches_polars():
     o = out.sort_values(["a", "x"]).reset_index(drop=True)
     e = exp.sort_values(["a", "x"]).reset_index(drop=True)
     assert np.allclose(o["x"], e["x"]) and (o["a"] == e["a"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_native_join_equals_tagged_union_join():
+    from link_profiler_repo_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    a = relational.order_priority_revenue(sf).to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    b = relational.order_priority_revenue_native(sf).to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    assert a[["o_orderpriority", "revenue_cents"]].equals(b[["o_orderpriority", "revenue_cents"]])
