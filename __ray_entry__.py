@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": textdata.embedding_centroids,
         "knn_ivf": textdata.knn_ivf,
         "media_features": textdata.media_features,
+        "embedding_near_dups": textdata.embedding_near_dups,
+        "vocab_top_tokens": textdata.vocab_top_tokens,
         # relational breadth
         "q1_lineitem": relational.q1_lineitem,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -320,6 +322,15 @@ SELECT query_id, vec_id, round(score, 5) AS score, rank FROM r WHERE rank <= 10"
 SELECT label::BIGINT AS label, (g.i - 1)::BIGINT AS dim, round(avg(embedding[g.i]::DOUBLE), 6) AS value
 FROM embeddings CROSS JOIN generate_series(1, 64) g(i)
 GROUP BY 1, 2""",
+        "embedding_near_dups": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 5) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""",
+        "vocab_top_tokens": """
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, count(*)::BIGINT AS doc_freq FROM toks GROUP BY token)
+SELECT token, doc_freq FROM freq ORDER BY doc_freq DESC, token LIMIT 20""",
         "media_features": """
 SELECT doc_id, n_chars AS n_bytes,
        (64 + n_chars % 64)::INTEGER AS width,

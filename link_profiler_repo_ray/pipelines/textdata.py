@@ -702,3 +702,79 @@ def media_features(sf_dir: str) -> rd.Dataset:
         .map_batches(MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
                      concurrency=2, batch_size=256)
     )
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs (exact, distributed).
+
+    The full vector matrix is dimension-small → broadcast it once and
+    scan row-batches against it (each batch computes a batch×all
+    similarity block, keeping pairs a<b over the threshold).  At
+    100 TB the same kernel runs per IVF cell (see :func:`knn_ivf`)
+    instead of against the full broadcast.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id")
+    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((all_ids, mat))
+
+    class Block:
+        def __init__(self, ref):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = emb @ self.mat.T  # (batch, all)
+            rows, cols = np.nonzero(sims >= threshold)
+            a = vids[rows]
+            b = self.ids[cols]
+            keep = a < b  # canonical orientation, drops self-pairs
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[keep], pa.int64()),
+                    "vec_b": pa.array(b[keep], pa.int64()),
+                    "score": pa.array(np.round(sims[rows, cols][keep], 5), pa.float64()),
+                }
+            )
+
+    return embeddings_dataset(sf_dir, ["vec_id", "embedding"]).map_batches(
+        Block, fn_constructor_args=(ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=2,
+    )
+
+
+def vocab_top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Global top-k tokens by document frequency (vocabulary stats).
+
+    Explode distinct (doc, token) per block, hash-aggregate doc
+    frequencies, then one tiny global top-k (count desc, token asc).
+    """
+
+    def tok_stage(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            for t in set(text.split()):
+                ids.append(did)
+                toks.append(t)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "token": pa.array(toks, pa.string())})
+
+    freq = hash_aggregate(
+        documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+            tok_stage, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["token"],
+        combine=[pl.len().cast(pl.Int64).alias("doc_freq")],
+        merge=[pl.col("doc_freq").sum()],
+    )
+    # global top-k: tiny result, single final reduction
+    tables = [ray.get(r) for r in freq.to_arrow_refs()]
+    df = pl.concat([pl.from_arrow(tb) for tb in tables if tb.num_rows])
+    return (
+        df.sort(["doc_freq", "token"], descending=[True, False]).head(k).to_arrow()
+    )
