@@ -1,0 +1,86 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+    ray job submit -- python -m link_profiler_repo_ray.cli crawl \\
+        --sf-dir /root/testdata/sf0.01 --checkpoint /tmp/ck --resume
+
+Subcommands:
+- ``crawl``    run the politeness-budgeted frontier crawl (checkpointed,
+               resumable)
+- ``bfs``      politeness-off BFS mode
+- ``profiles`` full-corpus link-profile aggregation to Parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="link_profiler_repo_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name in ("crawl", "bfs"):
+        c = sub.add_parser(name)
+        c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        c.add_argument("--multiplier", type=int, default=1)
+        c.add_argument("--checkpoint", default=None)
+        c.add_argument("--output", default=None)
+        c.add_argument("--resume", action="store_true")
+        c.add_argument("--max-pages", type=int, default=None)
+        c.add_argument("--max-depth", type=int, default=3)
+        c.add_argument("--budget", type=int, default=2, help="max fetches per host per round")
+        c.add_argument("--shards", type=int, default=8)
+        c.add_argument("--fetchers", type=int, default=8)
+        c.add_argument("--checkpoint-every", type=int, default=1)
+
+    p = sub.add_parser("profiles")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--multiplier", type=int, default=1)
+    p.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    try:
+        if args.cmd in ("crawl", "bfs"):
+            from .pipelines.crawl import CrawlConfig, run_crawl
+
+            cfg = CrawlConfig(
+                politeness=(args.cmd == "crawl"),
+                max_pages=args.max_pages,
+                max_depth=args.max_depth,
+                max_per_host_per_round=args.budget,
+                num_seen_shards=args.shards,
+                num_fetchers=args.fetchers,
+                checkpoint_dir=args.checkpoint,
+                output_dir=args.output,
+                collect_edges=False,
+                resume=args.resume,
+                checkpoint_every=args.checkpoint_every,
+            )
+            res = run_crawl(args.sf_dir, cfg, multiplier=args.multiplier)
+            out = {
+                k: v
+                for k, v in res.counters.items()
+                if k != "seen_urls" and not k.startswith("t_")
+            }
+            out["seen_urls"] = len(res.counters.get("seen_urls", []))
+            print(json.dumps(out))
+        elif args.cmd == "profiles":
+            from .pipelines import graph
+
+            graph.link_profiles(args.sf_dir, multiplier=args.multiplier).write_parquet(args.out)
+            print(json.dumps({"written": args.out}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
