@@ -88,6 +88,8 @@ class CrawlConfig:
     checkpoint_every: int = 1  # write restart-state every K executed rounds
     stop_after_round: int | None = None  # test hook for kill/resume
     flaky_mod: int | None = None  # test hook: doc_id % mod == 0 fails once with 503
+    seen_backend: str = "exact"  # "exact" (oracle-matched) | "cuckoo" (2 B/key)
+    seen_capacity: int = 1 << 20  # per-shard cuckoo capacity
     max_retries: int = 3
 
     def config_hash(self) -> str:
@@ -475,6 +477,8 @@ class CrawlEngine:
             self.cfg.politeness,
             self.cfg.max_depth,
             collect_seen=self.cfg.collect_edges,
+            seen_backend=self.cfg.seen_backend,
+            seen_capacity=self.cfg.seen_capacity,
         )
         # one read of each corpus file, hash-partitioned into P shard refs
         nf = self.cfg.num_fetchers

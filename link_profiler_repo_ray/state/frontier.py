@@ -50,6 +50,62 @@ def _empty_frontier_df() -> pl.DataFrame:
     return pl.DataFrame(schema=_FRONTIER_POLARS_SCHEMA)
 
 
+class _ExactSeen:
+    """Exact uint64 membership (the oracle-matched default)."""
+
+    def __init__(self):
+        self._set: set[int] = set()
+
+    def contains_and_insert(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.empty(len(hashes), dtype=bool)
+        s = self._set
+        for i, h in enumerate(hashes.tolist()):
+            if h in s:
+                out[i] = False
+            else:
+                s.add(h)
+                out[i] = True
+        return out
+
+    def __len__(self) -> int:
+        return len(self._set)
+
+    def dump(self) -> np.ndarray:
+        return np.sort(np.fromiter(self._set, dtype=np.uint64, count=len(self._set)))
+
+    def load(self, arr: np.ndarray) -> None:
+        self._set = set(arr.astype(np.uint64).tolist())
+
+
+class _CuckooSeen:
+    """Cuckoo-filter membership: ~2 B/key, tiny FP rate — the
+
+    10^10-URL memory plan (state/cuckoo.py; a false positive makes the
+    crawler skip a never-seen URL, acceptable loss semantics at that
+    scale)."""
+
+    def __init__(self, capacity: int):
+        from .cuckoo import CuckooFilter
+
+        self.filter = CuckooFilter(capacity)
+
+    def contains_and_insert(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.contains_and_insert(hashes)
+
+    def __len__(self) -> int:
+        return self.filter.size
+
+    def dump(self) -> np.ndarray:
+        return self.filter.table
+
+    def load(self, arr: np.ndarray) -> None:
+        from .cuckoo import CuckooFilter
+
+        self.filter = CuckooFilter.from_state(
+            {"table": arr.astype(np.uint16), "size": int(np.count_nonzero(arr))}
+        )
+
+
 @ray.remote(num_cpus=0.25)
 class FrontierShard:
     def __init__(
@@ -60,6 +116,8 @@ class FrontierShard:
         politeness: bool,
         max_depth: int,
         collect_seen: bool,
+        seen_backend: str = "exact",
+        seen_capacity: int = 1 << 20,
     ):
         self.shard_id = shard_id
         self.robots = RobotsIndex(robots_by_host)
@@ -68,7 +126,7 @@ class FrontierShard:
         self.max_depth = max_depth
         self.collect_seen = collect_seen
         self.frontier: pl.DataFrame = _empty_frontier_df()
-        self.seen: set[int] = set()
+        self.seen = _CuckooSeen(seen_capacity) if seen_backend == "cuckoo" else _ExactSeen()
         self.last_crawl_round: dict[str, int] = {}
         self._pending: pl.DataFrame | None = None  # admitted, awaiting confirm
         self._staged: list[pa.Table] = []  # candidate tables pushed by fetch actors
@@ -79,12 +137,8 @@ class FrontierShard:
         """Seed rows (url, url_hash, host, priority); dedups via seen."""
         df = pl.from_arrow(table)
         newly = []
-        keep = np.zeros(df.height, dtype=bool)
-        hashes = df.get_column("url_hash").to_numpy()
-        for i, h in enumerate(hashes.tolist()):
-            if h not in self.seen:
-                self.seen.add(h)
-                keep[i] = True
+        hashes = df.get_column("url_hash").to_numpy().astype(np.uint64)
+        keep = self.seen.contains_and_insert(hashes)
         df = df.filter(pl.Series(keep))
         if self.collect_seen:
             newly = df.get_column("url").to_list()
@@ -134,11 +188,7 @@ class FrontierShard:
         )
         urls = cand.get_column("target_url").to_list()
         hashes = can.url_hash64(urls)
-        keep = np.zeros(len(urls), dtype=bool)
-        for i, h in enumerate(hashes.tolist()):
-            if h not in self.seen:
-                self.seen.add(h)
-                keep[i] = True
+        keep = self.seen.contains_and_insert(hashes)
         n_new = int(keep.sum())
         n_dup = len(urls) - n_new
         cand = cand.with_columns(pl.Series("url_hash", hashes), pl.Series("_new", keep))
@@ -255,12 +305,11 @@ class FrontierShard:
             },
             schema={"host": pl.Utf8, "last_crawl_round": pl.Int64},
         )
-        seen_arr = np.sort(np.fromiter(self.seen, dtype=np.uint64, count=len(self.seen)))
-        return self.frontier.to_arrow(), seen_arr, clock.to_arrow()
+        return self.frontier.to_arrow(), self.seen.dump(), clock.to_arrow()
 
     def load(self, frontier: pa.Table, seen_arr: np.ndarray, clock: pa.Table) -> None:
         self.frontier = pl.from_arrow(frontier).cast(_FRONTIER_POLARS_SCHEMA)
-        self.seen = set(seen_arr.tolist())
+        self.seen.load(seen_arr)
         c = pl.from_arrow(clock)
         self.last_crawl_round = dict(
             zip(c.get_column("host").to_list(), c.get_column("last_crawl_round").to_list())
@@ -281,6 +330,8 @@ class DistributedFrontier:
         politeness: bool,
         max_depth: int,
         collect_seen: bool = True,
+        seen_backend: str = "exact",
+        seen_capacity: int = 1 << 20,
     ):
         self.num_shards = num_shards
         # cap polars threads per shard actor: 8+ actors each spawning a
@@ -291,7 +342,8 @@ class DistributedFrontier:
         )
         self.shards = [
             actor_cls.remote(
-                s, robots_by_host, max_per_host, politeness, max_depth, collect_seen
+                s, robots_by_host, max_per_host, politeness, max_depth, collect_seen,
+                seen_backend, seen_capacity,
             )
             for s in range(num_shards)
         ]

@@ -59,3 +59,18 @@ def test_memory_footprint():
     f = CuckooFilter(capacity=900_000)
     bytes_per_key = f.table.nbytes / 900_000
     assert bytes_per_key < 3.0
+
+
+def test_cuckoo_backed_crawl_matches_exact(ray_session):
+    """At test scale the cuckoo FP probability is tiny and the filter is
+    deterministic, so a cuckoo-backed crawl must equal the exact one."""
+    from link_profiler_repo_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    sf = "/root/testdata/sf0.001"
+    exact = run_crawl(sf, CrawlConfig(num_seen_shards=2, num_fetchers=2))
+    cuckoo = run_crawl(
+        sf,
+        CrawlConfig(num_seen_shards=2, num_fetchers=2, seen_backend="cuckoo"),
+    )
+    assert exact.order.column("url").to_pylist() == cuckoo.order.column("url").to_pylist()
+    assert exact.counters["seen_urls"] == cuckoo.counters["seen_urls"]
