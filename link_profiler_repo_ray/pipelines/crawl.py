@@ -66,8 +66,7 @@ from .. import schemas
 from ..functions import canonical as can
 from ..functions.htmlx import extract_links, extract_text_batch
 from ..sources import corpus as corpus_mod
-from ..state.politeness import RobotsIndex, HostClock, DEFAULT_MAX_PER_HOST_PER_ROUND
-from ..state.seen import SeenSet
+from ..state.politeness import RobotsIndex, DEFAULT_MAX_PER_HOST_PER_ROUND
 
 __all__ = ["CrawlConfig", "run_crawl", "oracle_crawl", "CrawlResult"]
 
