@@ -70,7 +70,10 @@ def main(argv=None) -> int:
                 for k, v in res.counters.items()
                 if k != "seen_urls" and not k.startswith("t_")
             }
-            out["seen_urls"] = len(res.counters.get("seen_urls", []))
+            # authoritative seen-set size comes from the shard actors
+            # (counters["seen_total"]), not the optionally-collected
+            # driver list (round-1 advice: the CLI printed 0 for
+            # "not collected")
             print(json.dumps(out))
         elif args.cmd == "profiles":
             from .pipelines import graph

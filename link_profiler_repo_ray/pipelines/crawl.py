@@ -83,23 +83,48 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     output_dir: str | None = None  # actors persist pages/edges here when no checkpoint
     collect_edges: bool = True  # return edge tables to the driver (small runs/tests)
+    collect_seen: bool | None = None  # collect seen-url list on driver; None → collect_edges
     resume: bool = False
     checkpoint_every: int = 1  # write restart-state every K executed rounds
     stop_after_round: int | None = None  # test hook for kill/resume
     flaky_mod: int | None = None  # test hook: doc_id % mod == 0 fails once with 503
+    flaky_persistent: bool = False  # test hook: flaky urls fail EVERY attempt (breaker tests)
+    collect_order: bool | None = None  # keep order deltas in driver RAM; None → collect_edges
     seen_backend: str = "exact"  # "exact" (oracle-matched) | "cuckoo" (2 B/key)
     seen_capacity: int = 1 << 20  # per-shard cuckoo capacity
     max_retries: int = 3
+    breaker_enabled: bool = True  # T5 per-host circuit breaker in the shards
+    breaker_failure_threshold: int = 5  # distributed_circuit_breaker.py:22-152
+    breaker_recovery_rounds: int = 60
+    breaker_close_threshold: int = 3
+
+    # knobs that change HOW FAST, never WHAT, the crawl computes —
+    # excluded from the config hash so a resume may retune them
+    # (round-1 advice: a fetcher-count change silently orphaned — and
+    # then deleted — an otherwise valid checkpoint)
+    _PERF_KNOBS = (
+        "checkpoint_dir",
+        "resume",
+        "stop_after_round",
+        "num_fetchers",
+        "fetch_batch_size",
+        "checkpoint_every",
+        "collect_edges",
+        "collect_seen",
+        "collect_order",
+    )
+
+    def resolved_collect_seen(self) -> bool:
+        return self.collect_edges if self.collect_seen is None else self.collect_seen
+
+    def resolved_collect_order(self) -> bool:
+        return self.collect_edges if self.collect_order is None else self.collect_order
 
     def config_hash(self) -> str:
         import hashlib
 
         payload = json.dumps(
-            {
-                k: v
-                for k, v in self.__dict__.items()
-                if k not in ("checkpoint_dir", "resume", "stop_after_round")
-            },
+            {k: v for k, v in self.__dict__.items() if k not in self._PERF_KNOBS},
             sort_keys=True,
         )
         return hashlib.md5(payload.encode()).hexdigest()[:12]
@@ -142,11 +167,21 @@ class FetchParseActor:
     (frontier rows in → pages+edges out) is unchanged.
     """
 
-    def __init__(self, shard_tables: list, flaky_mod=None, frontier_shards: list | None = None):
-        # nested ObjectRefs are not auto-resolved in collections
-        shard_tables = [
-            ray.get(t) if isinstance(t, ray.ObjectRef) else t for t in shard_tables
-        ]
+    def __init__(
+        self,
+        shard_tables: list,
+        flaky_mod=None,
+        frontier_shards: list | None = None,
+        flaky_persistent: bool = False,
+    ):
+        # nested ObjectRefs are not auto-resolved in collections; a
+        # num_returns=1 split task returns a LIST of tables per ref
+        # (round-1 advice: num_fetchers=1 crashed here) — flatten both.
+        resolved: list[pa.Table] = []
+        for t in shard_tables:
+            v = ray.get(t) if isinstance(t, ray.ObjectRef) else t
+            resolved.extend(v) if isinstance(v, list) else resolved.append(v)
+        shard_tables = resolved
         self.frontier_shards = frontier_shards or []
         self.index: dict[str, tuple] = {}
         for t in shard_tables:
@@ -158,6 +193,7 @@ class FetchParseActor:
             ):
                 self.index[u] = (ts, html, lang)
         self.flaky_mod = flaky_mod
+        self.flaky_persistent = flaky_persistent
         self._attempted: set[str] = set()
 
     def ready(self) -> int:
@@ -190,7 +226,9 @@ class FetchParseActor:
                 htmls.append(None)
                 langs.append(None)
                 continue
-            if self.flaky_mod is not None and u not in self._attempted:
+            if self.flaky_mod is not None and (
+                self.flaky_persistent or u not in self._attempted
+            ):
                 self._attempted.add(u)
                 d_str = u.rsplit("/", 1)[-1]
                 if d_str.isdigit() and int(d_str) % self.flaky_mod == 0:
@@ -379,7 +417,7 @@ class _Checkpointer:
             for pth in sorted(glob.glob(os.path.join(d, sub, "*.parquet"))):
                 lineage["outputs"].append({"table": sub, "path": pth})
         dumps = ray.get([s.dump.remote() for s in frontier.shards])
-        for i, (ftab, seen_arr, clock) in enumerate(dumps):
+        for i, (ftab, seen_arr, clock, brk) in enumerate(dumps):
             pq.write_table(ftab, os.path.join(d, f"shard-{i}-frontier.parquet"))
             with open(os.path.join(d, f"shard-{i}-seen.npy.tmp"), "wb") as fh:
                 np.save(fh, seen_arr)
@@ -388,6 +426,7 @@ class _Checkpointer:
                 os.path.join(d, f"shard-{i}-seen.npy"),
             )
             pq.write_table(clock, os.path.join(d, f"shard-{i}-clock.parquet"))
+            pq.write_table(brk, os.path.join(d, f"shard-{i}-breaker.parquet"))
             lineage["outputs"].append(
                 {"table": "frontier", "shard": i, "rows": ftab.num_rows}
             )
@@ -417,7 +456,12 @@ class _Checkpointer:
                 continue
             if rr >= newest:
                 continue
-            for pat in ("shard-*-frontier.parquet", "shard-*-seen.npy", "shard-*-clock.parquet"):
+            for pat in (
+                "shard-*-frontier.parquet",
+                "shard-*-seen.npy",
+                "shard-*-clock.parquet",
+                "shard-*-breaker.parquet",
+            ):
                 for f in glob.glob(os.path.join(od, pat)):
                     os.remove(f)
             mf = os.path.join(od, "manifest.json")
@@ -443,7 +487,9 @@ class _Checkpointer:
             ftab = pq.read_table(os.path.join(d, f"shard-{i}-frontier.parquet"))
             seen_arr = np.load(os.path.join(d, f"shard-{i}-seen.npy"))
             clock = pq.read_table(os.path.join(d, f"shard-{i}-clock.parquet"))
-            futures.append(s.load.remote(ftab, seen_arr, clock))
+            brk_path = os.path.join(d, f"shard-{i}-breaker.parquet")
+            brk = pq.read_table(brk_path) if os.path.exists(brk_path) else None
+            futures.append(s.load.remote(ftab, seen_arr, clock, brk))
         ray.get(futures)
         with open(os.path.join(d, "manifest.json")) as fh:
             return json.load(fh)
@@ -475,9 +521,18 @@ class CrawlEngine:
             self.cfg.max_per_host_per_round,
             self.cfg.politeness,
             self.cfg.max_depth,
-            collect_seen=self.cfg.collect_edges,
+            collect_seen=self.cfg.resolved_collect_seen(),
             seen_backend=self.cfg.seen_backend,
             seen_capacity=self.cfg.seen_capacity,
+            breaker_cfg=(
+                {
+                    "failure_threshold": self.cfg.breaker_failure_threshold,
+                    "recovery_rounds": self.cfg.breaker_recovery_rounds,
+                    "close_threshold": self.cfg.breaker_close_threshold,
+                }
+                if self.cfg.breaker_enabled
+                else None
+            ),
         )
         # one read of each corpus file, hash-partitioned into P shard refs
         nf = self.cfg.num_fetchers
@@ -492,7 +547,10 @@ class CrawlEngine:
         )
         self.fetchers = [
             fetcher_cls.remote(
-                [refs[s] for refs in split_refs], self.cfg.flaky_mod, self.frontier.shards
+                [refs[s] for refs in split_refs],
+                self.cfg.flaky_mod,
+                self.frontier.shards,
+                self.cfg.flaky_persistent,
             )
             for s in range(nf)
         ]
@@ -542,16 +600,27 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
     edges_parts: list[pa.Table] = []
     pages_paths: list[str] = []
     seen_urls: list[str] = []
+    collect_seen = cfg.resolved_collect_seen()
     seq = 0
     start_round = 0
 
     resumed = cfg.resume and ckpt.latest_complete_round() is not None
+    if cfg.resume and not resumed:
+        # round-1 advice: silently rmtree-ing the checkpoint dir on a
+        # failed resume destroyed all prior lineage.  A requested
+        # resume that cannot find a complete, config-compatible round
+        # is an operator error, not a fresh start.
+        raise RuntimeError(
+            f"resume requested but no complete checkpoint for config_hash="
+            f"{cfg.config_hash()} under {cfg.checkpoint_dir!r}; delete the "
+            "directory explicitly (or fix the config) to start fresh"
+        )
     if resumed:
         r0 = ckpt.latest_complete_round()
         ckpt.drop_rounds_after(r0)  # partially-written tail rounds re-run cleanly
         m = ckpt.restore_round(r0, frontier)
         counters.update(m["counters"])
-        seen_urls = list(counters.pop("seen_urls", []))
+        counters.pop("seen_urls", None)  # legacy manifests
         seq = counters.pop("next_seq", 0)
         start_round = r0 + 1
         for rr in range(r0 + 1):
@@ -562,6 +631,18 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             for pth in sorted(glob.glob(os.path.join(rd_, "edges", "*.parquet"))):
                 edges_parts.append(pq.read_table(pth))
             pages_paths.extend(sorted(glob.glob(os.path.join(rd_, "pages", "*.parquet"))))
+        if collect_seen:
+            # the manifest holds counters only (O(1), not O(seen)); the
+            # seen-URL list is derivable: seeds ∪ every discovered
+            # target in the persisted edge lineage
+            seen_set: set[str] = set()
+            for row in corpus_mod.seed_rows(n_docs):
+                u = can.canonicalize(row["url"])
+                if u is not None:
+                    seen_set.add(u)
+            for e in edges_parts:
+                seen_set.update(e.column("target_url").to_pylist())
+            seen_urls = list(seen_set)
     else:
         if cfg.checkpoint_dir and os.path.isdir(cfg.checkpoint_dir):
             shutil.rmtree(cfg.checkpoint_dir)
@@ -690,7 +771,15 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             }
         )
         seq += n_adm
-        order_parts.append(order_delta)
+        if cfg.resolved_collect_order():
+            order_parts.append(order_delta)
+        elif persist_dir is not None and not cfg.checkpoint_dir:
+            # driver-RAM diet: the order log goes straight to the
+            # run's output lineage instead of accumulating O(corpus)
+            # tables on the driver (checkpoint runs write it in
+            # write_round)
+            os.makedirs(persist_dir, exist_ok=True)
+            pq.write_table(order_delta, os.path.join(persist_dir, "order.parquet"))
 
         failed = joined.filter(pl.col("status") == 503)
         retry_futures = []
@@ -710,6 +799,15 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             )
             for sid, sub in frontier.route(retry, "host"):
                 retry_futures.append(shards[sid].insert_retries.remote(sub.to_arrow()))
+        # T5: feed per-URL outcomes (admitted order) to the hosts'
+        # breaker shards; must settle before the next round's admit
+        if cfg.breaker_enabled:
+            for sid, sub in frontier.route(joined, "host"):
+                retry_futures.append(
+                    shards[sid].record_outcomes.remote(
+                        round_no, sub.select(["host", "status"]).to_arrow()
+                    )
+                )
         counters["t_order"] += _time.perf_counter() - _t
 
         if edges_list:
@@ -732,8 +830,10 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         _t = _time.perf_counter()
         if cfg.checkpoint_dir:
             with_state = counters["rounds"] % max(1, cfg.checkpoint_every) == 0
+            # manifest counters are O(1): no URL lists (the seen set is
+            # derivable from seeds + edge lineage; shard dumps hold the
+            # authoritative hash state)
             ck_counters = dict(counters)
-            ck_counters["seen_urls"] = sorted(seen_urls)
             ck_counters["next_seq"] = seq
             ckpt.write_round(round_no, frontier, order_delta, ck_counters, with_state=with_state)
             pages_paths.extend(
@@ -746,6 +846,13 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         round_no += 1
 
     counters["seen_urls"] = sorted(seen_urls)
+    shard_sizes = ray.get([s.sizes.remote() for s in shards])
+    counters["seen_total"] = sum(n for _, n in shard_sizes)
+    counters["frontier_remaining"] = sum(f for f, _ in shard_sizes)
+    if cfg.breaker_enabled:
+        stats = ray.get([s.breaker_stats.remote() for s in shards])
+        counters["breaker_opens"] = sum(x["opens"] for x in stats)
+        counters["breaker_open_hosts"] = sum(x["open_hosts"] for x in stats)
     order = (
         pa.concat_tables(order_parts)
         if order_parts

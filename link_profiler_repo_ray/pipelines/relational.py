@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..ops import hash_aggregate, hash_group_apply, tagged_union_join
+from ..ops import auto_concurrency, hash_aggregate, hash_group_apply, tagged_union_join
 
 __all__ = [
     "q1_lineitem",
@@ -105,7 +105,7 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
 
     joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         Lookup, fn_constructor_args=(ref,), batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=2,
+        concurrency=auto_concurrency(),
     )
     return hash_aggregate(
         joined,

@@ -14,7 +14,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..ops import hash_aggregate, hash_group_apply
+from ..ops import auto_concurrency, hash_aggregate, hash_group_apply
 from ..stages import SeoStage
 from . import graph
 
@@ -140,7 +140,7 @@ def customers_without_orders(sf_dir: str) -> rd.Dataset:
 
     marked = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         AntiMark, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=2,
+        zero_copy_batch=True, concurrency=auto_concurrency(),
     )
     return hash_aggregate(
         marked,
@@ -280,7 +280,7 @@ def enriched_edges(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
         graph.edges_dataset(sf_dir, multiplier)
         .select_columns(["source_url", "target_url", "source_host", "link_type"])
         .map_batches(Enrich, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     zero_copy_batch=True, concurrency=2)
+                     zero_copy_batch=True, concurrency=auto_concurrency())
     )
 
 

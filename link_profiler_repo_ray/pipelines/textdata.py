@@ -23,7 +23,7 @@ import ray
 import ray.data as rd
 
 from ..functions import textstats
-from ..ops import hash_aggregate, hash_group_apply
+from ..ops import auto_concurrency, hash_aggregate, hash_group_apply
 from ..functions.htmlx import extract_text_batch
 from ..functions.sketches import (
     band_hashes,
@@ -153,7 +153,7 @@ class _LangIdStage:
 
 def lang_id_docs(sf_dir: str) -> rd.Dataset:
     return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        _LangIdStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        _LangIdStage, batch_format="pyarrow", zero_copy_batch=True, concurrency=auto_concurrency()
     )
 
 
@@ -298,7 +298,7 @@ def minhash_lsh_dups(
         fn_constructor_args=(ref, shingle_n),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=auto_concurrency(),
     )
     return verified.filter(expr=f"jaccard >= {threshold}")
 
@@ -453,7 +453,7 @@ def word_jaccard_pairs(sf_dir: str, threshold: float = 0.9) -> rd.Dataset:
 
     return shared.map_batches(
         Finalize, fn_constructor_args=(sizes_ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=2,
+        zero_copy_batch=True, concurrency=auto_concurrency(),
     )
 
 
@@ -517,7 +517,7 @@ def embedding_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> rd.Dataset:
     return (
         embeddings_dataset(sf_dir, ["vec_id", "embedding"])
         .map_batches(Partial, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     zero_copy_batch=True, concurrency=2)
+                     zero_copy_batch=True, concurrency=auto_concurrency())
         .groupby("query_id")
         .map_groups(merge, batch_format="pandas")
     )
@@ -643,7 +643,7 @@ def knn_ivf(
     return (
         embeddings_dataset(sf_dir, ["vec_id", "embedding"])
         .map_batches(CellSearch, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     zero_copy_batch=True, concurrency=2)
+                     zero_copy_batch=True, concurrency=auto_concurrency())
         .groupby("query_id")
         .map_groups(merge, batch_format="pandas")
     )
@@ -700,7 +700,7 @@ def media_features(sf_dir: str) -> rd.Dataset:
         documents_dataset(sf_dir, ["doc_id", "text"])
         .map_batches(to_binary, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
-                     concurrency=2, batch_size=256)
+                     concurrency=auto_concurrency(), batch_size=256)
     )
 
 
@@ -745,7 +745,7 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
 
     return embeddings_dataset(sf_dir, ["vec_id", "embedding"]).map_batches(
         Block, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=2,
+        zero_copy_batch=True, concurrency=auto_concurrency(),
     )
 
 

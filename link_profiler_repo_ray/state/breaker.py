@@ -30,6 +30,7 @@ class CircuitBreaker:
     recovery_rounds: int = 60
     close_threshold: int = 3
     hosts: dict = field(default_factory=dict)
+    opens: int = 0  # lifetime count of CLOSED/HALF_OPEN -> OPEN trips
 
     def _st(self, host: str) -> _HostState:
         if host not in self.hosts:
@@ -63,6 +64,32 @@ class CircuitBreaker:
             st.state = OPEN
             st.opened_round = round_no
             st.consecutive_failures = 0
+            self.opens += 1
 
     def state_of(self, host: str) -> str:
         return self._st(host).state
+
+    # --- checkpoint serialization (deterministic resume) -----------------
+
+    def state_rows(self) -> list[dict]:
+        return [
+            {
+                "host": h,
+                "state": st.state,
+                "consecutive_failures": st.consecutive_failures,
+                "consecutive_successes": st.consecutive_successes,
+                "opened_round": st.opened_round,
+            }
+            for h, st in sorted(self.hosts.items())
+        ]
+
+    def load_state(self, rows) -> None:
+        self.hosts = {
+            r["host"]: _HostState(
+                state=r["state"],
+                consecutive_failures=int(r["consecutive_failures"]),
+                consecutive_successes=int(r["consecutive_successes"]),
+                opened_round=int(r["opened_round"]),
+            )
+            for r in rows
+        }

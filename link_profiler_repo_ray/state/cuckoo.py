@@ -27,7 +27,7 @@ _MAX_KICKS = 500
 class CuckooFilter:
     """16-bit-fingerprint, 4-way-bucket cuckoo filter over uint64 keys."""
 
-    def __init__(self, capacity: int, seed: int = 0x9E3779B9):
+    def __init__(self, capacity: int):
         # power-of-two bucket count sized for ~95% max load
         n_buckets = 1
         while n_buckets * 4 * 0.95 < capacity:
@@ -36,7 +36,6 @@ class CuckooFilter:
         self.mask = np.uint64(n_buckets - 1)
         self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
         self.size = 0
-        self._rng = np.random.RandomState(seed & 0x7FFFFFFF)
 
     # fingerprint: low 16 bits of the key's upper half, never 0
     @staticmethod
@@ -76,10 +75,17 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.size += 1
                 return True
-        # cuckoo kicks
+        # cuckoo kicks; the victim slot is derived deterministically
+        # from (fingerprint, kick counter) — no RNG, so checkpoint
+        # restore replays the exact eviction sequence (round-1 advice:
+        # an unserialized RNG made resumed runs diverge).  On give-up
+        # the kick path is ROLLED BACK (the swap is an involution), so
+        # a failed insert never silently evicts some other key.
         i = i1
-        for _ in range(_MAX_KICKS):
-            slot = int(self._rng.randint(0, 4))
+        path: list[tuple[int, int]] = []
+        for kick in range(_MAX_KICKS):
+            slot = (int(fp) + kick) & 3
+            path.append((i, slot))
             fp, self.table[i, slot] = self.table[i, slot], fp
             i = self._index2(i, fp)
             row = self.table[i]
@@ -88,6 +94,8 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.size += 1
                 return True
+        for i_k, s_k in reversed(path):
+            fp, self.table[i_k, s_k] = self.table[i_k, s_k], fp
         return False
 
     def contains_and_insert(self, hashes: np.ndarray) -> np.ndarray:
