@@ -305,17 +305,34 @@ def url_priority_scores(sf_dir: str) -> rd.Dataset:
 
 # --- O5: valuable-domain limit ---------------------------------------------
 
-def top_valuable_domains(sf_dir: str, k: int = 3, multiplier: int = 1):
+def top_valuable_domains(sf_dir: str, k: int = 3, multiplier: int = 1) -> rd.Dataset:
     """filter(valuable) → deterministic sort → limit k
 
-    (expired_domain_finder_service.py:24-79's stop-at-limit shape)."""
-    scored = domain_value_scores(sf_dir, multiplier).to_arrow_refs()
-    tables = [ray.get(r) for r in scored]
-    df = pl.concat([pl.from_arrow(t) for t in tables if t.num_rows])
-    out = (
-        df.filter(pl.col("valuable"))
-        .sort(["value_score", "target_host"], descending=[True, False])
-        .head(k)
-        .select(["target_host", "value_score"])
+    (expired_domain_finder_service.py:24-79's stop-at-limit shape).
+    Per-block top-k then a one-block final merge of ≤ k·blocks rows —
+    no driver materialization of the scored table."""
+    scored = domain_value_scores(sf_dir, multiplier)
+
+    def blk(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .filter(pl.col("valuable"))
+            .sort(["value_score", "target_host"], descending=[True, False])
+            .head(k)
+            .select(["target_host", "value_score"])
+            .to_arrow()
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .sort(["value_score", "target_host"], descending=[True, False])
+            .head(k)
+            .to_arrow()
+        )
+
+    return (
+        scored.map_batches(blk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
     )
-    return out.to_arrow()
