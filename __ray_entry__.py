@@ -48,8 +48,13 @@ def _crawl_ordered(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from link_profiler_repo_ray.pipelines import graph, relational, research, textdata
+    from link_profiler_repo_ray.sources import cdx
 
     return {
+        # CDX index sources (S4/S5)
+        "cc_cdx_parse": cdx.cc_cdx_parse,
+        "wayback_latest_snapshot": cdx.wayback_latest_snapshot,
+        "cdx_seed_frontier": cdx.cdx_seed_frontier,
         # research / auxiliary operators
         "seo_metrics": research.seo_metrics,
         "domain_value_scores": research.domain_value_scores,
@@ -106,6 +111,34 @@ def oracle_sql() -> dict[str, str]:
     stop_list = "('the','and','of','a','to','in','is','that','it','for')"
     wsum = "1.1000000000000003"  # repr(sum of |weights|), core/models.py:193-204
     return {
+        "cc_cdx_parse": "WITH "
+        + hosts_cte()
+        + """
+SELECT 'com,example,h' || host_id || ')/doc/' || doc_id AS urlkey,
+       url,
+       'h' || host_id || '.example.com' AS host,
+       TIMESTAMP '2024-03-01' + (97 * doc_id) * INTERVAL 1 MINUTE AS fetch_ts,
+       CASE WHEN doc_id % 11 = 0 THEN 'application/pdf' ELSE 'text/html' END AS mime,
+       (CASE WHEN doc_id % 13 = 0 THEN 301 ELSE 200 END)::BIGINT AS status,
+       'D' || doc_id AS digest,
+       (1000 + doc_id % 777)::BIGINT AS length
+FROM docurl""",
+        "wayback_latest_snapshot": "WITH "
+        + hosts_cte()
+        + """,
+snaps AS (
+  SELECT u.url,
+         TIMESTAMP '2024-03-01' + (97 * u.doc_id) * INTERVAL 1 MINUTE
+           + g.k * INTERVAL 1 DAY AS snap_ts
+  FROM docurl u CROSS JOIN generate_series(0, 2) g(k)
+  WHERE g.k < 1 + u.doc_id % 3)
+SELECT url, max(snap_ts) AS latest_ts, count(*)::BIGINT AS n_snapshots
+FROM snaps GROUP BY url""",
+        "cdx_seed_frontier": "WITH "
+        + hosts_cte()
+        + """
+SELECT url, 'h' || host_id || '.example.com' AS host, 5::BIGINT AS priority
+FROM docurl WHERE doc_id % 13 <> 0 AND doc_id % 11 <> 0""",
         "seo_metrics": "WITH "
         + hosts_cte()
         + ","

@@ -89,6 +89,8 @@ class CrawlConfig:
     stop_after_round: int | None = None  # test hook for kill/resume
     flaky_mod: int | None = None  # test hook: doc_id % mod == 0 fails once with 503
     flaky_persistent: bool = False  # test hook: flaky urls fail EVERY attempt (breaker tests)
+    seeds: list | None = None  # explicit [{url, priority}] seed list (e.g. from a CDX index);
+    #                            None → the corpus's synthetic seed rows
     collect_order: bool | None = None  # keep order deltas in driver RAM; None → collect_edges
     seen_backend: str = "exact"  # "exact" (oracle-matched) | "cuckoo" (2 B/key)
     seen_capacity: int = 1 << 20  # per-shard cuckoo capacity
@@ -636,7 +638,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             # seen-URL list is derivable: seeds ∪ every discovered
             # target in the persisted edge lineage
             seen_set: set[str] = set()
-            for row in corpus_mod.seed_rows(n_docs):
+            for row in (cfg.seeds or corpus_mod.seed_rows(n_docs)):
                 u = can.canonicalize(row["url"])
                 if u is not None:
                     seen_set.add(u)
@@ -647,7 +649,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         if cfg.checkpoint_dir and os.path.isdir(cfg.checkpoint_dir):
             shutil.rmtree(cfg.checkpoint_dir)
         # seed the frontier (canonicalize -> host shard routing -> dedup)
-        seed_rows = corpus_mod.seed_rows(n_docs)
+        seed_rows = cfg.seeds if cfg.seeds is not None else corpus_mod.seed_rows(n_docs)
         canon = can.canonicalize_batch([r["url"] for r in seed_rows])
         kept = [(u, r["priority"]) for u, r in zip(canon, seed_rows) if u is not None]
         if kept:
@@ -885,7 +887,7 @@ def oracle_crawl(sf_dir: str, cfg: CrawlConfig | None = None, multiplier: int = 
     crawled: set[str] = set()
     last_round: dict[str, int] = {}
 
-    for row in corpus_mod.seed_rows(n_docs):
+    for row in (cfg.seeds if cfg.seeds is not None else corpus_mod.seed_rows(n_docs)):
         u = can.canonicalize(row["url"])
         if u is None or u in seen:
             continue
