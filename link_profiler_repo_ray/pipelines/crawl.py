@@ -91,6 +91,11 @@ class CrawlConfig:
     flaky_persistent: bool = False  # test hook: flaky urls fail EVERY attempt (breaker tests)
     seeds: list | None = None  # explicit [{url, priority}] seed list (e.g. from a CDX index);
     #                            None → the corpus's synthetic seed rows
+    fetch_mode: str = "replay"  # "replay" (corpus join) | "real" (live HTTP actors)
+    robots_overrides: dict | None = None  # host → robots.txt body (test/real-mode injection)
+    fetch_robots: bool = True  # real mode: GET /robots.txt once per seed host at startup
+    real_max_file_size_mb: float = 10.0  # web_crawler.py:304-308 payload cap
+    real_timeout_s: float = 10.0
     collect_order: bool | None = None  # keep order deltas in driver RAM; None → collect_edges
     seen_backend: str = "exact"  # "exact" (oracle-matched) | "cuckoo" (2 B/key)
     seen_capacity: int = 1 << 20  # per-shard cuckoo capacity
@@ -156,6 +161,138 @@ def _split_corpus_file(path: str, num_shards: int) -> list[pa.Table]:
     h = can.url_hash64(t.column("url").to_pylist())
     shard_ids = (h % np.uint64(num_shards)).astype(np.int64)
     return [t.filter(pa.array(shard_ids == s)) for s in range(num_shards)]
+
+
+def _parse_and_emit(
+    urls,
+    depths,
+    status,
+    tss,
+    htmls,
+    langs,
+    persist_dir,
+    shard_tag,
+    collect_edges,
+    frontier_shards,
+):
+    """Shared fetch-result pipeline: byte-identical text extraction,
+    quality/SEO scoring, page+edge Parquet persistence by the actor,
+    and actor→actor staging of expansion candidates.  Used by both the
+    corpus-replay and the real-HTTP fetch actors — the fetch transport
+    is the ONLY difference between the two (web_crawler.py:100-194's
+    post-fetch pipeline)."""
+    html_strs = ["" if h is None else bytes(h).decode("utf-8", errors="replace") for h in htmls]
+    texts = extract_text_batch(html_strs)
+    # per-page scoring, as the reference's crawl loop does between
+    # fetch and persist (crawl_service.py:545-593: content quality
+    # M6 + SEO metrics M4/M8)
+    from ..functions.htmlx import parse_seo
+    from ..functions.quality import quality_metrics
+
+    qual = [quality_metrics(t) for t in texts]
+    seo = [
+        parse_seo(u, h) if st == 200 else None
+        for u, h, st in zip(urls, html_strs, status)
+    ]
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.large_string()),
+            "lang": pa.array(langs, pa.string()),
+            "status": pa.array(status, pa.int16()),
+            "depth": pa.array(depths, pa.int16()),
+            "word_count": pa.array([q["word_count"] for q in qual], pa.int32()),
+            "readability_score": pa.array([q["readability_score"] for q in qual], pa.float64()),
+            "spam_score": pa.array([q["spam_score"] for q in qual], pa.float64()),
+            "quality_score": pa.array([q["quality_score"] for q in qual], pa.float64()),
+            "content_hash": pa.array([q["content_hash"] for q in qual], pa.string()),
+            "seo_score": pa.array(
+                [None if s is None else s["seo_score"] for s in seo], pa.float64()
+            ),
+            "title_length": pa.array(
+                [None if s is None else s["title_length"] for s in seo], pa.int32()
+            ),
+            "h1_count": pa.array(
+                [None if s is None else s["h1_count"] for s in seo], pa.int32()
+            ),
+        }
+    )
+
+    src, tgt, anchor, ltype, rels, ctx, ets = [], [], [], [], [], [], []
+    for u, html, st, ts in zip(urls, html_strs, status, tss):
+        if st != 200:
+            continue
+        for link in extract_links(u, html):
+            src.append(u)
+            tgt.append(link["target_url"])
+            anchor.append(link["anchor_text"])
+            ltype.append(link["link_type"])
+            rels.append(link["rel_attributes"])
+            ctx.append(link["context_text"])
+            ets.append(ts)
+    edges = pa.table(
+        {
+            "source_url": pa.array(src, pa.string()),
+            "target_url": pa.array(tgt, pa.string()),
+            "source_host": pa.array(can.host_of_batch(src), pa.string()),
+            "target_host": pa.array(can.host_of_batch(tgt), pa.string()),
+            "anchor_text": pa.array(anchor, pa.string()),
+            "link_type": pa.array(ltype, pa.string()),
+            "rel_attributes": pa.array(rels, pa.list_(pa.string())),
+            "context_text": pa.array(ctx, pa.string()),
+            "crawl_ts": pa.array(ets, pa.timestamp("us")),
+        },
+        schema=schemas.EDGES,
+    )
+
+    if persist_dir is not None:
+        for sub, table in (("pages", pages), ("edges", edges)):
+            d = os.path.join(persist_dir, sub)
+            os.makedirs(d, exist_ok=True)
+            part = os.path.join(d, f"part-{shard_tag}.parquet")
+            pq.write_table(table, part + ".tmp")
+            os.replace(part + ".tmp", part)
+
+    meta = pa.table(
+        {"url": pa.array(urls, pa.string()), "status": pa.array(status, pa.int16())}
+    )
+    # per-batch expansion pre-reduction: distinct targets, min depth,
+    # pushed DIRECTLY to the owning frontier shards (actor→actor) —
+    # the driver never touches expansion data
+    if edges.num_rows:
+        depth_map = dict(zip(urls, depths))
+        e = pl.from_arrow(edges.select(["source_url", "target_url", "target_host"]))
+        cand = (
+            e.with_columns(
+                (pl.col("source_url").replace_strict(depth_map, default=None) + 1)
+                .cast(pl.Int16)
+                .alias("depth")
+            )
+            .group_by("target_url")
+            .agg(pl.col("target_host").first().alias("host"), pl.col("depth").min())
+        )
+        if frontier_shards:
+            ns = np.uint64(len(frontier_shards))
+            sid = (can.url_hash64(cand.get_column("host").to_list()) % ns).astype(np.int64)
+            cand = cand.with_columns(pl.Series("_shard", sid))
+            futures = []
+            for (s,), sub in cand.partition_by(
+                "_shard", maintain_order=True, as_dict=True
+            ).items():
+                futures.append(
+                    frontier_shards[int(s)].stage_candidates.remote(
+                        sub.drop("_shard").to_arrow()
+                    )
+                )
+            ray.get(futures)  # staged before this fetch call returns
+            cand_out = None
+        else:
+            cand_out = cand.to_arrow()
+    else:
+        cand_out = None
+    return meta, cand_out, (edges if collect_edges else None)
 
 
 @ray.remote(num_cpus=1)
@@ -244,118 +381,10 @@ class FetchParseActor:
             htmls.append(hit[1])
             langs.append(hit[2])
 
-        html_strs = ["" if h is None else bytes(h).decode("utf-8", errors="replace") for h in htmls]
-        texts = extract_text_batch(html_strs)
-        # per-page scoring, as the reference's crawl loop does between
-        # fetch and persist (crawl_service.py:545-593: content quality
-        # M6 + SEO metrics M4/M8)
-        from ..functions.htmlx import parse_seo
-        from ..functions.quality import quality_metrics
-
-        qual = [quality_metrics(t) for t in texts]
-        seo = [
-            parse_seo(u, h) if st == 200 else None
-            for u, h, st in zip(urls, html_strs, status)
-        ]
-        pages = pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(tss, pa.timestamp("us")),
-                "html": pa.array(htmls, pa.binary()),
-                "text": pa.array(texts, pa.large_string()),
-                "lang": pa.array(langs, pa.string()),
-                "status": pa.array(status, pa.int16()),
-                "depth": pa.array(depths, pa.int16()),
-                "word_count": pa.array([q["word_count"] for q in qual], pa.int32()),
-                "readability_score": pa.array([q["readability_score"] for q in qual], pa.float64()),
-                "spam_score": pa.array([q["spam_score"] for q in qual], pa.float64()),
-                "quality_score": pa.array([q["quality_score"] for q in qual], pa.float64()),
-                "content_hash": pa.array([q["content_hash"] for q in qual], pa.string()),
-                "seo_score": pa.array(
-                    [None if s is None else s["seo_score"] for s in seo], pa.float64()
-                ),
-                "title_length": pa.array(
-                    [None if s is None else s["title_length"] for s in seo], pa.int32()
-                ),
-                "h1_count": pa.array(
-                    [None if s is None else s["h1_count"] for s in seo], pa.int32()
-                ),
-            }
+        return _parse_and_emit(
+            urls, depths, status, tss, htmls, langs,
+            persist_dir, shard_tag, collect_edges, self.frontier_shards,
         )
-
-        src, tgt, anchor, ltype, rels, ctx, ets = [], [], [], [], [], [], []
-        for u, html, st, ts in zip(urls, html_strs, status, tss):
-            if st != 200:
-                continue
-            for link in extract_links(u, html):
-                src.append(u)
-                tgt.append(link["target_url"])
-                anchor.append(link["anchor_text"])
-                ltype.append(link["link_type"])
-                rels.append(link["rel_attributes"])
-                ctx.append(link["context_text"])
-                ets.append(ts)
-        edges = pa.table(
-            {
-                "source_url": pa.array(src, pa.string()),
-                "target_url": pa.array(tgt, pa.string()),
-                "source_host": pa.array(can.host_of_batch(src), pa.string()),
-                "target_host": pa.array(can.host_of_batch(tgt), pa.string()),
-                "anchor_text": pa.array(anchor, pa.string()),
-                "link_type": pa.array(ltype, pa.string()),
-                "rel_attributes": pa.array(rels, pa.list_(pa.string())),
-                "context_text": pa.array(ctx, pa.string()),
-                "crawl_ts": pa.array(ets, pa.timestamp("us")),
-            },
-            schema=schemas.EDGES,
-        )
-
-        if persist_dir is not None:
-            for sub, table in (("pages", pages), ("edges", edges)):
-                d = os.path.join(persist_dir, sub)
-                os.makedirs(d, exist_ok=True)
-                part = os.path.join(d, f"part-{shard_tag}.parquet")
-                pq.write_table(table, part + ".tmp")
-                os.replace(part + ".tmp", part)
-
-        meta = pa.table(
-            {"url": pa.array(urls, pa.string()), "status": pa.array(status, pa.int16())}
-        )
-        # per-batch expansion pre-reduction: distinct targets, min depth,
-        # pushed DIRECTLY to the owning frontier shards (actor→actor) —
-        # the driver never touches expansion data
-        if edges.num_rows:
-            depth_map = dict(zip(urls, depths))
-            e = pl.from_arrow(edges.select(["source_url", "target_url", "target_host"]))
-            cand = (
-                e.with_columns(
-                    (pl.col("source_url").replace_strict(depth_map, default=None) + 1)
-                    .cast(pl.Int16)
-                    .alias("depth")
-                )
-                .group_by("target_url")
-                .agg(pl.col("target_host").first().alias("host"), pl.col("depth").min())
-            )
-            if self.frontier_shards:
-                ns = np.uint64(len(self.frontier_shards))
-                sid = (can.url_hash64(cand.get_column("host").to_list()) % ns).astype(np.int64)
-                cand = cand.with_columns(pl.Series("_shard", sid))
-                futures = []
-                for (s,), sub in cand.partition_by(
-                    "_shard", maintain_order=True, as_dict=True
-                ).items():
-                    futures.append(
-                        self.frontier_shards[int(s)].stage_candidates.remote(
-                            sub.drop("_shard").to_arrow()
-                        )
-                    )
-                ray.get(futures)  # staged before this fetch call returns
-                cand_out = None
-            else:
-                cand_out = cand.to_arrow()
-        else:
-            cand_out = None
-        return meta, cand_out, (edges if collect_edges else None)
 
 
 def _route_chunks(table: pa.Table, num_shards: int, batch_size: int):
@@ -513,10 +542,32 @@ class CrawlEngine:
         self.sf_dir = sf_dir
         self.cfg = cfg or CrawlConfig()
         self.multiplier = multiplier
-        cdir = corpus_mod.corpus_dir(sf_dir, multiplier)
-        self.n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
-        corpus_files = sorted(glob.glob(os.path.join(cdir, "pages_*.parquet")))
-        robots_map = corpus_mod.robots_map(self.n_docs)
+        real = self.cfg.fetch_mode == "real"
+        if real:
+            if not self.cfg.seeds:
+                raise ValueError("fetch_mode='real' requires CrawlConfig.seeds")
+            self.n_docs = 0
+            robots_map = dict(self.cfg.robots_overrides or {})
+            if self.cfg.fetch_robots:
+                from .fetch_real import fetch_robots_txt
+
+                bases: dict[str, str] = {}
+                for r in self.cfg.seeds:
+                    u = can.canonicalize(r["url"])
+                    if u is None:
+                        continue
+                    h = can.host_of(u)
+                    if h and h not in robots_map and h not in bases:
+                        bases[h] = u.split("/", 3)[0] + "//" + h
+                for h, base in bases.items():
+                    robots_map[h] = fetch_robots_txt(base, self.cfg.real_timeout_s)
+        else:
+            cdir = corpus_mod.corpus_dir(sf_dir, multiplier)
+            self.n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
+            corpus_files = sorted(glob.glob(os.path.join(cdir, "pages_*.parquet")))
+            robots_map = corpus_mod.robots_map(self.n_docs)
+            if self.cfg.robots_overrides:
+                robots_map.update(self.cfg.robots_overrides)
         self.frontier = DistributedFrontier(
             self.cfg.num_seen_shards,
             robots_map,
@@ -536,8 +587,21 @@ class CrawlEngine:
                 else None
             ),
         )
-        # one read of each corpus file, hash-partitioned into P shard refs
         nf = self.cfg.num_fetchers
+        if real:
+            from .fetch_real import RealFetchActor
+
+            self.fetchers = [
+                RealFetchActor.remote(
+                    self.frontier.shards,
+                    self.cfg.real_max_file_size_mb,
+                    self.cfg.real_timeout_s,
+                )
+                for _ in range(nf)
+            ]
+            ray.get([f.ready.remote() for f in self.fetchers])
+            return
+        # one read of each corpus file, hash-partitioned into P shard refs
         split_refs = [
             _split_corpus_file.options(num_returns=nf).remote(f, nf)
             if nf > 1
@@ -749,10 +813,12 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         meta = pa.concat_tables(metas) if metas else pa.table(
             {"url": pa.array([], pa.string()), "status": pa.array([], pa.int16())}
         )
+        # retryable statuses per web_crawler.py:262-328: 408 + any 5xx
         st = meta.column("status").to_numpy()
-        counters["pages_fetched"] += int((st != 503).sum())
+        retryable = (st >= 500) | (st == 408)
+        counters["pages_fetched"] += int((~retryable).sum())
         counters["fetch_misses"] += int((st == 404).sum())
-        counters["fetch_errors"] += int((st == 503).sum())
+        counters["fetch_errors"] += int(retryable.sum())
 
         # admission/order log + O6 retry demotion, one vectorized pass
         joined = (
@@ -783,7 +849,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             os.makedirs(persist_dir, exist_ok=True)
             pq.write_table(order_delta, os.path.join(persist_dir, "order.parquet"))
 
-        failed = joined.filter(pl.col("status") == 503)
+        failed = joined.filter((pl.col("status") >= 500) | (pl.col("status") == 408))
         retry_futures = []
         if failed.height:
             counters["dead_lettered"] += failed.filter(

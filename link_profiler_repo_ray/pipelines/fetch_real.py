@@ -1,0 +1,135 @@
+"""Real-HTTP fetch actor (S1 real mode + T8 session reuse).
+
+The reference fetches live pages through a pooled aiohttp session
+(utils/session_manager.py:23-178) with content-type sniffing, a
+``max_file_size_mb`` payload cap and 408/5xx retry statuses
+(crawlers/web_crawler.py:262-328).  aiohttp is not available in this
+container, so the transport is the stdlib ``urllib`` opener — ONE
+opener per actor, created in ``__init__`` (the session-manager
+analogue), plus a bounded thread pool for in-actor I/O concurrency.
+
+Semantics reproduced:
+- content-type sniff: only ``text/html`` payloads are parsed for
+  links/SEO; other mime types are recorded (status, no html) —
+  web_crawler.py:283-307's html/pdf/image branch
+- ``max_file_size_mb``: oversized payloads (by Content-Length header
+  or by actual read) are dropped, the page row keeps its status —
+  web_crawler.py:304-308
+- transport errors / timeouts surface as a retryable 599 so the O6
+  retry-demotion + dead-letter path and the T5 circuit breaker treat
+  them exactly like server 5xx failures
+
+Everything downstream of the transport — byte-identical text
+extraction, quality/SEO scoring, Parquet persistence by the actor,
+actor→actor candidate staging — is the SAME ``_parse_and_emit``
+pipeline the corpus-replay actor uses (pipelines/crawl.py), so the
+two modes are interchangeable under ``CrawlConfig.fetch_mode``.
+"""
+
+from __future__ import annotations
+
+import ray
+
+from ..state.politeness import USER_AGENT
+
+__all__ = ["RealFetchActor", "fetch_robots_txt"]
+
+
+def fetch_robots_txt(base: str, timeout_s: float = 5.0) -> str:
+    """GET {base}/robots.txt; 404 or any failure ⇒ allow-all ("").
+
+    robots_parser.py:65-127 semantics: missing/unreachable robots.txt
+    must not block the crawl."""
+    import urllib.request
+
+    try:
+        req = urllib.request.Request(
+            base.rstrip("/") + "/robots.txt", headers={"User-Agent": USER_AGENT}
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            if resp.status != 200:
+                return ""
+            return resp.read(1 << 20).decode("utf-8", errors="replace")
+    except Exception:
+        return ""
+
+
+@ray.remote(num_cpus=1)
+class RealFetchActor:
+    """Live-HTTP drop-in for FetchParseActor (same batch interface)."""
+
+    def __init__(
+        self,
+        frontier_shards: list | None = None,
+        max_file_size_mb: float = 10.0,
+        timeout_s: float = 10.0,
+        max_parallel: int = 16,
+    ):
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.frontier_shards = frontier_shards or []
+        self.max_bytes = int(max_file_size_mb * 1024 * 1024)
+        self.timeout_s = timeout_s
+        # one shared opener per actor == one session per worker (T8)
+        self.opener = urllib.request.build_opener()
+        self.opener.addheaders = [("User-Agent", USER_AGENT)]
+        self.pool = ThreadPoolExecutor(max_workers=max_parallel)
+
+    def ready(self) -> int:
+        return 1
+
+    def _fetch_one(self, url: str) -> tuple[int, bytes | None, str]:
+        import urllib.error
+
+        try:
+            with self.opener.open(url, timeout=self.timeout_s) as resp:
+                st = int(resp.status)
+                ctype = (resp.headers.get("Content-Type") or "").lower()
+                clen = resp.headers.get("Content-Length")
+                if clen is not None and int(clen) > self.max_bytes:
+                    return st, None, ctype  # size cap via header
+                data = resp.read(self.max_bytes + 1)
+                if len(data) > self.max_bytes:
+                    return st, None, ctype  # size cap via actual read
+                return st, data, ctype
+        except urllib.error.HTTPError as exc:
+            ct = ""
+            if exc.headers is not None:
+                ct = (exc.headers.get("Content-Type") or "").lower()
+            return int(exc.code), None, ct
+        except Exception:
+            return 599, None, ""  # transport failure → retryable 5xx
+
+    def fetch_parse(
+        self,
+        batch,
+        persist_dir: str | None = None,
+        shard_tag: str = "0",
+        collect_edges: bool = True,
+    ):
+        from .crawl import _parse_and_emit
+
+        urls = batch.column("url").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        results = list(self.pool.map(self._fetch_one, urls))
+        status, htmls = [], []
+        for st, data, ctype in results:
+            status.append(st)
+            is_html = data is not None and (
+                "text/html" in ctype or ctype.startswith("text/") or ctype == ""
+            )
+            htmls.append(data if is_html else None)
+        n = len(urls)
+        return _parse_and_emit(
+            urls,
+            depths,
+            status,
+            [None] * n,  # warc_ts unknown for live fetches
+            htmls,
+            [None] * n,  # lang filled by the lang-ID stage downstream
+            persist_dir,
+            shard_tag,
+            collect_edges,
+            self.frontier_shards,
+        )

@@ -1,0 +1,159 @@
+"""S1 real mode / T8: live-HTTP crawl against a local test server.
+
+Semantics under test (crawlers/web_crawler.py:262-328 +
+utils/session_manager.py): robots.txt fetched once per host and
+enforced, content-type sniffing (only text/html parsed), payload size
+cap, 404 handled as a miss, transport retry statuses, link discovery
+and dedup through the same frontier discipline as replay mode.
+"""
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from link_profiler_repo_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+SF = "/root/testdata/sf0.001"  # unused by real mode, required by the API
+
+
+PAGES = {
+    "/": '<html><body><h1>Home</h1>'
+    '<p>go <a href="/a.html">a</a> and <a href="/blocked/secret.html">secret</a>'
+    ' and <a href="/missing.html">gone</a> and <a href="/pic.png">pic</a>'
+    ' and <a href="/big.html">big</a>.</p></body></html>',
+    "/a.html": '<html><body><p>back <a href="/">home</a>, on to '
+    '<a href="/b.html" rel="nofollow">b</a>.</p></body></html>',
+    "/b.html": "<html><body><p>terminal page.</p></body></html>",
+    "/blocked/secret.html": "<html><body><p>should never be fetched</p></body></html>",
+}
+
+ROBOTS = "User-agent: *\nDisallow: /blocked/\n"
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        self.server.requests.append(self.path)
+        if self.path == "/robots.txt":
+            body = ROBOTS.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+        elif self.path in PAGES:
+            body = PAGES[self.path].encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+        elif self.path == "/pic.png":
+            body = b"\x89PNG fake image bytes"
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+        elif self.path == "/big.html":
+            body = b"<html><body>" + b"x" * 8192 + b"</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+        else:
+            body = b"not found"
+            self.send_response(404)
+            self.send_header("Content-Type", "text/plain")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture()
+def site():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.requests = []
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_real_fetch_crawl(site, tmp_path):
+    port = site.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    cfg = CrawlConfig(
+        fetch_mode="real",
+        seeds=[{"url": base + "/", "priority": 5}],
+        num_seen_shards=2,
+        num_fetchers=2,
+        real_max_file_size_mb=4096 / (1024 * 1024),  # 4 KiB cap → /big.html dropped
+        real_timeout_s=5.0,
+        output_dir=str(tmp_path / "out"),
+    )
+    res = run_crawl(SF, cfg)
+
+    by_url = dict(
+        zip(res.order.column("url").to_pylist(), res.order.column("status").to_pylist())
+    )
+    host = f"127.0.0.1:{port}"
+    # robots enforced: the Disallow'd path was DISCOVERED but never
+    # requested from the server
+    assert base + "/blocked/secret.html" in set(res.counters["seen_urls"])
+    assert "/blocked/secret.html" not in site.requests
+    # robots.txt itself was fetched exactly once (per-host cache, T2)
+    assert site.requests.count("/robots.txt") == 1
+
+    # all allowed pages crawled, each exactly once (seen-set dedup)
+    for path in ("/", "/a.html", "/b.html", "/missing.html", "/pic.png", "/big.html"):
+        assert by_url.get(base + path) is not None, path
+        assert site.requests.count(path) == 1, path
+    assert by_url[base + "/"] == 200
+    assert by_url[base + "/missing.html"] == 404
+
+    # link extraction through the live path: home → a → b, nofollow preserved
+    import polars as pl
+
+    edges = pl.from_arrow(res.edges)
+    pairs = set(
+        zip(edges.get_column("source_url").to_list(), edges.get_column("target_url").to_list())
+    )
+    assert (base + "/", base + "/a.html") in pairs
+    assert (base + "/a.html", base + "/b.html") in pairs
+    nf = edges.filter(pl.col("target_url") == base + "/b.html")
+    assert nf.get_column("link_type").to_list() == ["nofollow"]
+
+    # content-type sniff + size cap: pic.png and big.html yield no edges
+    assert not edges.filter(pl.col("source_url").str.contains("pic.png")).height
+    assert not edges.filter(pl.col("source_url").str.contains("big.html")).height
+
+    # byte-identical text extraction ran on the live payloads
+    import glob
+
+    import pyarrow.parquet as pq
+
+    pages = pq.read_table(
+        sorted(glob.glob(str(tmp_path / "out" / "round=*" / "pages" / "*.parquet"))),
+        columns=["url", "text"],
+    )
+    texts = dict(zip(pages.column("url").to_pylist(), pages.column("text").to_pylist()))
+    assert texts[base + "/b.html"] == "terminal page."
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_real_fetch_requires_seeds():
+    with pytest.raises(ValueError, match="requires CrawlConfig.seeds"):
+        run_crawl(SF, CrawlConfig(fetch_mode="real"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_real_fetch_transport_error_dead_letters(site):
+    """A seed pointing at a closed port surfaces as retryable 599s and
+    dead-letters after max_retries (the O6 path on live transport)."""
+    port = site.server_address[1]
+    cfg = CrawlConfig(
+        fetch_mode="real",
+        seeds=[{"url": f"http://127.0.0.1:1/", "priority": 5}],  # closed port
+        num_seen_shards=2,
+        num_fetchers=1,
+        real_timeout_s=1.0,
+        fetch_robots=False,
+    )
+    res = run_crawl(SF, cfg)
+    assert res.counters["pages_fetched"] == 0
+    assert res.counters["fetch_errors"] > 0
+    assert res.counters["dead_lettered"] == 1
