@@ -30,78 +30,10 @@ def entry() -> Any:
     return profiles
 
 
-def _crawl_bfs(sf_dir: str):
-    from link_profiler_repo_ray.pipelines.crawl import CrawlConfig, run_crawl
-
-    cfg = CrawlConfig(politeness=False, num_seen_shards=2, num_fetchers=2)
-    res = run_crawl(sf_dir, cfg)
-    return res.order.select(["url", "depth"])
-
-
-def _crawl_ordered(sf_dir: str):
-    from link_profiler_repo_ray.pipelines.crawl import CrawlConfig, run_crawl
-
-    cfg = CrawlConfig(num_seen_shards=2, num_fetchers=2)
-    res = run_crawl(sf_dir, cfg)
-    return res.order
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
-    from link_profiler_repo_ray.pipelines import graph, relational, research, textdata
-    from link_profiler_repo_ray.sources import cdx
+    from link_profiler_repo_ray.registry import queries as _qs
 
-    return {
-        # CDX index sources (S4/S5)
-        "cc_cdx_parse": cdx.cc_cdx_parse,
-        "wayback_latest_snapshot": cdx.wayback_latest_snapshot,
-        "cdx_seed_frontier": cdx.cdx_seed_frontier,
-        # research / auxiliary operators
-        "seo_metrics": research.seo_metrics,
-        "domain_value_scores": research.domain_value_scores,
-        "customers_without_orders": research.customers_without_orders,
-        "latest_event_per_user": research.latest_event_per_user,
-        "anomalous_events": research.anomalous_events,
-        "props_json_rollup": research.props_json_rollup,
-        "enriched_edges": research.enriched_edges,
-        "url_priority_scores": research.url_priority_scores,
-        "top_valuable_domains": research.top_valuable_domains,
-        # crawl core
-        "text_extract": textdata.text_extract_roundtrip,
-        "extract_links": lambda sf: graph.edges_dataset(sf).select_columns(
-            ["source_url", "target_url", "anchor_text", "link_type"]
-        ),
-        "crawl_bfs": _crawl_bfs,
-        "crawl_ordered": _crawl_ordered,
-        # graph analytics
-        "link_profiles": graph.link_profiles,
-        "host_graph": graph.host_graph,
-        "referring_domains_exact": graph.referring_domains_exact,
-        "referring_domains_hll": graph.referring_domains_hll,
-        "link_intersect": lambda sf: graph.link_intersect(sf, "h1.example.com", "h2.example.com"),
-        "link_velocity": graph.link_velocity,
-        # training-data ops
-        "token_stats": textdata.token_stats,
-        "doc_quality": textdata.doc_quality,
-        "lang_id": textdata.lang_id_docs,
-        "fingerprints": textdata.fingerprints,
-        "dedup_exact": textdata.dedup_exact,
-        "minhash_lsh_dups": textdata.minhash_lsh_dups,
-        "simhash_dups": textdata.simhash_dups,
-        "word_jaccard_pairs": textdata.word_jaccard_pairs,
-        "embedding_topk": textdata.embedding_topk,
-        "embedding_centroids": textdata.embedding_centroids,
-        "knn_ivf": textdata.knn_ivf,
-        "media_features": textdata.media_features,
-        "embedding_near_dups": textdata.embedding_near_dups,
-        "vocab_top_tokens": textdata.vocab_top_tokens,
-        # relational breadth
-        "q1_lineitem": relational.q1_lineitem,
-        "revenue_by_nation": relational.revenue_by_nation,
-        "order_priority_revenue": relational.order_priority_revenue,
-        "top_parts_per_brand": relational.top_parts_per_brand,
-        "events_by_day": relational.events_by_day,
-        "sessionize": relational.sessionize,
-    }
+    return _qs()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -295,6 +227,16 @@ SELECT target_url,
        sum(CASE WHEN link_type = 'sponsored' THEN 1 ELSE 0 END)::BIGINT AS sponsored_backlinks,
        sum(CASE WHEN link_type = 'ugc' THEN 1 ELSE 0 END)::BIGINT AS ugc_backlinks
 FROM edges GROUP BY target_url""",
+        "top_anchors_referrers": graph_cte
+        + """
+, ac AS (SELECT target_url, 'anchor' AS kind, anchor_text AS item, count(*)::BIGINT AS cnt
+         FROM edges GROUP BY 1, 3),
+rc AS (SELECT target_url, 'referrer' AS kind, source_host AS item, count(*)::BIGINT AS cnt
+       FROM edges GROUP BY 1, 3),
+u AS (SELECT * FROM ac UNION ALL SELECT * FROM rc),
+r AS (SELECT *, row_number() OVER (PARTITION BY target_url, kind ORDER BY cnt DESC, item) AS rank
+      FROM u)
+SELECT target_url, kind, item, cnt, rank::BIGINT AS rank FROM r WHERE rank <= 10""",
         "host_graph": graph_cte
         + """
 SELECT source_host, target_host, count(*)::BIGINT AS n_links

@@ -40,11 +40,28 @@ def main(argv=None) -> int:
     p.add_argument("--multiplier", type=int, default=1)
     p.add_argument("--out", required=True)
 
+    # generic job-type dispatch (the reference's 12-type registry,
+    # crawl_service.py:215-264 → registry.queries())
+    q = sub.add_parser("query")
+    q.add_argument("--name", required=True, help="a registry.queries() key, or 'list'")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--out", default=None, help="output path (default: print row count)")
+    q.add_argument(
+        "--fmt", choices=["parquet", "csv", "jsonl", "excel"], default="parquet"
+    )
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "query" and args.name == "list":
+        from .registry import queries
+
+        print(json.dumps(sorted(queries())))
+        return 0
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
 
     try:
@@ -80,8 +97,31 @@ def main(argv=None) -> int:
 
             graph.link_profiles(args.sf_dir, multiplier=args.multiplier).write_parquet(args.out)
             print(json.dumps({"written": args.out}))
+        elif args.cmd == "query":
+            import pyarrow as pa
+            import ray.data as rd
+
+            from .pipelines import export
+            from .registry import queries
+
+            reg = queries()
+            if args.name not in reg:
+                print(json.dumps({"error": f"unknown query {args.name!r}", "known": sorted(reg)}))
+                return 2
+            res = reg[args.name](args.sf_dir)
+            if isinstance(res, pa.Table):
+                res = rd.from_arrow(res)
+            if args.out is None:
+                print(json.dumps({"query": args.name, "rows": res.count()}))
+            elif args.fmt == "excel":
+                export.write_excel(res, args.out)
+                print(json.dumps({"query": args.name, "written": args.out}))
+            else:
+                getattr(export, f"write_{'jsonl' if args.fmt == 'jsonl' else args.fmt}")(res, args.out)
+                print(json.dumps({"query": args.name, "written": args.out}))
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     return 0
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "edges_dataset",
     "link_profiles",
     "top_anchor_profiles",
+    "top_anchors_referrers",
     "host_graph",
     "referring_domains_exact",
     "referring_domains_hll",
@@ -138,6 +139,47 @@ def top_anchor_profiles(sf_dir: str, multiplier: int = 1, k: int = 10) -> rd.Dat
             df.group_by(["target_url", "anchor_text", "source_host"])
             .agg(pl.len().cast(pl.Int64).alias("cnt"))
         )
+
+    return hash_group_apply(edges, ["target_url"], topk, pre=pre)
+
+
+def top_anchors_referrers(sf_dir: str, multiplier: int = 1, k: int = 10) -> rd.Dataset:
+    """Row-form top-k anchors + referring domains per target (O3/A1).
+
+    Same semantics as :func:`top_anchor_profiles` (count desc, key asc
+    per core/models.py:481,489) but exploded to
+    (target_url, kind, item, cnt, rank) rows — exactly hashable by the
+    driver's value-compare, with a closed-form DuckDB oracle.
+    """
+    edges = edges_dataset(sf_dir, multiplier).select_columns(
+        ["target_url", "anchor_text", "source_host"]
+    )
+
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        return df.group_by(["target_url", "anchor_text", "source_host"]).agg(
+            pl.len().cast(pl.Int64).alias("cnt")
+        )
+
+    def topk(df: pl.DataFrame) -> pl.DataFrame:
+        outs = []
+        for col, kind in (("anchor_text", "anchor"), ("source_host", "referrer")):
+            outs.append(
+                df.group_by(["target_url", col])
+                .agg(pl.col("cnt").sum().alias("c"))
+                .sort(["target_url", "c", col], descending=[False, True, False])
+                .with_columns(
+                    pl.col(col).cum_count().over("target_url").cast(pl.Int64).alias("rank")
+                )
+                .filter(pl.col("rank") <= k)
+                .select(
+                    pl.col("target_url"),
+                    pl.lit(kind).alias("kind"),
+                    pl.col(col).alias("item"),
+                    pl.col("c").alias("cnt"),
+                    pl.col("rank"),
+                )
+            )
+        return pl.concat(outs)
 
     return hash_group_apply(edges, ["target_url"], topk, pre=pre)
 
