@@ -667,6 +667,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
     pages_paths: list[str] = []
     seen_urls: list[str] = []
     collect_seen = cfg.resolved_collect_seen()
+    breaker_dirty = False
     seq = 0
     start_round = 0
 
@@ -687,6 +688,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         m = ckpt.restore_round(r0, frontier)
         counters.update(m["counters"])
         counters.pop("seen_urls", None)  # legacy manifests
+        breaker_dirty = counters.pop("breaker_dirty", False)
         seq = counters.pop("next_seq", 0)
         start_round = r0 + 1
         for rr in range(r0 + 1):
@@ -868,14 +870,20 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             for sid, sub in frontier.route(retry, "host"):
                 retry_futures.append(shards[sid].insert_retries.remote(sub.to_arrow()))
         # T5: feed per-URL outcomes (admitted order) to the hosts'
-        # breaker shards; must settle before the next round's admit
+        # breaker shards; must settle before the next round's admit.
+        # Fast path: recording an all-success round into an all-CLOSED
+        # breaker is a provable no-op (success only resets counters
+        # that are already zero), so skip the RPC fan-out until the
+        # first failure ever appears — a healthy crawl pays nothing.
         if cfg.breaker_enabled:
-            for sid, sub in frontier.route(joined, "host"):
-                retry_futures.append(
-                    shards[sid].record_outcomes.remote(
-                        round_no, sub.select(["host", "status"]).to_arrow()
+            breaker_dirty = breaker_dirty or failed.height > 0
+            if breaker_dirty:
+                for sid, sub in frontier.route(joined, "host"):
+                    retry_futures.append(
+                        shards[sid].record_outcomes.remote(
+                            round_no, sub.select(["host", "status"]).to_arrow()
+                        )
                     )
-                )
         counters["t_order"] += _time.perf_counter() - _t
 
         if edges_list:
@@ -903,6 +911,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             # authoritative hash state)
             ck_counters = dict(counters)
             ck_counters["next_seq"] = seq
+            ck_counters["breaker_dirty"] = breaker_dirty
             ckpt.write_round(round_no, frontier, order_delta, ck_counters, with_state=with_state)
             pages_paths.extend(
                 sorted(glob.glob(os.path.join(ckpt.round_dir(round_no), "pages", "*.parquet")))

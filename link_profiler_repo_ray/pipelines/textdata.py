@@ -274,33 +274,86 @@ def minhash_lsh_dups(
         merge=[pl.col("_n").sum()],
     )
 
+    # one-exchange text attachment: explode each candidate pair into
+    # two stub rows keyed by the doc whose text that side needs, union
+    # with the docs (keyed by doc_id), and join stubs→texts inside each
+    # hash partition.  The corpus text crosses exactly ONE exchange;
+    # the verify exchange after it moves only candidate texts (2 rows
+    # per pair).
     pairs = candidates.select_columns(["doc_a", "doc_b"])
-    with_a = tagged_union_join(pairs, docs, "doc_a", "doc_id").map_batches(
-        _rename_col("text", "text_a"), batch_format="pyarrow", zero_copy_batch=True
+    text_type = docs.schema().base_schema.field("text").type
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("text", text_type),
+        ]
     )
-    with_b = tagged_union_join(with_a, docs, "doc_b", "doc_id")
 
-    def verify(batch: pa.Table) -> pa.Table:
-        jac = []
-        for ta, tb in zip(
-            batch.column("text_a").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sa = set(shingle_hashes(ta, shingle_n).tolist())
-            sb = set(shingle_hashes(tb, shingle_n).tolist())
-            if not (sa or sb):
-                jac.append(0.0)
-                continue
-            inter = len(sa & sb)
-            jac.append(inter / (len(sa) + len(sb) - inter))
+    def stub_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, b])
         return pa.table(
             {
-                "doc_a": batch.column("doc_a"),
-                "doc_b": batch.column("doc_b"),
-                "jaccard": pa.array(jac, pa.float64()),
-            }
+                "key": pa.array(key, pa.int64()),
+                "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "text": pa.nulls(len(key), text_type),
+            },
+            schema=union_schema,
         )
 
-    verified = with_b.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("doc_id").cast(pa.int64()),
+                "doc_a": pa.nulls(n, pa.int64()),
+                "doc_b": pa.nulls(n, pa.int64()),
+                "text": batch.column("text").cast(text_type),
+            },
+            schema=union_schema,
+        )
+
+    tagged = pairs.map_batches(
+        stub_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(docs.map_batches(doc_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def attach(df: pl.DataFrame) -> pl.DataFrame:
+        texts = df.filter(pl.col("doc_a").is_null()).select("key", "text")
+        stubs = df.filter(pl.col("doc_a").is_not_null()).select("key", "doc_a", "doc_b")
+        out = stubs.join(texts, on="key", how="inner")
+        return out.select(
+            pl.col("doc_a"),
+            pl.col("doc_b"),
+            (pl.col("key") == pl.col("doc_a")).alias("is_a"),
+            pl.col("text"),
+        )
+
+    attached = hash_group_apply(tagged, ["key"], attach)
+
+    def verify_groups(df: pl.DataFrame) -> pl.DataFrame:
+        a = df.filter(pl.col("is_a")).select(
+            "doc_a", "doc_b", pl.col("text").alias("text_a")
+        )
+        b = df.filter(~pl.col("is_a")).select(
+            "doc_a", "doc_b", pl.col("text").alias("text_b")
+        )
+        m = a.join(b, on=["doc_a", "doc_b"], how="inner")
+        jac = []
+        for ta, tb in zip(m.get_column("text_a"), m.get_column("text_b")):
+            sa = set(shingle_hashes(ta, shingle_n).tolist())
+            sb = set(shingle_hashes(tb, shingle_n).tolist())
+            inter = len(sa & sb)
+            denom = len(sa) + len(sb) - inter
+            jac.append(inter / denom if denom else 0.0)
+        return m.select("doc_a", "doc_b").with_columns(
+            pl.Series("jaccard", jac, dtype=pl.Float64)
+        )
+
+    verified = hash_group_apply(attached, ["doc_a", "doc_b"], verify_groups)
     return verified.filter(expr=f"jaccard >= {threshold}")
 
 
