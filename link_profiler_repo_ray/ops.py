@@ -86,12 +86,22 @@ def _part_expr(keys: list[str], num_partitions: int) -> pl.Expr:
     return (key_struct.hash(seed=0) % num_partitions).cast(pl.Int32).alias(_PART_COL)
 
 
+# Rows per combine/route batch.  Bundling many small input blocks into
+# one batch before the exchange is a measured 3-4× win at 32 CPUs: the
+# sort-based shuffle's cost grows with (#input blocks × #partitions)
+# fragment objects, and a 200-block input at 32 partitions churns 6400
+# tiny objects where 18 bundled blocks churn ~600.  Lower it for
+# fat-payload rows (long texts, binaries).
+DEFAULT_EXCHANGE_BATCH = 131_072
+
+
 def hash_aggregate(
     ds: rd.Dataset,
     keys: list[str],
     combine: list[pl.Expr],
     merge: list[pl.Expr],
     num_partitions: int | None = None,
+    batch_size: int | None = DEFAULT_EXCHANGE_BATCH,
 ) -> rd.Dataset:
     """Two-stage grouped aggregation.
 
@@ -114,7 +124,9 @@ def hash_aggregate(
         return df.group_by(keys).agg(merge).to_arrow()
 
     return (
-        ds.map_batches(combine_stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        ds.map_batches(
+            combine_stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+        )
         .groupby(_PART_COL)
         .map_groups(merge_stage, batch_format="pyarrow")
     )
@@ -126,6 +138,7 @@ def hash_group_apply(
     fn: Callable[[pl.DataFrame], pl.DataFrame],
     num_partitions: int | None = None,
     pre: Callable[[pl.DataFrame], pl.DataFrame] | None = None,
+    batch_size: int | None = DEFAULT_EXCHANGE_BATCH,
 ) -> rd.Dataset:
     """Apply ``fn`` to hash partitions that contain complete key groups.
 
@@ -150,7 +163,9 @@ def hash_group_apply(
         return fn(df).to_arrow()
 
     return (
-        ds.map_batches(route_stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        ds.map_batches(
+            route_stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+        )
         .groupby(_PART_COL)
         .map_groups(apply_stage, batch_format="pyarrow")
     )

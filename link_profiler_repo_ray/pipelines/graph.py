@@ -68,42 +68,38 @@ def link_profiles(sf_dir: str, multiplier: int = 1, edges: rd.Dataset | None = N
     the total but to no per-type counter); per-type counters cover the
     four rel-derived classes the extractor can produce.
 
-    Two hash-aggregates: edges → one row per (target_url, source_host)
-    pair, then pairs → per-target totals where the pair-row count IS
-    the distinct-referring-domain count.
+    ONE exchange (keyed target_url): per-batch combiner pre-reduces to
+    (target, host) partials (bounding hot-target skew to one row per
+    host per batch), then the partition apply dedups pairs and rolls up
+    per-target totals where the pair count IS the distinct-referrer
+    count.  The previous two-hash_aggregate plan paid a second
+    sort-shuffle for no extra information.
     """
     if edges is None:
         edges = edges_dataset(sf_dir, multiplier)
     edges = edges.select_columns(["target_url", "source_host", "link_type"])
-    pair = hash_aggregate(
-        edges,
-        ["target_url", "source_host"],
-        combine=[
+
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        return df.group_by(["target_url", "source_host"]).agg(
             pl.len().cast(pl.Int64).alias("n"),
             *[
                 (pl.col("link_type") == t).sum().cast(pl.Int64).alias(f"{t}_backlinks")
                 for t in _LINK_TYPES
             ],
-        ],
-        merge=[
+        )
+
+    def profile(df: pl.DataFrame) -> pl.DataFrame:
+        pair = df.group_by(["target_url", "source_host"]).agg(
             pl.col("n").sum(),
             *[pl.col(f"{t}_backlinks").sum() for t in _LINK_TYPES],
-        ],
-    )
-    return hash_aggregate(
-        pair,
-        ["target_url"],
-        combine=[
+        )
+        return pair.group_by("target_url").agg(
             pl.col("n").sum().alias("total_backlinks"),
             pl.len().cast(pl.Int64).alias("unique_referring_domains"),
             *[pl.col(f"{t}_backlinks").sum() for t in _LINK_TYPES],
-        ],
-        merge=[
-            pl.col("total_backlinks").sum(),
-            pl.col("unique_referring_domains").sum(),
-            *[pl.col(f"{t}_backlinks").sum() for t in _LINK_TYPES],
-        ],
-    )
+        )
+
+    return hash_group_apply(edges, ["target_url"], profile, pre=pre)
 
 
 def top_anchor_profiles(sf_dir: str, multiplier: int = 1, k: int = 10) -> rd.Dataset:
@@ -206,20 +202,27 @@ def host_graph(sf_dir: str, multiplier: int = 1, edges: rd.Dataset | None = None
 # --- A4: referring-domain cardinality ------------------------------------
 
 def referring_domains_exact(sf_dir: str, multiplier: int = 1, edges: rd.Dataset | None = None) -> rd.Dataset:
-    """Exact distinct source hosts per target host (test-scale ground truth)."""
+    """Exact distinct source hosts per target host (test-scale ground
+    truth).  One exchange keyed target_host: per-batch distinct pairs,
+    partition-side distinct + count."""
     if edges is None:
         edges = edges_dataset(sf_dir, multiplier)
-    pairs = hash_aggregate(
+
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        return df.select(["target_host", "source_host"]).unique()
+
+    def count_distinct(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.unique()
+            .group_by("target_host")
+            .agg(pl.len().cast(pl.Int64).alias("referring_domains"))
+        )
+
+    return hash_group_apply(
         edges.select_columns(["target_host", "source_host"]),
-        ["target_host", "source_host"],
-        combine=[pl.len().alias("_n")],
-        merge=[pl.col("_n").sum()],
-    )
-    return hash_aggregate(
-        pairs,
         ["target_host"],
-        combine=[pl.len().cast(pl.Int64).alias("referring_domains")],
-        merge=[pl.col("referring_domains").sum()],
+        count_distinct,
+        pre=pre,
     )
 
 
@@ -289,16 +292,42 @@ def referring_domains_hll(sf_dir: str, multiplier: int = 1, p: int = 12, edges: 
     def merge(df: pl.DataFrame) -> pl.DataFrame:
         import numpy as np
 
-        hosts_out, ests = [], []
         m = 1 << p
-        for (th,), g in df.group_by("target_host"):
-            dense = np.zeros(m, dtype=np.uint8)
-            for blob in g.get_column("sketch"):
-                arr = np.frombuffer(blob, dtype=np.uint32)
-                np.maximum.at(dense, arr >> 6, (arr & 63).astype(np.uint8))
-            hosts_out.append(th)
-            ests.append(HyperLogLog(p, registers=dense).estimate())
-        return pl.DataFrame({"target_host": hosts_out, "referring_domains_est": ests})
+        # one vectorized register-merge + estimate across ALL hosts in
+        # the partition: flat register index = host_gid * m + bucket
+        # (matches HyperLogLog.estimate()'s math row-wise)
+        hosts = df.get_column("target_host")
+        gid = hosts.cast(pl.Categorical).to_physical().to_numpy()
+        hosts_in_order = (
+            df.select(pl.col("target_host")).unique(maintain_order=True)
+            .get_column("target_host").to_list()
+        )
+        n_hosts = len(hosts_in_order)
+        if n_hosts == 0:
+            return pl.DataFrame(
+                schema={"target_host": pl.Utf8, "referring_domains_est": pl.Float64}
+            )
+        blobs = df.get_column("sketch").to_list()
+        lens = np.fromiter((len(b) // 4 for b in blobs), dtype=np.int64, count=len(blobs))
+        entries = np.frombuffer(b"".join(blobs), dtype=np.uint32)
+        entry_gid = np.repeat(gid, lens)
+        dense = np.zeros(n_hosts * m, dtype=np.uint8)
+        np.maximum.at(
+            dense,
+            entry_gid * m + (entries >> 6),
+            (entries & 63).astype(np.uint8),
+        )
+        reg = dense.reshape(n_hosts, m)
+        mf = float(m)
+        alpha = 0.7213 / (1 + 1.079 / mf)
+        est = alpha * mf * mf / np.sum(2.0 ** (-reg.astype(np.float64)), axis=1)
+        zeros = np.count_nonzero(reg == 0, axis=1)
+        small = (est <= 2.5 * mf) & (zeros > 0)
+        if small.any():
+            est[small] = mf * np.log(mf / zeros[small])
+        return pl.DataFrame(
+            {"target_host": hosts_in_order, "referring_domains_est": est}
+        )
 
     if edges is None:
         edges = edges_dataset(sf_dir, multiplier)
@@ -327,21 +356,21 @@ def link_intersect(sf_dir: str, host_a: str, host_b: str, multiplier: int = 1) -
             .to_arrow()
         )
 
-    pairs = hash_aggregate(
+    def intersect(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.unique()
+            .group_by("source_host")
+            .agg(pl.len().alias("n_targets"))
+            .filter(pl.col("n_targets") == 2)
+            .select("source_host")
+        )
+
+    picked = (
         edges_dataset(sf_dir, multiplier)
         .select_columns(["source_host", "target_host"])
-        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True),
-        ["source_host", "target_host"],
-        combine=[pl.len().alias("_n")],
-        merge=[pl.col("_n").sum()],
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
     )
-    both = hash_aggregate(
-        pairs,
-        ["source_host"],
-        combine=[pl.len().cast(pl.Int64).alias("n_targets")],
-        merge=[pl.col("n_targets").sum()],
-    )
-    return both.filter(expr="n_targets == 2").select_columns(["source_host"])
+    return hash_group_apply(picked, ["source_host"], intersect)
 
 
 # --- A6: link velocity ----------------------------------------------------

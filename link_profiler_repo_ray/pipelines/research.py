@@ -74,29 +74,26 @@ def domain_value_scores(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     edges = graph.edges_dataset(sf_dir, multiplier).select_columns(
         ["target_host", "source_host", "link_type"]
     )
-    pair = hash_aggregate(
-        edges,
-        ["target_host", "source_host"],
-        combine=[
+
+    # one exchange keyed target_host: per-batch (target, source) partials,
+    # partition-side pair dedup + per-target rollup
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        return df.group_by(["target_host", "source_host"]).agg(
             pl.len().cast(pl.Int64).alias("n"),
             (pl.col("link_type") == "dofollow").sum().cast(pl.Int64).alias("dofollow"),
-        ],
-        merge=[pl.col("n").sum(), pl.col("dofollow").sum()],
-    )
-    per_host = hash_aggregate(
-        pair,
-        ["target_host"],
-        combine=[
+        )
+
+    def rollup(df: pl.DataFrame) -> pl.DataFrame:
+        pair = df.group_by(["target_host", "source_host"]).agg(
+            pl.col("n").sum(), pl.col("dofollow").sum()
+        )
+        return pair.group_by("target_host").agg(
             pl.col("n").sum().alias("inbound_links"),
             pl.len().cast(pl.Int64).alias("referring_domains"),
             pl.col("dofollow").sum().alias("dofollow_links"),
-        ],
-        merge=[
-            pl.col("inbound_links").sum(),
-            pl.col("referring_domains").sum(),
-            pl.col("dofollow_links").sum(),
-        ],
-    )
+        )
+
+    per_host = hash_group_apply(edges, ["target_host"], rollup, pre=pre)
 
     def score(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)

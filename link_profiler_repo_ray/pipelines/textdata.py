@@ -332,7 +332,8 @@ def minhash_lsh_dups(
             pl.col("text"),
         )
 
-    attached = hash_group_apply(tagged, ["key"], attach)
+    # fat text rows: keep exchange batches small (bytes, not rows, bound)
+    attached = hash_group_apply(tagged, ["key"], attach, batch_size=16384)
 
     def verify_groups(df: pl.DataFrame) -> pl.DataFrame:
         a = df.filter(pl.col("is_a")).select(
@@ -353,7 +354,9 @@ def minhash_lsh_dups(
             pl.Series("jaccard", jac, dtype=pl.Float64)
         )
 
-    verified = hash_group_apply(attached, ["doc_a", "doc_b"], verify_groups)
+    verified = hash_group_apply(
+        attached, ["doc_a", "doc_b"], verify_groups, batch_size=16384
+    )
     return verified.filter(expr=f"jaccard >= {threshold}")
 
 

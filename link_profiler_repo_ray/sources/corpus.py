@@ -49,7 +49,7 @@ from ..functions.htmlx import extract_text
 from .. import schemas
 
 CACHE_ROOT = os.environ.get("LPR_CORPUS_CACHE", "/tmp/lpr_corpus")
-_GEN_VERSION = 4  # bump to invalidate cached corpora
+_GEN_VERSION = 5  # bump to invalidate cached corpora
 _TS0 = datetime(2024, 3, 1)
 ROWS_PER_FILE = 20_000
 
@@ -183,7 +183,10 @@ def _write_shard(out_dir: str, start: int, stop: int, texts, langs, base_n: int,
         schema=schemas.PAGES,
     )
     tmp = part + ".tmp"
-    pq.write_table(table, tmp)
+    # small row groups let read_parquet split one file into several
+    # read tasks — with one row group per 20k-row file, a 25-file
+    # corpus capped scan parallelism at 25 tasks (starving 32 cores)
+    pq.write_table(table, tmp, row_group_size=4096)
     os.replace(tmp, part)  # atomic per shard → resumable generation
     return os.path.basename(part)
 
