@@ -142,6 +142,19 @@ s AS (
 SELECT e.user_id, e.event_id, e.value_cents
 FROM e JOIN s USING (user_id)
 WHERE e.value_cents * s.n > 2 * s.sum_cents""",
+        "anomalous_events_windowed": """
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events),
+w AS (
+  SELECT user_id, event_id, value_cents,
+         sum(value_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS wsum,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS wn
+  FROM e)
+SELECT user_id, event_id, value_cents FROM w
+WHERE wn > 0 AND value_cents * wn > 2 * wsum""",
         "props_json_rollup": """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
        count(*)::BIGINT AS n_events

@@ -199,6 +199,47 @@ def anomalous_events(sf_dir: str) -> rd.Dataset:
     )
 
 
+def anomalous_events_windowed(sf_dir: str, window: int = 10) -> rd.Dataset:
+    """M13's true sliding-window shape (anomaly_detector.py:41-133):
+
+    flag an event whose value exceeds 2× the mean of the user's
+    PREVIOUS ``window`` events (the reference's captcha-spike detector
+    looks at the last 10 results, not the whole history).  Integer-
+    exact: value_cents · n_window > 2 · sum_window.  One exchange keyed
+    user_id; the rolling sums are vectorized polars window kernels.
+    """
+
+    def flag(df: pl.DataFrame) -> pl.DataFrame:
+        cents = (pl.col("value") * 100 + 0.5).floor().cast(pl.Int64)
+        df = df.with_columns(cents.alias("value_cents")).sort(
+            ["user_id", "ts", "event_id"]
+        )
+        df = df.with_columns(
+            pl.col("value_cents")
+            .rolling_sum(window_size=window, min_samples=1)
+            .shift(1)
+            .over("user_id")
+            .alias("wsum"),
+            pl.col("value_cents")
+            .cum_count()
+            .shift(1)
+            .over("user_id")
+            .clip(upper_bound=window)
+            .alias("wn"),
+        )
+        return df.filter(
+            pl.col("wn").is_not_null()
+            & (pl.col("wn") > 0)
+            & (pl.col("value_cents") * pl.col("wn") > 2 * pl.col("wsum"))
+        ).select(["user_id", "event_id", "value_cents"])
+
+    return hash_group_apply(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]),
+        ["user_id"],
+        flag,
+    )
+
+
 # --- S4-style structured-text parsing ---------------------------------------
 
 def props_json_rollup(sf_dir: str) -> rd.Dataset:

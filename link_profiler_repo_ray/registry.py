@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": research.customers_without_orders,
         "latest_event_per_user": research.latest_event_per_user,
         "anomalous_events": research.anomalous_events,
+        "anomalous_events_windowed": research.anomalous_events_windowed,
         "props_json_rollup": research.props_json_rollup,
         "enriched_edges": research.enriched_edges,
         "url_priority_scores": research.url_priority_scores,
