@@ -163,6 +163,58 @@ def _split_corpus_file(path: str, num_shards: int) -> list[pa.Table]:
     return [t.filter(pa.array(shard_ids == s)) for s in range(num_shards)]
 
 
+def _write_page_edge_parts(persist_dir: str, tag: str, pages: pa.Table, edges: pa.Table) -> None:
+    for sub, table in (("pages", pages), ("edges", edges)):
+        d = os.path.join(persist_dir, sub)
+        os.makedirs(d, exist_ok=True)
+        part = os.path.join(d, f"part-{tag}.parquet")
+        pq.write_table(table, part + ".tmp")
+        os.replace(part + ".tmp", part)
+
+
+class _PersistBuffer:
+    """Batches page/edge Parquet writes inside a fetch actor.
+
+    Checkpointed crawls need per-round deltas (lineage), but an
+    output-dir run paid one tiny Parquet file per actor per round —
+    at 190 politeness rounds × 27 actors that is ~5000 file creates of
+    mostly fixed cost.  The buffer accumulates rows per persist dir
+    and flushes at ``threshold`` rows, on a dir change, or on the
+    explicit end-of-crawl ``flush_persist`` RPC."""
+
+    def __init__(self, threshold: int = 32_768):
+        self.threshold = threshold
+        self.dir: str | None = None
+        self.tag: str | None = None
+        self._pages: list[pa.Table] = []
+        self._edges: list[pa.Table] = []
+        self._rows = 0
+        self._seq = 0
+
+    def add(self, persist_dir: str, tag: str, pages: pa.Table, edges: pa.Table) -> None:
+        if persist_dir != self.dir:
+            self.flush()
+            self.dir = persist_dir
+        self.tag = tag
+        self._pages.append(pages)
+        self._edges.append(edges)
+        self._rows += pages.num_rows
+        if self._rows >= self.threshold:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._pages or self.dir is None:
+            return
+        _write_page_edge_parts(
+            self.dir,
+            f"{self.tag}-{self._seq:05d}",
+            pa.concat_tables(self._pages),
+            pa.concat_tables(self._edges),
+        )
+        self._seq += 1
+        self._pages, self._edges, self._rows = [], [], 0
+
+
 def _parse_and_emit(
     urls,
     depths,
@@ -174,6 +226,7 @@ def _parse_and_emit(
     shard_tag,
     collect_edges,
     frontier_shards,
+    persister=None,
 ):
     """Shared fetch-result pipeline: byte-identical text extraction,
     quality/SEO scoring, page+edge Parquet persistence by the actor,
@@ -248,12 +301,10 @@ def _parse_and_emit(
     )
 
     if persist_dir is not None:
-        for sub, table in (("pages", pages), ("edges", edges)):
-            d = os.path.join(persist_dir, sub)
-            os.makedirs(d, exist_ok=True)
-            part = os.path.join(d, f"part-{shard_tag}.parquet")
-            pq.write_table(table, part + ".tmp")
-            os.replace(part + ".tmp", part)
+        if persister is not None:
+            persister.add(persist_dir, shard_tag, pages, edges)
+        else:
+            _write_page_edge_parts(persist_dir, shard_tag, pages, edges)
 
     meta = pa.table(
         {"url": pa.array(urls, pa.string()), "status": pa.array(status, pa.int16())}
@@ -334,9 +385,13 @@ class FetchParseActor:
         self.flaky_mod = flaky_mod
         self.flaky_persistent = flaky_persistent
         self._attempted: set[str] = set()
+        self.persister = _PersistBuffer()
 
     def ready(self) -> int:
         return len(self.index)
+
+    def flush_persist(self) -> None:
+        self.persister.flush()
 
     def fetch_parse(
         self,
@@ -344,6 +399,7 @@ class FetchParseActor:
         persist_dir: str | None = None,
         shard_tag: str = "0",
         collect_edges: bool = True,
+        buffered: bool = False,
     ) -> tuple[pa.Table, pa.Table, pa.Table | None]:
         """Frontier rows -> (meta, expansion candidates, edges|None).
 
@@ -384,6 +440,7 @@ class FetchParseActor:
         return _parse_and_emit(
             urls, depths, status, tss, htmls, langs,
             persist_dir, shard_tag, collect_edges, self.frontier_shards,
+            persister=self.persister if buffered else None,
         )
 
 
@@ -791,18 +848,24 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         _t = _time.perf_counter()
         if cfg.checkpoint_dir:
             persist_dir = ckpt.round_dir(round_no)
+            buffered = False  # per-round deltas are the checkpoint lineage
         elif cfg.output_dir:
-            persist_dir = os.path.join(cfg.output_dir, f"round={round_no:05d}")
+            # non-checkpoint runs buffer page/edge writes inside the
+            # actors (one file per ~32k rows instead of per round)
+            persist_dir = cfg.output_dir
+            buffered = True
         else:
             persist_dir = None
+            buffered = False
         bs = max(512, min(cfg.fetch_batch_size, -(-admitted_tab.num_rows // cfg.num_fetchers)))
         futures = []
         for i, (shard, chunk) in enumerate(
             _route_chunks(admitted_tab, cfg.num_fetchers, bs)
         ):
+            tag = f"{shard:03d}" if buffered else f"{shard:03d}-{i:04d}"
             futures.append(
                 fetchers[shard].fetch_parse.remote(
-                    chunk, persist_dir, f"{shard:03d}-{i:04d}", cfg.collect_edges
+                    chunk, persist_dir, tag, cfg.collect_edges, buffered
                 )
             )
         results = ray.get(futures)
@@ -922,6 +985,8 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             break
         round_no += 1
 
+    if cfg.output_dir and not cfg.checkpoint_dir:
+        ray.get([f.flush_persist.remote() for f in fetchers])
     counters["seen_urls"] = sorted(seen_urls)
     shard_sizes = ray.get([s.sizes.remote() for s in shards])
     counters["seen_total"] = sum(n for _, n in shard_sizes)

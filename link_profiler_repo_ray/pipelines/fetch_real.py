@@ -75,9 +75,15 @@ class RealFetchActor:
         self.opener = urllib.request.build_opener()
         self.opener.addheaders = [("User-Agent", USER_AGENT)]
         self.pool = ThreadPoolExecutor(max_workers=max_parallel)
+        from .crawl import _PersistBuffer
+
+        self.persister = _PersistBuffer()
 
     def ready(self) -> int:
         return 1
+
+    def flush_persist(self) -> None:
+        self.persister.flush()
 
     def _fetch_one(self, url: str) -> tuple[int, bytes | None, str]:
         import urllib.error
@@ -107,6 +113,7 @@ class RealFetchActor:
         persist_dir: str | None = None,
         shard_tag: str = "0",
         collect_edges: bool = True,
+        buffered: bool = False,
     ):
         from .crawl import _parse_and_emit
 
@@ -132,4 +139,5 @@ class RealFetchActor:
             shard_tag,
             collect_edges,
             self.frontier_shards,
+            persister=self.persister if buffered else None,
         )

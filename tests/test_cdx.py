@@ -36,7 +36,7 @@ class TestCdx:
         the parsed timestamp and compare to the raw line's field."""
         import json
 
-        lines = cdx.cc_cdx_lines(SF).take(50)
+        lines = cdx.cc_cdx_lines(SF).take_all()
         parsed = cdx.cc_cdx_parse(SF).take(50)
         raw_by_url = {json.loads(l["line"])["url"]: json.loads(l["line"]) for l in lines}
         for row in parsed:

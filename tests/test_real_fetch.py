@@ -127,7 +127,7 @@ def test_real_fetch_crawl(site, tmp_path):
     import pyarrow.parquet as pq
 
     pages = pq.read_table(
-        sorted(glob.glob(str(tmp_path / "out" / "round=*" / "pages" / "*.parquet"))),
+        sorted(glob.glob(str(tmp_path / "out" / "pages" / "*.parquet"))),
         columns=["url", "text"],
     )
     texts = dict(zip(pages.column("url").to_pylist(), pages.column("text").to_pylist()))
