@@ -76,6 +76,7 @@ class CrawlConfig:
     max_depth: int = 3
     max_pages: int | None = None
     politeness: bool = True
+    politeness_mode: str = "fixed"  # "fixed" Crawl-delay | "adaptive" (T4 limiter floor-max)
     max_per_host_per_round: int = DEFAULT_MAX_PER_HOST_PER_ROUND
     num_seen_shards: int = 4
     num_fetchers: int = 4
@@ -505,7 +506,7 @@ class _Checkpointer:
             for pth in sorted(glob.glob(os.path.join(d, sub, "*.parquet"))):
                 lineage["outputs"].append({"table": sub, "path": pth})
         dumps = ray.get([s.dump.remote() for s in frontier.shards])
-        for i, (ftab, seen_arr, clock, brk) in enumerate(dumps):
+        for i, (ftab, seen_arr, clock, brk, lim) in enumerate(dumps):
             pq.write_table(ftab, os.path.join(d, f"shard-{i}-frontier.parquet"))
             with open(os.path.join(d, f"shard-{i}-seen.npy.tmp"), "wb") as fh:
                 np.save(fh, seen_arr)
@@ -515,6 +516,7 @@ class _Checkpointer:
             )
             pq.write_table(clock, os.path.join(d, f"shard-{i}-clock.parquet"))
             pq.write_table(brk, os.path.join(d, f"shard-{i}-breaker.parquet"))
+            pq.write_table(lim, os.path.join(d, f"shard-{i}-limiter.parquet"))
             lineage["outputs"].append(
                 {"table": "frontier", "shard": i, "rows": ftab.num_rows}
             )
@@ -549,6 +551,7 @@ class _Checkpointer:
                 "shard-*-seen.npy",
                 "shard-*-clock.parquet",
                 "shard-*-breaker.parquet",
+                "shard-*-limiter.parquet",
             ):
                 for f in glob.glob(os.path.join(od, pat)):
                     os.remove(f)
@@ -577,7 +580,9 @@ class _Checkpointer:
             clock = pq.read_table(os.path.join(d, f"shard-{i}-clock.parquet"))
             brk_path = os.path.join(d, f"shard-{i}-breaker.parquet")
             brk = pq.read_table(brk_path) if os.path.exists(brk_path) else None
-            futures.append(s.load.remote(ftab, seen_arr, clock, brk))
+            lim_path = os.path.join(d, f"shard-{i}-limiter.parquet")
+            lim = pq.read_table(lim_path) if os.path.exists(lim_path) else None
+            futures.append(s.load.remote(ftab, seen_arr, clock, brk, lim))
         ray.get(futures)
         with open(os.path.join(d, "manifest.json")) as fh:
             return json.load(fh)
@@ -643,6 +648,7 @@ class CrawlEngine:
                 if self.cfg.breaker_enabled
                 else None
             ),
+            politeness_mode=self.cfg.politeness_mode,
         )
         nf = self.cfg.num_fetchers
         if real:
@@ -938,9 +944,9 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         # breaker is a provable no-op (success only resets counters
         # that are already zero), so skip the RPC fan-out until the
         # first failure ever appears — a healthy crawl pays nothing.
-        if cfg.breaker_enabled:
+        if cfg.breaker_enabled or cfg.politeness_mode == "adaptive":
             breaker_dirty = breaker_dirty or failed.height > 0
-            if breaker_dirty:
+            if breaker_dirty or cfg.politeness_mode == "adaptive":
                 for sid, sub in frontier.route(joined, "host"):
                     retry_futures.append(
                         shards[sid].record_outcomes.remote(

@@ -637,17 +637,32 @@ def embedding_centroids(sf_dir: str) -> rd.Dataset:
     return sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _kmeans_centroids(sf_dir: str, n_cells: int, iters: int = 8) -> np.ndarray:
-    """Coarse IVF centroids via spherical k-means on a sample.
+def _kmeans_centroids(
+    sf_dir: str, n_cells: int, iters: int = 8, max_sample: int = 65_536
+) -> np.ndarray:
+    """Coarse IVF centroids via spherical k-means on a BOUNDED sample.
 
-    At test scale the sample is the whole table; at 100 TB this reads a
-    bounded random sample (ds.random_sample) — the clustering cost is
-    O(sample × cells), independent of corpus size.
+    The sample is deterministic and distributed: a modulus filter on
+    vec_id evaluated inside ``map_batches`` keeps every k-th vector, so
+    at most ~``max_sample`` rows ever reach the driver no matter the
+    corpus size — clustering cost is O(sample × cells), independent of
+    the table (the round-1 version read the whole table).
     """
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
-    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n_total = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    stride = max(1, n_total // max_sample)
+
+    def take_sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        return batch.filter(pa.array(ids % stride == 0)).select(["embedding"])
+
+    sampled = (
+        embeddings_dataset(sf_dir, ["vec_id", "embedding"])
+        .map_batches(take_sample, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    x = np.array([r["embedding"] for r in sampled], dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.RandomState(42)
     cents = x[rng.choice(len(x), size=n_cells, replace=False)]

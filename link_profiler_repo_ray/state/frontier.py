@@ -179,6 +179,7 @@ class FrontierShard:
         seen_backend: str = "exact",
         seen_capacity: int = 1 << 20,
         breaker_cfg: dict | None = None,
+        politeness_mode: str = "fixed",
     ):
         self.shard_id = shard_id
         self.robots = RobotsIndex(robots_by_host)
@@ -194,8 +195,24 @@ class FrontierShard:
         # breaker lives in the host's owning shard, exactly where its
         # frontier rows and politeness clock already are
         self.breaker = CircuitBreaker(**breaker_cfg) if breaker_cfg is not None else None
+        # T4 (opt-in): adaptive per-domain delay prediction layered on
+        # the fixed Crawl-delay floor (adaptive_rate_limiter.py:17-190,
+        # deterministic rebuild — fed by the same record_outcomes
+        # stream as the breaker)
+        if politeness_mode == "adaptive":
+            from .ratelimit import AdaptiveRateLimiter
+
+            self.limiter = AdaptiveRateLimiter()
+        else:
+            self.limiter = None
         self._pending: pl.DataFrame | None = None  # admitted, awaiting confirm
         self._staged: list[pa.Table] = []  # candidate tables pushed by fetch actors
+
+    def _delay_rounds(self, host: str) -> int:
+        d = self.robots.crawl_delay_rounds(host)
+        if self.limiter is not None:
+            d = max(d, self.limiter.delay_rounds(host))
+        return d
 
     # --- ingest ----------------------------------------------------------
 
@@ -320,12 +337,12 @@ class FrontierShard:
                 if h not in blocked
                 and (
                     (last := self.last_crawl_round.get(h)) is None
-                    or round_no >= last + self.robots.crawl_delay_rounds(h)
+                    or round_no >= last + self._delay_rounds(h)
                 )
             }
             next_round = round_no + 1
             clock_waiting = [
-                self.last_crawl_round[h] + self.robots.crawl_delay_rounds(h)
+                self.last_crawl_round[h] + self._delay_rounds(h)
                 for h in hosts
                 if h not in eligible_hosts and h not in blocked
                 and self.last_crawl_round.get(h) is not None
@@ -388,13 +405,18 @@ class FrontierShard:
         admitted order — to the breaker.  success = any HTTP response
         below 500 (a 404 is a served response; 5xx/timeouts trip the
         breaker, web_crawler.py:262-328 retry statuses)."""
-        if self.breaker is None or table.num_rows == 0:
+        if table.num_rows == 0 or (self.breaker is None and self.limiter is None):
             return
-        rec = self.breaker.record
         for h, st in zip(
             table.column("host").to_pylist(), table.column("status").to_pylist()
         ):
-            rec(h, st is not None and 0 <= st < 500, round_no)
+            ok = st is not None and 0 <= st < 500
+            if self.breaker is not None:
+                self.breaker.record(h, ok, round_no)
+            if self.limiter is not None:
+                # deterministic response-time proxy (replay mode has no
+                # wall clock); failures drive the success-rate tiers
+                self.limiter.record(h, ok, 0.0)
 
     def breaker_stats(self) -> dict:
         if self.breaker is None:
@@ -429,7 +451,22 @@ class FrontierShard:
                 "opened_round": pl.Int64,
             },
         )
-        return self.frontier.to_arrow(), self.seen.dump(), clock.to_arrow(), brk.to_arrow()
+        lim_rows = self.limiter.state_rows() if self.limiter is not None else []
+        lim = pl.DataFrame(
+            lim_rows,
+            schema={
+                "domain": pl.Utf8,
+                "requests": pl.List(pl.Boolean),
+                "response_times": pl.List(pl.Float64),
+            },
+        )
+        return (
+            self.frontier.to_arrow(),
+            self.seen.dump(),
+            clock.to_arrow(),
+            brk.to_arrow(),
+            lim.to_arrow(),
+        )
 
     def load(
         self,
@@ -437,6 +474,7 @@ class FrontierShard:
         seen_arr: np.ndarray,
         clock: pa.Table,
         breaker: pa.Table | None = None,
+        limiter: pa.Table | None = None,
     ) -> None:
         self.frontier = pl.from_arrow(frontier).cast(_FRONTIER_POLARS_SCHEMA)
         self.seen.load(seen_arr)
@@ -446,6 +484,8 @@ class FrontierShard:
         )
         if breaker is not None and self.breaker is not None:
             self.breaker.load_state(pl.from_arrow(breaker).to_dicts())
+        if limiter is not None and self.limiter is not None:
+            self.limiter.load_state(pl.from_arrow(limiter).to_dicts())
 
     def ready(self) -> bool:
         return True
@@ -465,6 +505,7 @@ class DistributedFrontier:
         seen_backend: str = "exact",
         seen_capacity: int = 1 << 20,
         breaker_cfg: dict | None = None,
+        politeness_mode: str = "fixed",
     ):
         self.num_shards = num_shards
         # cap polars threads per shard actor: 8+ actors each spawning a
@@ -476,7 +517,7 @@ class DistributedFrontier:
         self.shards = [
             actor_cls.remote(
                 s, robots_by_host, max_per_host, politeness, max_depth, collect_seen,
-                seen_backend, seen_capacity, breaker_cfg,
+                seen_backend, seen_capacity, breaker_cfg, politeness_mode,
             )
             for s in range(num_shards)
         ]

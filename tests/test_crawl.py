@@ -160,6 +160,42 @@ class TestCircuitBreaker:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestAdaptivePoliteness:
+    def test_healthy_crawl_equals_fixed_mode(self):
+        """With zero failures the adaptive limiter predicts the base
+        delay, the robots Crawl-delay floor dominates, and ordering is
+        byte-identical to the fixed-mode oracle (T4 is an overlay, not
+        a semantic change, on healthy crawls)."""
+        cfg = CrawlConfig(num_seen_shards=2, num_fetchers=2, politeness_mode="adaptive")
+        res = run_crawl(SF, cfg)
+        ora = oracle_crawl(SF, CrawlConfig(num_seen_shards=2, num_fetchers=2))
+        assert _order_pairs(res) == ora["order"]
+        assert set(res.counters["seen_urls"]) == ora["seen"]
+
+    def test_failing_hosts_get_backed_off(self):
+        """Persistent failures push the limiter into its ×4 backoff tier
+        so failing hosts are admitted less often — the crawl takes more
+        rounds than fixed mode while dead-lettering the same URLs."""
+        base = dict(
+            num_seen_shards=2,
+            num_fetchers=2,
+            flaky_mod=1,
+            flaky_persistent=True,
+            breaker_enabled=False,  # isolate the limiter from T5
+        )
+        import polars as pl
+
+        fixed = run_crawl(SF, CrawlConfig(**base))
+        adaptive = run_crawl(SF, CrawlConfig(**base, politeness_mode="adaptive"))
+        assert adaptive.counters["dead_lettered"] == fixed.counters["dead_lettered"] > 0
+        # the logical-round SPAN stretches (admissions spaced 4 rounds
+        # apart instead of 1) even though the admission count is similar
+        span_fixed = pl.from_arrow(fixed.order).get_column("round").max()
+        span_adaptive = pl.from_arrow(adaptive.order).get_column("round").max()
+        assert span_adaptive >= 2 * span_fixed
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_resume_without_checkpoint_raises(tmp_path):
     """A requested resume that finds no complete checkpoint must fail
     loudly instead of silently wiping the checkpoint dir (round-1
