@@ -72,6 +72,8 @@ class CircuitBreaker:
     # --- checkpoint serialization (deterministic resume) -----------------
 
     def state_rows(self) -> list[dict]:
+        # ``opens`` (lifetime trip counter) rides along as a constant
+        # column so resumed runs report the same telemetry
         return [
             {
                 "host": h,
@@ -79,11 +81,13 @@ class CircuitBreaker:
                 "consecutive_failures": st.consecutive_failures,
                 "consecutive_successes": st.consecutive_successes,
                 "opened_round": st.opened_round,
+                "opens_total": self.opens,
             }
             for h, st in sorted(self.hosts.items())
         ]
 
     def load_state(self, rows) -> None:
+        rows = list(rows)
         self.hosts = {
             r["host"]: _HostState(
                 state=r["state"],
@@ -93,3 +97,5 @@ class CircuitBreaker:
             )
             for r in rows
         }
+        if rows:
+            self.opens = int(rows[0].get("opens_total", 0))

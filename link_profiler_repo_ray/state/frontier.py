@@ -449,6 +449,7 @@ class FrontierShard:
                 "consecutive_failures": pl.Int64,
                 "consecutive_successes": pl.Int64,
                 "opened_round": pl.Int64,
+                "opens_total": pl.Int64,
             },
         )
         lim_rows = self.limiter.state_rows() if self.limiter is not None else []

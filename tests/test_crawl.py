@@ -196,6 +196,32 @@ class TestAdaptivePoliteness:
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_resume_restores_breaker_and_limiter_state(tmp_path):
+    """Kill/resume under persistent failures with BOTH failure-reactive
+    subsystems on (T5 breaker + T4 adaptive limiter): the resumed run
+    must replay the identical admission log, which requires breaker
+    trip state AND limiter histories to round-trip through the
+    checkpoint (failures are deterministic via flaky_persistent)."""
+    base = dict(
+        num_seen_shards=2,
+        num_fetchers=2,
+        flaky_mod=2,
+        flaky_persistent=True,
+        politeness_mode="adaptive",
+        breaker_recovery_rounds=4,
+        breaker_failure_threshold=3,
+    )
+    full = run_crawl(SF, CrawlConfig(**base))
+
+    ck = str(tmp_path / "ck")
+    run_crawl(SF, CrawlConfig(**base, checkpoint_dir=ck, stop_after_round=6))
+    resumed = run_crawl(SF, CrawlConfig(**base, checkpoint_dir=ck, resume=True))
+    assert _order_pairs(resumed) == _order_pairs(full)
+    assert resumed.counters["dead_lettered"] == full.counters["dead_lettered"]
+    assert resumed.counters["breaker_opens"] == full.counters["breaker_opens"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_resume_without_checkpoint_raises(tmp_path):
     """A requested resume that finds no complete checkpoint must fail
     loudly instead of silently wiping the checkpoint dir (round-1
