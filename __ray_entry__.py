@@ -171,6 +171,17 @@ SELECT e.source_url, e.target_url, e.source_host, e.link_type,
        m.authority AS source_authority, m.trust AS source_trust, m.spam AS source_spam
 FROM edges e JOIN metrics m ON m.host = e.source_host
 WHERE m.spam <= 70 AND m.authority >= 5""",
+        "edge_snapshot_merge": graph_cte
+        + """
+, s1 AS (
+  SELECT source_url, target_url,
+         TIMESTAMP '2024-03-01' + (97 * sdoc) * INTERVAL 1 MINUTE AS ts, sdoc
+  FROM edges),
+s2 AS (SELECT source_url, target_url, ts + INTERVAL 7 DAY AS ts, sdoc FROM s1 WHERE sdoc % 3 = 0),
+u AS (SELECT source_url, target_url, ts FROM s1 UNION ALL SELECT source_url, target_url, ts FROM s2)
+SELECT source_url, target_url, min(ts) AS first_seen, max(ts) AS last_seen,
+       count(*)::BIGINT AS n_observations
+FROM u GROUP BY 1, 2""",
         "url_priority_scores": "WITH RECURSIVE "
         + hosts_cte().lstrip()
         + ","

@@ -33,6 +33,7 @@ __all__ = [
     "top_anchor_profiles",
     "top_anchors_referrers",
     "host_graph",
+    "host_pagerank",
     "referring_domains_exact",
     "referring_domains_hll",
     "link_intersect",
@@ -196,6 +197,136 @@ def host_graph(sf_dir: str, multiplier: int = 1, edges: rd.Dataset | None = None
         ["source_host", "target_host"],
         combine=[pl.len().cast(pl.Int64).alias("n_links")],
         merge=[pl.col("n_links").sum()],
+    )
+
+
+def host_pagerank(
+    sf_dir: str,
+    multiplier: int = 1,
+    damping: float = 0.85,
+    iters: int = 20,
+    edges: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Weighted PageRank over the host graph (iterative, distributed).
+
+    The reference attaches an externally-sourced ``authority_score``
+    per domain (core/models.py:255-297); this computes an intrinsic
+    link-graph authority instead — the canonical iterative-algorithm
+    shape on this engine.  Per iteration: one partitioned join of the
+    (materialized-once) weighted host-pair table against the current
+    rank vector, one hash aggregate of the pushed contributions, and a
+    left-join back onto the full host list; dangling-host mass is the
+    only driver-side scalar per iteration.  Edge weight = n_links /
+    total outbound links of the source host.
+    """
+    from ..ops import tagged_union_join
+
+    hg = host_graph(sf_dir, multiplier, edges=edges).materialize()
+    outw = hash_aggregate(
+        hg,
+        ["source_host"],
+        combine=[pl.col("n_links").sum().alias("out_total")],
+        merge=[pl.col("out_total").sum()],
+    )
+    hg_schema = pa.schema(
+        [("source_host", pa.string()), ("target_host", pa.string()), ("n_links", pa.int64())]
+    )
+    outw_schema = pa.schema([("source_host", pa.string()), ("out_total", pa.int64())])
+    weighted = tagged_union_join(
+        hg, outw, "source_host", "source_host",
+        left_schema=hg_schema, right_schema=outw_schema,
+    ).map_batches(
+        lambda b: pl.from_arrow(b)
+        .select(
+            "source_host",
+            "target_host",
+            (pl.col("n_links") / pl.col("out_total")).alias("w"),
+        )
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    # the node set = every host appearing on either side
+    def hosts_of(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.concat(
+            [
+                df.select(pl.col("source_host").alias("host")),
+                df.select(pl.col("target_host").alias("host")),
+            ]
+        ).unique().to_arrow()
+
+    all_hosts = hash_group_apply(
+        hg.map_batches(hosts_of, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        lambda df: df.unique(),
+    ).materialize()
+    n_hosts = all_hosts.count()
+    src_hosts = {  # hosts WITH outlinks (for dangling-mass accounting)
+        r["source_host"] for r in outw.take_all()
+    }
+
+    ranks = all_hosts.map_batches(
+        lambda b: pl.from_arrow(b)
+        .with_columns(pl.lit(1.0 / n_hosts).alias("rank"))
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    ranks_schema = pa.schema([("host", pa.string()), ("rank", pa.float64())])
+    w_schema = pa.schema(
+        [("source_host", pa.string()), ("target_host", pa.string()), ("w", pa.float64())]
+    )
+    hosts_schema = pa.schema([("host", pa.string())])
+
+    for _ in range(iters):
+        # dangling mass: rank held by hosts with no outlinks (tiny
+        # driver scalar; at 10^7 hosts this is one small aggregate)
+        dangling = sum(
+            r["rank"] for r in ranks.take_all() if r["host"] not in src_hosts
+        )
+        contrib = tagged_union_join(
+            weighted, ranks, "source_host", "host",
+            left_schema=w_schema, right_schema=ranks_schema,
+        ).map_batches(
+            lambda b: pl.from_arrow(b)
+            .select(
+                pl.col("target_host").alias("host"),
+                (pl.col("w") * pl.col("rank")).alias("push"),
+            )
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sums = hash_aggregate(
+            contrib,
+            ["host"],
+            combine=[pl.col("push").sum().alias("push")],
+            merge=[pl.col("push").sum()],
+        )
+        base = (1.0 - damping) / n_hosts + damping * dangling / n_hosts
+        sums_schema = pa.schema([("host", pa.string()), ("push", pa.float64())])
+        ranks = tagged_union_join(
+            all_hosts, sums, "host", "host", how="left",
+            left_schema=hosts_schema, right_schema=sums_schema,
+        ).map_batches(
+            lambda b, base=base: pl.from_arrow(b)
+            .select(
+                "host",
+                (base + damping * pl.col("push").fill_null(0.0)).alias("rank"),
+            )
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda b: pl.from_arrow(b)
+        .select("host", pl.col("rank").round(8))
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 

@@ -322,6 +322,57 @@ def enriched_edges(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     )
 
 
+def edge_snapshot_merge(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Temporal edge catalog: first_seen / last_seen per backlink.
+
+    The reference keeps ``first_seen``/``last_seen`` on every Backlink
+    (core/models.py:332-380) with ReplacingMergeTree dedup-on-merge
+    (clickhouse_loader.py:101-125).  Simulated re-crawl: snapshot 1 is
+    the extracted edge table at its warc timestamps; snapshot 2 re-
+    observes the edges of every page with doc_id % 3 == 0 seven days
+    later.  Merge = one hash aggregate keyed (source_url, target_url):
+    min ts → first_seen, max ts → last_seen, observation count.
+    """
+    e1 = graph.edges_dataset(sf_dir, multiplier).select_columns(
+        ["source_url", "target_url", "crawl_ts"]
+    )
+
+    def resnap(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        doc = (
+            pl.col("source_url").str.extract(r"/doc/(\d+)$").cast(pl.Int64)
+        )
+        return (
+            df.with_columns(doc.alias("_doc"))
+            .filter(pl.col("_doc") % 3 == 0)
+            .select(
+                "source_url",
+                "target_url",
+                (pl.col("crawl_ts") + pl.duration(days=7)).alias("crawl_ts"),
+            )
+            .to_arrow()
+        )
+
+    e2 = graph.edges_dataset(sf_dir, multiplier).select_columns(
+        ["source_url", "target_url", "crawl_ts"]
+    ).map_batches(resnap, batch_format="pyarrow", zero_copy_batch=True)
+
+    return hash_aggregate(
+        e1.union(e2),
+        ["source_url", "target_url"],
+        combine=[
+            pl.col("crawl_ts").min().alias("first_seen"),
+            pl.col("crawl_ts").max().alias("last_seen"),
+            pl.len().cast(pl.Int64).alias("n_observations"),
+        ],
+        merge=[
+            pl.col("first_seen").min(),
+            pl.col("last_seen").max(),
+            pl.col("n_observations").sum(),
+        ],
+    )
+
+
 # --- O2: deterministic URL priority scoring --------------------------------
 
 def url_priority_scores(sf_dir: str) -> rd.Dataset:

@@ -844,6 +844,97 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
     )
 
 
+def embedding_near_dups_bucketed(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_cells: int = 10,
+    n_assign: int = 4,
+) -> rd.Dataset:
+    """Cell-bucketed embedding near-dups — the scale path promised by
+    :func:`embedding_near_dups` (which broadcasts the full matrix).
+
+    IVF-style blocking: k-means coarse cells trained on a bounded
+    sample (:func:`_kmeans_centroids`), every vector MULTI-ASSIGNED to
+    its ``n_assign`` nearest cells (multi-probe — catches pairs that
+    straddle a cell boundary), exact cosine verified inside each cell's
+    partition, cross-cell duplicates collapsed by a final aggregate.
+    Nothing is broadcast except the tiny centroid matrix, and no
+    driver materialization; per-cell work is O((N·n_assign/n_cells)²)
+    instead of O(N²).  Recall vs the exact variant is pytest-asserted.
+    """
+    cents = _kmeans_centroids(sf_dir, n_cells)
+    cents_ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self, ref):
+            self.cents = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            if not len(vids):
+                return pa.table(
+                    {
+                        "cell": pa.array([], pa.int32()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "embedding": batch.column("embedding"),
+                    }
+                )
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = emb_n @ self.cents.T  # (n, cells)
+            top = np.argsort(-sims, axis=1)[:, :n_assign]  # (n, n_assign)
+            rep_idx = pa.array(np.repeat(np.arange(len(vids)), n_assign))
+            return pa.table(
+                {
+                    "cell": pa.array(top.ravel().astype(np.int32)),
+                    "vec_id": pa.array(np.repeat(vids, n_assign)),
+                    "embedding": batch.column("embedding").take(rep_idx),
+                }
+            )
+
+    def cell_verify(df: pl.DataFrame) -> pl.DataFrame:
+        a_out, b_out, s_out = [], [], []
+        for _, g in df.group_by("cell"):
+            g = g.unique(subset=["vec_id"])
+            if g.height < 2:
+                continue
+            vids = g.get_column("vec_id").to_numpy()
+            emb = np.array(g.get_column("embedding").to_list(), dtype=np.float64)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = emb @ emb.T
+            i, j = np.triu_indices(len(vids), k=1)
+            keep = sims[i, j] >= threshold
+            if keep.any():
+                a, b = vids[i[keep]], vids[j[keep]]
+                a_out.append(np.minimum(a, b))
+                b_out.append(np.maximum(a, b))
+                s_out.append(np.round(sims[i[keep], j[keep]], 5))
+        if not a_out:
+            return pl.DataFrame(
+                schema={"vec_a": pl.Int64, "vec_b": pl.Int64, "score": pl.Float64}
+            )
+        return pl.DataFrame(
+            {
+                "vec_a": np.concatenate(a_out).astype(np.int64),
+                "vec_b": np.concatenate(b_out).astype(np.int64),
+                "score": np.concatenate(s_out),
+            }
+        )
+
+    assigned = embeddings_dataset(sf_dir, ["vec_id", "embedding"]).map_batches(
+        Assign, fn_constructor_args=(cents_ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=auto_concurrency(),
+    )
+    pairs = hash_group_apply(assigned, ["cell"], cell_verify, batch_size=16384)
+    # a pair can co-occur in several probed cells → collapse
+    return hash_aggregate(
+        pairs,
+        ["vec_a", "vec_b"],
+        combine=[pl.col("score").max().alias("score")],
+        merge=[pl.col("score").max()],
+    )
+
+
 def vocab_top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
     """Global top-k tokens by document frequency (vocabulary stats).
 

@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomalous_events_windowed": research.anomalous_events_windowed,
         "props_json_rollup": research.props_json_rollup,
         "enriched_edges": research.enriched_edges,
+        "edge_snapshot_merge": research.edge_snapshot_merge,
         "url_priority_scores": research.url_priority_scores,
         "top_valuable_domains": research.top_valuable_domains,
         # crawl core
@@ -60,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_profiles": graph.link_profiles,
         "top_anchors_referrers": graph.top_anchors_referrers,
         "host_graph": graph.host_graph,
+        "host_pagerank": graph.host_pagerank,
         "referring_domains_exact": graph.referring_domains_exact,
         "referring_domains_hll": graph.referring_domains_hll,
         "link_intersect": lambda sf: graph.link_intersect(sf, "h1.example.com", "h2.example.com"),
@@ -78,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": textdata.knn_ivf,
         "media_features": textdata.media_features,
         "embedding_near_dups": textdata.embedding_near_dups,
+        "embedding_near_dups_bucketed": textdata.embedding_near_dups_bucketed,
         "vocab_top_tokens": textdata.vocab_top_tokens,
         # relational breadth
         "q1_lineitem": relational.q1_lineitem,

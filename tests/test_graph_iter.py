@@ -1,0 +1,91 @@
+"""Iterative + temporal graph operators: weighted host PageRank vs a
+dense numpy power-iteration oracle; edge snapshot merge vs DuckDB;
+bucketed embedding near-dups recall vs the exact variant."""
+
+import duckdb
+import numpy as np
+import polars as pl
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_pagerank(pairs: pl.DataFrame, damping: float, iters: int) -> dict[str, float]:
+    hosts = sorted(
+        set(pairs.get_column("source_host")) | set(pairs.get_column("target_host"))
+    )
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for s, t, c in pairs.iter_rows():
+        W[idx[s], idx[t]] += c
+    out = W.sum(axis=1)
+    P = np.divide(W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        push = r @ P
+        r = (1 - damping) / n + damping * (push + dangling / n)
+    return dict(zip(hosts, r))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_pagerank_matches_dense_oracle():
+    from link_profiler_repo_ray.pipelines import graph
+
+    got = pl.from_pandas(graph.host_pagerank(SF, iters=15).to_pandas())
+    pairs = pl.from_pandas(graph.host_graph(SF).to_pandas()).select(
+        ["source_host", "target_host", "n_links"]
+    )
+    want = _ref_pagerank(pairs, damping=0.85, iters=15)
+    assert got.height == len(want)
+    for h, r in zip(got.get_column("host"), got.get_column("rank")):
+        assert abs(r - want[h]) < 1e-8, h  # pipeline rounds to 8 decimals
+    # ranks form a probability distribution
+    assert abs(got.get_column("rank").sum() - 1.0) < 1e-6
+    # the hub host (absorbs every d%37==0 page's inlinks) ranks first
+    top = got.sort("rank", descending=True).row(0, named=True)
+    assert top["host"] == "h0.example.com"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_edge_snapshot_merge_matches_oracle():
+    import __ray_entry__ as e
+    from link_profiler_repo_ray.pipelines import research
+
+    got = pl.from_pandas(research.edge_snapshot_merge(SF).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(e.oracle_sql()["edge_snapshot_merge"]).pl()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    assert got.select(cols).sort(cols).equals(want.select(cols).sort(cols))
+    # re-observed edges span exactly 7 days; the rest span 0
+    import datetime
+
+    span = got.with_columns((pl.col("last_seen") - pl.col("first_seen")).alias("d"))
+    assert set(span.get_column("d").unique().to_list()) == {
+        datetime.timedelta(0),
+        datetime.timedelta(days=7),
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_near_dups_recall():
+    """The IVF-bucketed scale path must reproduce the exact variant's
+    pairs (multi-probe n_assign=4 reaches recall 1.0 at this scale)
+    with no false positives (exact in-cell verification)."""
+    from link_profiler_repo_ray.pipelines import textdata
+
+    exact = textdata.embedding_near_dups(SF).to_pandas()
+    bucketed = textdata.embedding_near_dups_bucketed(SF).to_pandas()
+    pe = set(zip(exact.vec_a, exact.vec_b))
+    pb = set(zip(bucketed.vec_a, bucketed.vec_b))
+    assert pb <= pe  # exact verify → zero false pairs
+    assert len(pe & pb) / len(pe) >= 0.85
+    # scores agree where pairs overlap
+    se = {(a, b): s for a, b, s in zip(exact.vec_a, exact.vec_b, exact.score)}
+    for (a, b), s in zip(zip(bucketed.vec_a, bucketed.vec_b), bucketed.score):
+        assert abs(se[(a, b)] - s) < 1e-9
