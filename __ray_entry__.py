@@ -286,6 +286,10 @@ SELECT doc_id,
        len(string_split(text, ' '))::BIGINT AS n_tokens,
        len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens
 FROM documents""",
+        "token_stats_bpe": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS n_bpe_tokens
+FROM documents""",
         "doc_quality": f"""
 WITH t AS (
   SELECT doc_id, length(text)::BIGINT AS n_chars,
@@ -365,6 +369,17 @@ SELECT date_trunc('day', ts) AS day, event_type,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY 1, 2""",
+        "events_hopping_window": """
+WITH e AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS tb, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events),
+u AS (
+  SELECT tb - g.k * INTERVAL 30 MINUTE AS window_start, event_type, value_cents
+  FROM e CROSS JOIN generate_series(0, 1) g(k))
+SELECT window_start, event_type, count(*)::BIGINT AS n_events,
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+FROM u GROUP BY 1, 2""",
         "sessionize": """
 WITH e AS (
   SELECT user_id, event_id, ts,

@@ -28,6 +28,7 @@ __all__ = [
     "order_priority_revenue",
     "top_parts_per_brand",
     "events_by_day",
+    "events_hopping_window",
     "sessionize",
 ]
 
@@ -251,4 +252,51 @@ def order_priority_revenue_native(sf_dir: str) -> rd.Dataset:
         ["o_orderpriority"],
         combine=[pl.col("rev_cents").sum().alias("revenue_cents")],
         merge=[pl.col("revenue_cents").sum()],
+    )
+
+
+def events_hopping_window(sf_dir: str, window_min: int = 60, hop_min: int = 30) -> rd.Dataset:
+    """Hopping-window aggregate over the event stream (streaming-window
+    breadth beyond the tumbling ``events_by_day`` and the session
+    windows of ``sessionize``): each event lands in the
+    ``window/hop`` overlapping windows that contain it, counted and
+    summed per (window_start, event_type).
+
+    Vectorized expansion inside ``map_batches`` (truncate to the hop
+    grid, shift back k hops), then one hash aggregate — the Ray shape
+    of a streaming hopping window, fully SQL-mirrorable.
+    """
+    import pyarrow as pa
+
+    n_hops = window_min // hop_min
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        cents = (pl.col("value") * 100 + 0.5).floor().cast(pl.Int64)
+        df = df.with_columns(cents.alias("value_cents"))
+        parts = []
+        for k in range(n_hops):
+            parts.append(
+                df.select(
+                    (
+                        pl.col("ts").dt.truncate(f"{hop_min}m")
+                        - pl.duration(minutes=hop_min * k)
+                    ).alias("window_start"),
+                    pl.col("event_type"),
+                    pl.col("value_cents"),
+                )
+            )
+        return pl.concat(parts).to_arrow()
+
+    expanded = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_aggregate(
+        expanded,
+        ["window_start", "event_type"],
+        combine=[
+            pl.len().cast(pl.Int64).alias("n_events"),
+            pl.col("value_cents").sum().alias("sum_value_cents"),
+        ],
+        merge=[pl.col("n_events").sum(), pl.col("sum_value_cents").sum()],
     )

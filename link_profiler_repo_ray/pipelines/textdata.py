@@ -112,6 +112,29 @@ def token_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+_BPE_PAT = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_stats_bpe(sf_dir: str) -> rd.Dataset:
+    """BPE-style token counting: a GPT-2-like pre-tokenizer regex
+    (letter runs / digit runs / punctuation runs / whitespace, each
+    with optional leading space; the lookahead-free subset both rust
+    regex and RE2 support identically) counted per document with a
+    vectorized ``str.count_matches`` — the "token counting (whitespace
+    + a BPE-ish regex)" operator of the training-data spec."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.count_matches(_BPE_PAT).cast(pl.Int64).alias("n_bpe_tokens"),
+        ).to_arrow()
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def doc_quality(sf_dir: str) -> rd.Dataset:
     """Per-doc quality ratios (SQL-mirrorable subset of functions.textstats)."""
 

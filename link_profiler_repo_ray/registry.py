@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_velocity": graph.link_velocity,
         # training-data ops
         "token_stats": textdata.token_stats,
+        "token_stats_bpe": textdata.token_stats_bpe,
         "doc_quality": textdata.doc_quality,
         "lang_id": textdata.lang_id_docs,
         "fingerprints": textdata.fingerprints,
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": relational.order_priority_revenue,
         "top_parts_per_brand": relational.top_parts_per_brand,
         "events_by_day": relational.events_by_day,
+        "events_hopping_window": relational.events_hopping_window,
         "sessionize": relational.sessionize,
     }
 
