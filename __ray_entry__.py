@@ -171,6 +171,19 @@ SELECT e.source_url, e.target_url, e.source_host, e.link_type,
        m.authority AS source_authority, m.trust AS source_trust, m.spam AS source_spam
 FROM edges e JOIN metrics m ON m.host = e.source_host
 WHERE m.spam <= 70 AND m.authority >= 5""",
+        "domain_intelligence": """
+WITH params AS (SELECT GREATEST(5, count(*) // 50)::BIGINT AS h FROM documents),
+hosts AS (SELECT g.i AS host_id FROM generate_series(0, 9999) g(i)
+          WHERE g.i < (SELECT h FROM params)),
+src AS (
+  SELECT host_id, g.s AS source_id, ((host_id * 7 + g.s) % 3) - 1 AS sentiment
+  FROM hosts CROSS JOIN generate_series(0, 5) g(s)
+  WHERE (host_id + g.s) % 4 <> 0)
+SELECT 'h' || host_id || '.example.com' AS host,
+       round(sum(sentiment)::DOUBLE / count(*), 6) AS avg_sentiment,
+       round(count(*) * 100.0 / 6, 6) AS confidence,
+       count(*)::BIGINT AS n_sources
+FROM src GROUP BY host_id""",
         "edge_snapshot_merge": graph_cte
         + """
 , s1 AS (

@@ -322,6 +322,62 @@ def enriched_edges(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     )
 
 
+def domain_intelligence(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """A7: multi-source domain intelligence fan-out + merge.
+
+    The reference fans out 6 source fetches per domain and merges them
+    into one record: average sentiment over available sources mapped
+    {positive: 1, neutral: 0, negative: −1}, confidence = available
+    sources / 6 · 100 (data_aggregation_service.py:138-215).  Sandbox
+    sources are deterministic functions of (host_id, source_id) — a
+    source s is available for host h iff (h + s) % 4 != 0, its
+    sentiment is ((h·7 + s) % 3) − 1 — so a DuckDB oracle reproduces
+    the merge exactly.  Shape: per-host fan-out happens INSIDE the
+    batch (vectorized long-form expand), merged by one hash aggregate.
+    """
+    from ..sources import corpus as corpus_mod
+
+    n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
+    n_hosts = corpus_mod.n_hosts(n_docs)
+    hosts = rd.from_arrow(
+        pl.DataFrame({"host_id": pl.arange(0, n_hosts, eager=True).cast(pl.Int64)}).to_arrow()
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        df = df.with_columns(pl.lit(list(range(6))).alias("source_id")).explode("source_id")
+        df = df.with_columns(pl.col("source_id").cast(pl.Int64))
+        return (
+            df.filter((pl.col("host_id") + pl.col("source_id")) % 4 != 0)
+            .with_columns(
+                (((pl.col("host_id") * 7 + pl.col("source_id")) % 3) - 1).alias("sentiment")
+            )
+            .to_arrow()
+        )
+
+    per_source = hosts.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    merged = hash_aggregate(
+        per_source,
+        ["host_id"],
+        combine=[
+            pl.col("sentiment").sum().alias("sent_sum"),
+            pl.len().cast(pl.Int64).alias("n_sources"),
+        ],
+        merge=[pl.col("sent_sum").sum(), pl.col("n_sources").sum()],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            ("h" + pl.col("host_id").cast(pl.Utf8) + ".example.com").alias("host"),
+            (pl.col("sent_sum") / pl.col("n_sources")).round(6).alias("avg_sentiment"),
+            (pl.col("n_sources") * 100.0 / 6).round(6).alias("confidence"),
+            pl.col("n_sources"),
+        ).to_arrow()
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def edge_snapshot_merge(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     """Temporal edge catalog: first_seen / last_seen per backlink.
 

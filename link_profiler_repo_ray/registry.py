@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_json_rollup": research.props_json_rollup,
         "enriched_edges": research.enriched_edges,
         "edge_snapshot_merge": research.edge_snapshot_merge,
+        "domain_intelligence": research.domain_intelligence,
         "url_priority_scores": research.url_priority_scores,
         "top_valuable_domains": research.top_valuable_domains,
         # crawl core
