@@ -47,7 +47,7 @@ def main(argv=None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--out", default=None, help="output path (default: print row count)")
     q.add_argument(
-        "--fmt", choices=["parquet", "csv", "jsonl", "excel"], default="parquet"
+        "--fmt", choices=["parquet", "csv", "jsonl", "excel", "pdf"], default="parquet"
     )
 
     args = ap.parse_args(argv)
@@ -115,6 +115,9 @@ def main(argv=None) -> int:
                 print(json.dumps({"query": args.name, "rows": res.count()}))
             elif args.fmt == "excel":
                 export.write_excel(res, args.out)
+                print(json.dumps({"query": args.name, "written": args.out}))
+            elif args.fmt == "pdf":
+                export.write_pdf_report(res, args.out, title=args.name)
                 print(json.dumps({"query": args.name, "written": args.out}))
             else:
                 getattr(export, f"write_{'jsonl' if args.fmt == 'jsonl' else args.fmt}")(res, args.out)

@@ -110,3 +110,43 @@ def test_cli_query_dispatch(tmp_path, capsys):
     assert main(["query", "--name", "nope"]) == 2
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "unknown query" in err["error"]
+
+
+def test_pdf_report_structure(tmp_path):
+    """S9: hand-rolled PDF 1.4 — header, xref offsets that actually
+    point at their objects, and the report text present in the
+    uncompressed content streams."""
+    import re
+
+    import pyarrow as pa
+
+    from link_profiler_repo_ray.pipelines.export import write_pdf_report
+
+    t = pa.table({"target_host": [f"h{i}.example.com" for i in range(60)],
+                  "value_score": list(range(60))})
+    path = str(tmp_path / "report.pdf")
+    write_pdf_report(t, path, title="Valuable (domains)")
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"%PDF-1.4")
+    assert raw.rstrip().endswith(b"%%EOF")
+    # xref offsets point at "N 0 obj"
+    xref_at = int(raw.rsplit(b"startxref", 1)[1].split()[0])
+    xref = raw[xref_at:].split(b"trailer")[0].decode()
+    offsets = [int(l.split()[0]) for l in xref.splitlines()[2:] if l.strip().endswith("n")]
+    for i, off in enumerate(offsets, start=1):
+        assert raw[off:].startswith(f"{i} 0 obj".encode()), i
+    # two pages (64 lines at 50/page) and escaped parens in the title
+    assert raw.count(b"/Type /Page ") == 2
+    assert rb"(Valuable \(domains\))" in raw
+    assert b"(h42.example.com" in raw
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_query_pdf(tmp_path):
+    from link_profiler_repo_ray.cli import main
+
+    out = str(tmp_path / "tv.pdf")
+    rc = main(["query", "--name", "top_valuable_domains", "--sf-dir", SF, "--out", out, "--fmt", "pdf"])
+    assert rc == 0
+    raw = open(out, "rb").read()
+    assert raw.startswith(b"%PDF-1.4") and b"h0.example.com" in raw
