@@ -958,6 +958,90 @@ def embedding_near_dups_bucketed(
     )
 
 
+def near_dup_survivors(
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_iters: int = 30,
+    extra_docs: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Near-dup SURVIVOR selection: pairs → clusters → one keeper each.
+
+    A dedup pipeline doesn't end at pairs: transitive groups (A~B,
+    B~C ⇒ {A,B,C}) must collapse to one representative.  This runs
+    distributed CONNECTED COMPONENTS by iterative label propagation
+    over the MinHash-verified pair set — per iteration one exchange
+    propagates each node's current minimum label to its neighbors
+    (hash aggregate keyed node, min), converging in O(component
+    diameter) rounds — then emits (doc_id, survivor_id) where survivor
+    = the component's minimum doc_id (the reference's first-wins
+    dedup discipline, crawl_service.py:95-116).  Singleton documents
+    survive as themselves; a pure-python union-find oracle checks the
+    clustering in tests.
+    """
+    pairs = minhash_lsh_dups(sf_dir, threshold=threshold, extra_docs=extra_docs)
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+
+    # labels: every endpoint starts as its own component
+    def init_labels(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        nodes = pl.concat(
+            [
+                df.select(pl.col("doc_a").alias("doc_id")),
+                df.select(pl.col("doc_b").alias("doc_id")),
+            ]
+        ).unique()
+        return nodes.with_columns(pl.col("doc_id").alias("label")).to_arrow()
+
+    labels = hash_group_apply(
+        pairs.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id"],
+        lambda df: df.unique(subset=["doc_id"]),
+    ).materialize()
+
+    labels_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    for _ in range(max_iters):
+        # push each endpoint's label across its edges (both directions),
+        # then take the min label seen per node (including its own)
+        with_lab = tagged_union_join(
+            pairs, labels, "doc_a", "doc_id",
+            left_schema=pairs_schema, right_schema=labels_schema,
+        )
+
+        def emit(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            return pl.concat(
+                [
+                    df.select(pl.col("doc_b").alias("doc_id"), pl.col("label")),
+                    df.select(pl.col("doc_a").alias("doc_id"), pl.col("label")),
+                ]
+            ).to_arrow()
+
+        prop = with_lab.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        new_labels = hash_aggregate(
+            prop.union(labels),
+            ["doc_id"],
+            combine=[pl.col("label").min().alias("label")],
+            merge=[pl.col("label").min()],
+        ).materialize()
+        # converged when no label changed (tiny driver scalar: the
+        # label-sum is monotonically non-increasing under min-prop)
+        old_sum = sum(r["label"] for r in labels.take_all())
+        new_sum = sum(r["label"] for r in new_labels.take_all())
+        labels = new_labels
+        if new_sum == old_sum:
+            break
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col("doc_id"), pl.col("label").alias("survivor_id")
+        ).to_arrow()
+
+    return labels.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def vocab_top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
     """Global top-k tokens by document frequency (vocabulary stats).
 

@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textdata.fingerprints,
         "dedup_exact": textdata.dedup_exact,
         "minhash_lsh_dups": textdata.minhash_lsh_dups,
+        "near_dup_survivors": textdata.near_dup_survivors,
         "simhash_dups": textdata.simhash_dups,
         "word_jaccard_pairs": textdata.word_jaccard_pairs,
         "embedding_topk": textdata.embedding_topk,

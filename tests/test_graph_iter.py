@@ -89,3 +89,45 @@ def test_bucketed_near_dups_recall():
     se = {(a, b): s for a, b, s in zip(exact.vec_a, exact.vec_b, exact.score)}
     for (a, b), s in zip(zip(bucketed.vec_a, bucketed.vec_b), bucketed.score):
         assert abs(se[(a, b)] - s) < 1e-9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_survivors_union_find_oracle():
+    """Label-propagation connected components over the minhash pair
+    set vs a pure-python union-find: identical components, survivor =
+    min doc_id of each component."""
+    from link_profiler_repo_ray.pipelines import textdata
+
+    pairs = textdata.minhash_lsh_dups(SF, threshold=0.8).to_pandas()
+    got = textdata.near_dup_survivors(SF, threshold=0.8).to_pandas()
+
+    # union-find oracle
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        union(int(a), int(b))
+    want = {x: find(x) for x in parent}
+
+    assert len(got) == len(want)
+    for d, s in zip(got.doc_id, got.survivor_id):
+        assert want[int(d)] == int(s), d
+    # each component's survivor is its own minimum
+    assert all(int(s) <= int(d) for d, s in zip(got.doc_id, got.survivor_id))
+    # at least one transitive cluster of size > 2 exists at this
+    # threshold (otherwise the test proves nothing about transitivity)
+    import collections
+
+    sizes = collections.Counter(want.values())
+    assert max(sizes.values()) >= 3
