@@ -34,6 +34,17 @@ def main(argv=None) -> int:
         c.add_argument("--shards", type=int, default=8)
         c.add_argument("--fetchers", type=int, default=8)
         c.add_argument("--checkpoint-every", type=int, default=1)
+        c.add_argument("--politeness-mode", choices=["fixed", "adaptive"], default="fixed")
+        c.add_argument("--seen-backend", choices=["exact", "cuckoo"], default="exact")
+        c.add_argument("--no-breaker", action="store_true")
+        c.add_argument(
+            "--fetch-mode", choices=["replay", "real"], default="replay",
+            help="'real' crawls live HTTP (requires --seeds-file)",
+        )
+        c.add_argument(
+            "--seeds-file", default=None,
+            help="JSON file: [{url, priority}] explicit seed list (or CDX output)",
+        )
 
     p = sub.add_parser("profiles")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -68,8 +79,13 @@ def main(argv=None) -> int:
         if args.cmd in ("crawl", "bfs"):
             from .pipelines.crawl import CrawlConfig, run_crawl
 
+            seeds = None
+            if args.seeds_file:
+                with open(args.seeds_file) as fh:
+                    seeds = json.load(fh)
             cfg = CrawlConfig(
                 politeness=(args.cmd == "crawl"),
+                politeness_mode=args.politeness_mode,
                 max_pages=args.max_pages,
                 max_depth=args.max_depth,
                 max_per_host_per_round=args.budget,
@@ -80,6 +96,10 @@ def main(argv=None) -> int:
                 collect_edges=False,
                 resume=args.resume,
                 checkpoint_every=args.checkpoint_every,
+                seen_backend=args.seen_backend,
+                breaker_enabled=not args.no_breaker,
+                fetch_mode=args.fetch_mode,
+                seeds=seeds,
             )
             res = run_crawl(args.sf_dir, cfg, multiplier=args.multiplier)
             out = {

@@ -1025,10 +1025,12 @@ def near_dup_survivors(
             combine=[pl.col("label").min().alias("label")],
             merge=[pl.col("label").min()],
         ).materialize()
-        # converged when no label changed (tiny driver scalar: the
-        # label-sum is monotonically non-increasing under min-prop)
-        old_sum = sum(r["label"] for r in labels.take_all())
-        new_sum = sum(r["label"] for r in new_labels.take_all())
+        # converged when no label changed — the label-sum is strictly
+        # decreasing under min-propagation until fixpoint, and the
+        # check is a DISTRIBUTED scalar aggregate (the label table can
+        # be as large as the near-dup node set at 100 TB)
+        old_sum = labels.sum("label")
+        new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == old_sum:
             break
