@@ -112,6 +112,7 @@ class CrawlConfig:
     # then deleted — an otherwise valid checkpoint)
     _PERF_KNOBS = (
         "checkpoint_dir",
+        "output_dir",
         "resume",
         "stop_after_round",
         "num_fetchers",
@@ -228,6 +229,7 @@ def _parse_and_emit(
     collect_edges,
     frontier_shards,
     persister=None,
+    latencies=None,
 ):
     """Shared fetch-result pipeline: byte-identical text extraction,
     quality/SEO scoring, page+edge Parquet persistence by the actor,
@@ -308,7 +310,13 @@ def _parse_and_emit(
             _write_page_edge_parts(persist_dir, shard_tag, pages, edges)
 
     meta = pa.table(
-        {"url": pa.array(urls, pa.string()), "status": pa.array(status, pa.int16())}
+        {
+            "url": pa.array(urls, pa.string()),
+            "status": pa.array(status, pa.int16()),
+            "latency": pa.array(
+                latencies if latencies is not None else [0.0] * len(urls), pa.float64()
+            ),
+        }
     )
     # per-batch expansion pre-reduction: distinct targets, min depth,
     # pushed DIRECTLY to the owning frontier shards (actor→actor) —
@@ -757,7 +765,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         for rr in range(r0 + 1):
             rd_ = ckpt.round_dir(rr)
             op = os.path.join(rd_, "order.parquet")
-            if os.path.exists(op):
+            if cfg.resolved_collect_order() and os.path.exists(op):
                 order_parts.append(pq.read_table(op))
             for pth in sorted(glob.glob(os.path.join(rd_, "edges", "*.parquet"))):
                 edges_parts.append(pq.read_table(pth))
@@ -882,7 +890,11 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
 
         _t = _time.perf_counter()
         meta = pa.concat_tables(metas) if metas else pa.table(
-            {"url": pa.array([], pa.string()), "status": pa.array([], pa.int16())}
+            {
+                "url": pa.array([], pa.string()),
+                "status": pa.array([], pa.int16()),
+                "latency": pa.array([], pa.float64()),
+            }
         )
         # retryable statuses per web_crawler.py:262-328: 408 + any 5xx
         st = meta.column("status").to_numpy()
@@ -895,7 +907,10 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         joined = (
             admitted  # already in final (priority, depth, host, url) order
             .join(pl.from_arrow(meta), on="url", how="left", maintain_order="left")
-            .with_columns(pl.col("status").fill_null(-1).cast(pl.Int16))
+            .with_columns(
+                pl.col("status").fill_null(-1).cast(pl.Int16),
+                pl.col("latency").fill_null(0.0),
+            )
         )
         n_adm = joined.height
         order_delta = pa.table(
@@ -918,7 +933,10 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             # tables on the driver (checkpoint runs write it in
             # write_round)
             os.makedirs(persist_dir, exist_ok=True)
-            pq.write_table(order_delta, os.path.join(persist_dir, "order.parquet"))
+            pq.write_table(
+                order_delta,
+                os.path.join(persist_dir, f"order-{round_no:05d}.parquet"),
+            )
 
         failed = joined.filter((pl.col("status") >= 500) | (pl.col("status") == 408))
         retry_futures = []

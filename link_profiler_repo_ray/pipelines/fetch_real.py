@@ -85,27 +85,33 @@ class RealFetchActor:
     def flush_persist(self) -> None:
         self.persister.flush()
 
-    def _fetch_one(self, url: str) -> tuple[int, bytes | None, str]:
+    def _fetch_one(self, url: str) -> tuple[int, bytes | None, str, float]:
+        import time
         import urllib.error
 
+        t0 = time.monotonic()
         try:
             with self.opener.open(url, timeout=self.timeout_s) as resp:
                 st = int(resp.status)
                 ctype = (resp.headers.get("Content-Type") or "").lower()
                 clen = resp.headers.get("Content-Length")
-                if clen is not None and int(clen) > self.max_bytes:
-                    return st, None, ctype  # size cap via header
+                try:
+                    too_large = clen is not None and int(clen) > self.max_bytes
+                except ValueError:
+                    too_large = False  # malformed header → rely on the read cap
+                if too_large:
+                    return st, None, ctype, time.monotonic() - t0  # size cap via header
                 data = resp.read(self.max_bytes + 1)
                 if len(data) > self.max_bytes:
-                    return st, None, ctype  # size cap via actual read
-                return st, data, ctype
+                    return st, None, ctype, time.monotonic() - t0  # size cap via read
+                return st, data, ctype, time.monotonic() - t0
         except urllib.error.HTTPError as exc:
             ct = ""
             if exc.headers is not None:
                 ct = (exc.headers.get("Content-Type") or "").lower()
-            return int(exc.code), None, ct
+            return int(exc.code), None, ct, time.monotonic() - t0
         except Exception:
-            return 599, None, ""  # transport failure → retryable 5xx
+            return 599, None, "", time.monotonic() - t0  # transport failure → retryable
 
     def fetch_parse(
         self,
@@ -120,9 +126,10 @@ class RealFetchActor:
         urls = batch.column("url").to_pylist()
         depths = batch.column("depth").to_pylist()
         results = list(self.pool.map(self._fetch_one, urls))
-        status, htmls = [], []
-        for st, data, ctype in results:
+        status, htmls, lats = [], [], []
+        for st, data, ctype, dt in results:
             status.append(st)
+            lats.append(float(dt))
             is_html = data is not None and (
                 "text/html" in ctype or ctype.startswith("text/") or ctype == ""
             )
@@ -140,4 +147,5 @@ class RealFetchActor:
             collect_edges,
             self.frontier_shards,
             persister=self.persister if buffered else None,
+            latencies=lats,
         )

@@ -263,9 +263,7 @@ def host_pagerank(
         lambda df: df.unique(),
     ).materialize()
     n_hosts = all_hosts.count()
-    src_hosts = {  # hosts WITH outlinks (for dangling-mass accounting)
-        r["source_host"] for r in outw.take_all()
-    }
+    outw = outw.materialize()
 
     ranks = all_hosts.map_batches(
         lambda b: pl.from_arrow(b)
@@ -280,11 +278,26 @@ def host_pagerank(
     )
     hosts_schema = pa.schema([("host", pa.string())])
 
+    outw_schema2 = pa.schema([("source_host", pa.string()), ("out_total", pa.int64())])
     for _ in range(iters):
-        # dangling mass: rank held by hosts with no outlinks (tiny
-        # driver scalar; at 10^7 hosts this is one small aggregate)
-        dangling = sum(
-            r["rank"] for r in ranks.take_all() if r["host"] not in src_hosts
+        # dangling mass: rank held by hosts with no outlinks — a
+        # DISTRIBUTED left join + scalar sum (no rank-vector
+        # materialization on the driver; the rank table is O(hosts))
+        dangling = (
+            tagged_union_join(
+                ranks, outw, "host", "source_host", how="left",
+                left_schema=ranks_schema, right_schema=outw_schema2,
+            )
+            .map_batches(
+                lambda b: pl.from_arrow(b)
+                .filter(pl.col("out_total").is_null())
+                .select("rank")
+                .to_arrow(),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .sum("rank")
+            or 0.0
         )
         contrib = tagged_union_join(
             weighted, ranks, "source_host", "host",

@@ -1001,6 +1001,7 @@ def near_dup_survivors(
     labels_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
     pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
+    converged = False
     for _ in range(max_iters):
         # push each endpoint's label across its edges (both directions),
         # then take the min label seen per node (including its own)
@@ -1033,7 +1034,15 @@ def near_dup_survivors(
         new_sum = new_labels.sum("label")
         labels = new_labels
         if new_sum == old_sum:
+            converged = True
             break
+    if not converged:
+        # no silent caps: truncated propagation would split true
+        # components into several survivors
+        raise RuntimeError(
+            f"near_dup_survivors did not converge in {max_iters} iterations "
+            "(a duplicate-cluster diameter exceeds max_iters; raise it)"
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)

@@ -401,22 +401,31 @@ class FrontierShard:
                 self.last_crawl_round[h] = round_no
 
     def record_outcomes(self, round_no: int, table: pa.Table) -> None:
-        """Feed per-URL fetch outcomes (host, status) — in global
-        admitted order — to the breaker.  success = any HTTP response
-        below 500 (a 404 is a served response; 5xx/timeouts trip the
-        breaker, web_crawler.py:262-328 retry statuses)."""
+        """Feed per-URL fetch outcomes (host, status, latency) — in
+        global admitted order — to the breaker and adaptive limiter.
+        success = any served response below 500 except 408 (a 404 is a
+        served response; 408/5xx/timeouts trip the breaker,
+        web_crawler.py:262-328 retry statuses)."""
         if table.num_rows == 0 or (self.breaker is None and self.limiter is None):
             return
-        for h, st in zip(
-            table.column("host").to_pylist(), table.column("status").to_pylist()
+        lats = (
+            table.column("latency").to_pylist()
+            if "latency" in table.column_names
+            else [0.0] * table.num_rows
+        )
+        for h, st, lat in zip(
+            table.column("host").to_pylist(), table.column("status").to_pylist(), lats
         ):
-            ok = st is not None and 0 <= st < 500
+            # success = any served response below 500 EXCEPT 408: the
+            # retry statuses are 408 + 5xx (web_crawler.py:262-328) and
+            # the driver's retry/dead-letter path uses the same set
+            ok = st is not None and 0 <= st < 500 and st != 408
             if self.breaker is not None:
                 self.breaker.record(h, ok, round_no)
             if self.limiter is not None:
-                # deterministic response-time proxy (replay mode has no
-                # wall clock); failures drive the success-rate tiers
-                self.limiter.record(h, ok, 0.0)
+                # replay mode reports 0.0 latency; real-fetch actors
+                # report measured wall seconds, driving the p95 tier
+                self.limiter.record(h, ok, lat)
 
     def breaker_stats(self) -> dict:
         if self.breaker is None:

@@ -75,6 +75,8 @@ class AdaptiveRateLimiter:
         return xs[idx]
 
     def delay_rounds(self, domain: str) -> int:
+        import math
+
         delay = 1.0
         rate = self.success_rate(domain)
         if rate < 0.5:
@@ -83,7 +85,9 @@ class AdaptiveRateLimiter:
             delay *= 2.0
         if self.p95_response_time(domain) > self.stress_threshold:
             delay *= 1.5
-        return max(1, min(self.max_delay_rounds, int(delay)))
+        # ceil, not truncate: 1 round x1.5 stress must round UP to 2
+        # (int() made the stress tier unreachable from base delay)
+        return max(1, min(self.max_delay_rounds, int(math.ceil(delay))))
 
     # --- checkpoint serialization ---------------------------------------
 

