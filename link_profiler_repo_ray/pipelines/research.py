@@ -24,7 +24,13 @@ __all__ = [
     "customers_without_orders",
     "latest_event_per_user",
     "anomalous_events",
+    "anomalous_events_windowed",
     "props_json_rollup",
+    "enriched_edges",
+    "domain_intelligence",
+    "edge_snapshot_merge",
+    "url_priority_scores",
+    "top_valuable_domains",
 ]
 
 

@@ -37,17 +37,22 @@ __all__ = [
     "documents_dataset",
     "text_extract_roundtrip",
     "token_stats",
+    "token_stats_bpe",
     "doc_quality",
     "lang_id_docs",
     "fingerprints",
     "dedup_exact",
     "minhash_lsh_dups",
+    "near_dup_survivors",
     "simhash_dups",
     "word_jaccard_pairs",
     "embedding_topk",
     "embedding_centroids",
+    "embedding_near_dups",
+    "embedding_near_dups_bucketed",
     "knn_ivf",
     "media_features",
+    "vocab_top_tokens",
 ]
 
 
