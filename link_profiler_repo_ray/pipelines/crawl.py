@@ -618,19 +618,9 @@ class CrawlEngine:
                 raise ValueError("fetch_mode='real' requires CrawlConfig.seeds")
             self.n_docs = 0
             robots_map = dict(self.cfg.robots_overrides or {})
-            if self.cfg.fetch_robots:
-                from .fetch_real import fetch_robots_txt
-
-                bases: dict[str, str] = {}
-                for r in self.cfg.seeds:
-                    u = can.canonicalize(r["url"])
-                    if u is None:
-                        continue
-                    h = can.host_of(u)
-                    if h and h not in robots_map and h not in bases:
-                        bases[h] = u.split("/", 3)[0] + "//" + h
-                for h, base in bases.items():
-                    robots_map[h] = fetch_robots_txt(base, self.cfg.real_timeout_s)
+            # robots.txt is fetched LAZILY by each host's owning shard
+            # at first admission (covers seeds AND hosts discovered
+            # mid-crawl; one fetch per host, cached in the shard — T2)
         else:
             cdir = corpus_mod.corpus_dir(sf_dir, multiplier)
             self.n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
@@ -657,6 +647,11 @@ class CrawlEngine:
                 else None
             ),
             politeness_mode=self.cfg.politeness_mode,
+            robots_fetch_timeout=(
+                self.cfg.real_timeout_s
+                if self.cfg.fetch_mode == "real" and self.cfg.fetch_robots
+                else None
+            ),
         )
         nf = self.cfg.num_fetchers
         if real:

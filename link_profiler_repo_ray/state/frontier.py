@@ -180,9 +180,16 @@ class FrontierShard:
         seen_capacity: int = 1 << 20,
         breaker_cfg: dict | None = None,
         politeness_mode: str = "fixed",
+        robots_fetch_timeout: float | None = None,
     ):
         self.shard_id = shard_id
         self.robots = RobotsIndex(robots_by_host)
+        # real mode: hosts discovered mid-crawl get their robots.txt
+        # fetched ONCE by their owning shard at first admission (the
+        # reference's per-host fetch+24h-cache, robots_parser.py:65-127);
+        # None (replay/tests) keeps unknown hosts allow-all.
+        self.robots_fetch_timeout = robots_fetch_timeout
+        self._robots_attempted: set[str] = set()
         self.max_per_host = max_per_host
         self.politeness = politeness
         self.max_depth = max_depth
@@ -374,6 +381,14 @@ class FrontierShard:
         # robots evaluated here, annotated for the driver (§3.1)
         hosts_l = admitted.get_column("host").to_list()
         urls_l = admitted.get_column("url").to_list()
+        if self.robots_fetch_timeout is not None:
+            from ..pipelines.fetch_real import fetch_robots_txt
+
+            for h, u in zip(hosts_l, urls_l):
+                if not self.robots.knows(h) and h not in self._robots_attempted:
+                    self._robots_attempted.add(h)
+                    base = u.split("/", 3)[0] + "//" + h
+                    self.robots.add_host(h, fetch_robots_txt(base, self.robots_fetch_timeout))
         mask = self.robots.allowed_batch(hosts_l, urls_l)
         admitted = admitted.with_columns(pl.Series("allowed", np.asarray(mask, dtype=bool)))
         self._pending = admitted
@@ -516,6 +531,7 @@ class DistributedFrontier:
         seen_capacity: int = 1 << 20,
         breaker_cfg: dict | None = None,
         politeness_mode: str = "fixed",
+        robots_fetch_timeout: float | None = None,
     ):
         self.num_shards = num_shards
         # cap polars threads per shard actor: 8+ actors each spawning a
@@ -528,6 +544,7 @@ class DistributedFrontier:
             actor_cls.remote(
                 s, robots_by_host, max_per_host, politeness, max_depth, collect_seen,
                 seen_backend, seen_capacity, breaker_cfg, politeness_mode,
+                robots_fetch_timeout,
             )
             for s in range(num_shards)
         ]

@@ -42,18 +42,27 @@ class RobotsIndex:
         self._delays: dict[str, int] = {}
         self._allow_all: set[str] = set()
         for host, body in robots_by_host.items():
-            p = RobotFileParser()
-            p.parse(body.splitlines())
-            self._parsers[host] = p
-            d = p.crawl_delay(USER_AGENT)
-            self._delays[host] = int(d) if d else 1
-            # fast path: a parser that can never deny skips per-URL checks
-            entries = list(getattr(p, "entries", []) or [])
-            default = getattr(p, "default_entry", None)
-            if not entries and (
-                default is None or all(rl.allowance for rl in default.rulelines)
-            ):
-                self._allow_all.add(host)
+            self.add_host(host, body)
+
+    def add_host(self, host: str, body: str) -> None:
+        """Register one host's robots.txt (T2's lazy per-host cache
+        fill — real-mode shards call this for hosts discovered
+        mid-crawl)."""
+        p = RobotFileParser()
+        p.parse(body.splitlines())
+        self._parsers[host] = p
+        d = p.crawl_delay(USER_AGENT)
+        self._delays[host] = int(d) if d else 1
+        # fast path: a parser that can never deny skips per-URL checks
+        entries = list(getattr(p, "entries", []) or [])
+        default = getattr(p, "default_entry", None)
+        if not entries and (
+            default is None or all(rl.allowance for rl in default.rulelines)
+        ):
+            self._allow_all.add(host)
+
+    def knows(self, host: str) -> bool:
+        return host in self._parsers
 
     def allowed(self, host: str, url: str) -> bool:
         p = self._parsers.get(host)

@@ -157,3 +157,69 @@ def test_real_fetch_transport_error_dead_letters(site):
     assert res.counters["pages_fetched"] == 0
     assert res.counters["fetch_errors"] > 0
     assert res.counters["dead_lettered"] == 1
+
+
+class _SiteBHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        self.server.requests.append(self.path)
+        if self.path == "/robots.txt":
+            body = b"User-agent: *\nDisallow: /secret/\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+        elif self.path == "/b.html":
+            body = (
+                b'<html><body><p>see <a href="/secret/x.html">hidden</a> and '
+                b'<a href="/open.html">open</a></p></body></html>'
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+        elif self.path == "/open.html":
+            body = b"<html><body><p>open page</p></body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+        else:
+            body = b"nope"
+            self.send_response(404)
+            self.send_header("Content-Type", "text/plain")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_robots_fetched_lazily_for_discovered_hosts(site):
+    """A host DISCOVERED mid-crawl (not seeded) gets its robots.txt
+    fetched once by its owning shard and enforced — the round-2 gap
+    where unknown hosts were silently allow-all in real mode."""
+    site_b = ThreadingHTTPServer(("127.0.0.1", 0), _SiteBHandler)
+    site_b.requests = []
+    threading.Thread(target=site_b.serve_forever, daemon=True).start()
+    try:
+        port_a = site.server_address[1]
+        port_b = site_b.server_address[1]
+        # seed site A with a page linking cross-host into site B
+        PAGES["/to_b.html"] = (
+            f'<html><body><a href="http://127.0.0.1:{port_b}/b.html">b</a></body></html>'
+        )
+        cfg = CrawlConfig(
+            fetch_mode="real",
+            seeds=[{"url": f"http://127.0.0.1:{port_a}/to_b.html", "priority": 5}],
+            num_seen_shards=2,
+            num_fetchers=1,
+            real_timeout_s=5.0,
+        )
+        res = run_crawl(SF, cfg)
+        # site B's robots fetched exactly once, by the owning shard
+        assert site_b.requests.count("/robots.txt") == 1
+        # the open chain was crawled; the Disallow'd path was discovered
+        # but never requested
+        assert site_b.requests.count("/b.html") == 1
+        assert site_b.requests.count("/open.html") == 1
+        assert "/secret/x.html" not in site_b.requests
+        assert res.counters["robots_denied"] >= 1
+    finally:
+        site_b.shutdown()
+        PAGES.pop("/to_b.html", None)
