@@ -173,7 +173,7 @@ FROM edges e JOIN metrics m ON m.host = e.source_host
 WHERE m.spam <= 70 AND m.authority >= 5""",
         "domain_intelligence": """
 WITH params AS (SELECT GREATEST(5, count(*) // 50)::BIGINT AS h FROM documents),
-hosts AS (SELECT g.i AS host_id FROM generate_series(0, 9999) g(i)
+hosts AS (SELECT g.i AS host_id FROM generate_series(0, 999999) g(i)
           WHERE g.i < (SELECT h FROM params)),
 src AS (
   SELECT host_id, g.s AS source_id, ((host_id * 7 + g.s) % 3) - 1 AS sentiment

@@ -963,7 +963,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
                 for sid, sub in frontier.route(joined, "host"):
                     retry_futures.append(
                         shards[sid].record_outcomes.remote(
-                            round_no, sub.select(["host", "status"]).to_arrow()
+                            round_no, sub.select(["host", "status", "latency"]).to_arrow()
                         )
                     )
         counters["t_order"] += _time.perf_counter() - _t

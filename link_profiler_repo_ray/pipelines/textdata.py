@@ -968,6 +968,7 @@ def near_dup_survivors(
     threshold: float = 0.8,
     max_iters: int = 30,
     extra_docs: rd.Dataset | None = None,
+    pairs: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Near-dup SURVIVOR selection: pairs → clusters → one keeper each.
 
@@ -983,8 +984,27 @@ def near_dup_survivors(
     survive as themselves; a pure-python union-find oracle checks the
     clustering in tests.
     """
-    pairs = minhash_lsh_dups(sf_dir, threshold=threshold, extra_docs=extra_docs)
-    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    if pairs is None:
+        pairs = minhash_lsh_dups(sf_dir, threshold=threshold, extra_docs=extra_docs)
+    # BOTH orientations of every edge: labels must flow a→b AND b→a or
+    # non-clique components (A~C, B~C without A~B — the transitive case
+    # this function exists for) silently split into several survivors
+    def bidir(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.concat(
+            [
+                df.select("doc_a", "doc_b"),
+                df.select(
+                    pl.col("doc_b").alias("doc_a"), pl.col("doc_a").alias("doc_b")
+                ),
+            ]
+        ).to_arrow()
+
+    pairs = (
+        pairs.select_columns(["doc_a", "doc_b"])
+        .map_batches(bidir, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
 
     # labels: every endpoint starts as its own component
     def init_labels(batch: pa.Table) -> pa.Table:
@@ -1007,6 +1027,7 @@ def near_dup_survivors(
     pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
     converged = False
+    prev_sum = labels.sum("label")
     for _ in range(max_iters):
         # push each endpoint's label across its edges (both directions),
         # then take the min label seen per node (including its own)
@@ -1032,15 +1053,15 @@ def near_dup_survivors(
             merge=[pl.col("label").min()],
         ).materialize()
         # converged when no label changed — the label-sum is strictly
-        # decreasing under min-propagation until fixpoint, and the
-        # check is a DISTRIBUTED scalar aggregate (the label table can
-        # be as large as the near-dup node set at 100 TB)
-        old_sum = labels.sum("label")
+        # decreasing under min-propagation until fixpoint; ONE
+        # distributed scalar aggregate per iteration (the previous
+        # iteration's sum is carried forward, not recomputed)
         new_sum = new_labels.sum("label")
         labels = new_labels
-        if new_sum == old_sum:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         # no silent caps: truncated propagation would split true
         # components into several survivors

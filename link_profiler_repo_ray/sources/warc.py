@@ -54,7 +54,9 @@ def write_warc(pages: rd.Dataset, out_dir: str) -> str:
             batch.column("lang").to_pylist(),
         ):
             payload = bytes(html or b"")
-            date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+            # WARC/1.1-style fractional seconds: the schema is
+            # timestamp(us) and the round trip must be exact
+            date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
             hdr = (
                 b"WARC/1.0" + _CRLF
                 + b"WARC-Type: response" + _CRLF
@@ -109,7 +111,11 @@ def _parse_warc_bytes(blob: bytes) -> dict[str, list]:
         payload = blob[body_start : body_start + clen]
         urls.append(fields.get("warc-target-uri", ""))
         date = fields.get("warc-date")
-        tss.append(datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ") if date else None)
+        if date:
+            fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in date else "%Y-%m-%dT%H:%M:%SZ"
+            tss.append(datetime.strptime(date, fmt))
+        else:
+            tss.append(None)
         htmls.append(payload)
         langs.append(fields.get("warc-identified-content-language"))
         pos = body_start + clen + 4  # skip payload + record-separator CRLFCRLF

@@ -181,15 +181,23 @@ class FrontierShard:
         breaker_cfg: dict | None = None,
         politeness_mode: str = "fixed",
         robots_fetch_timeout: float | None = None,
+        robots_ttl_rounds: int = 10_000,
     ):
         self.shard_id = shard_id
         self.robots = RobotsIndex(robots_by_host)
         # real mode: hosts discovered mid-crawl get their robots.txt
-        # fetched ONCE by their owning shard at first admission (the
-        # reference's per-host fetch+24h-cache, robots_parser.py:65-127);
+        # fetched by their owning shard at first admission, cached with
+        # a logical-round TTL (the reference's per-host fetch + 24h
+        # cache, robots_parser.py:65-127 — T2 via the T6 ResponseCache);
         # None (replay/tests) keeps unknown hosts allow-all.
         self.robots_fetch_timeout = robots_fetch_timeout
-        self._robots_attempted: set[str] = set()
+        if robots_fetch_timeout is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from .cache import ResponseCache
+
+            self._robots_cache = ResponseCache(ttl=robots_ttl_rounds)
+            self._robots_pool = ThreadPoolExecutor(max_workers=8)
         self.max_per_host = max_per_host
         self.politeness = politeness
         self.max_depth = max_depth
@@ -384,11 +392,24 @@ class FrontierShard:
         if self.robots_fetch_timeout is not None:
             from ..pipelines.fetch_real import fetch_robots_txt
 
+            # hosts needing a (re)fetch under the TTL — fetched
+            # CONCURRENTLY through the shard's thread pool so K new
+            # hosts cost ~one network round trip, not K serial ones
+            need: dict[str, str] = {}
             for h, u in zip(hosts_l, urls_l):
-                if not self.robots.knows(h) and h not in self._robots_attempted:
-                    self._robots_attempted.add(h)
-                    base = u.split("/", 3)[0] + "//" + h
-                    self.robots.add_host(h, fetch_robots_txt(base, self.robots_fetch_timeout))
+                if h not in need and not self._robots_cache.contains("robots", h, round_no):
+                    need[h] = u.split("/", 3)[0] + "//" + h
+            if need:
+                order = list(need)
+                bodies = list(
+                    self._robots_pool.map(
+                        lambda b: fetch_robots_txt(b, self.robots_fetch_timeout),
+                        [need[h] for h in order],
+                    )
+                )
+                for h, body in zip(order, bodies):
+                    self._robots_cache.set("robots", h, body, now=round_no)
+                    self.robots.add_host(h, body)
         mask = self.robots.allowed_batch(hosts_l, urls_l)
         admitted = admitted.with_columns(pl.Series("allowed", np.asarray(mask, dtype=bool)))
         self._pending = admitted

@@ -48,3 +48,25 @@ def test_get_or_fetch_decorator_shape():
     assert len(calls) == 1  # second call served from cache
     assert c.get_or_fetch("svc", "u", 6, fetch) == {"x": 1}
     assert len(calls) == 2  # TTL expired → refetched
+
+
+def test_cached_none_is_a_hit():
+    """Review regression: a cached None/empty value (an API 'no result',
+    or an empty allow-all robots.txt) must be served from cache, not
+    refetched every call."""
+    c = ResponseCache(ttl=10)
+    calls = []
+
+    def fetch():
+        calls.append(1)
+        return None
+
+    assert c.get_or_fetch("svc", "u", 0, fetch) is None
+    assert c.get_or_fetch("svc", "u", 5, fetch) is None
+    assert len(calls) == 1
+    assert c.contains("svc", "u", 9)
+    assert not c.contains("svc", "u", 10)  # TTL expiry
+    # empty-string robots body is likewise a valid cached value
+    c.set("robots", "h.com", "", now=0)
+    assert c.contains("robots", "h.com", 5)
+    assert c.get("robots", "h.com", 5, default="MISS") == ""

@@ -131,3 +131,44 @@ def test_near_dup_survivors_union_find_oracle():
 
     sizes = collections.Counter(want.values())
     assert max(sizes.values()) >= 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_survivors_non_clique_transitive_component():
+    """Review regression: label propagation was unidirectional — the
+    pair set {(1,3),(2,3)} (A~C, B~C, no A~B) must yield ONE component
+    with survivor 1 for all three nodes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import textdata
+
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": pa.array([1, 2], pa.int64()), "doc_b": pa.array([3, 3], pa.int64())})
+    )
+    got = textdata.near_dup_survivors(SF, pairs=pairs).to_pandas()
+    surv = dict(zip(got.doc_id, got.survivor_id))
+    assert surv == {1: 1, 2: 1, 3: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_survivors_long_chain_converges():
+    """A 12-node path graph needs ~diameter propagation rounds; it must
+    converge (not silently truncate) and collapse to survivor 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import textdata
+
+    n = 12
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+                "doc_b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    got = textdata.near_dup_survivors(SF, pairs=pairs).to_pandas()
+    assert set(got.survivor_id) == {0}
+    assert len(got) == n
