@@ -94,7 +94,8 @@ class CrawlConfig:
     #                            None → the corpus's synthetic seed rows
     fetch_mode: str = "replay"  # "replay" (corpus join) | "real" (live HTTP actors)
     robots_overrides: dict | None = None  # host → robots.txt body (test/real-mode injection)
-    fetch_robots: bool = True  # real mode: GET /robots.txt once per seed host at startup
+    fetch_robots: bool = True  # real mode: lazy per-host robots fetch in the shards
+    robots_ttl_rounds: int = 10_000  # logical-round TTL before a host's robots is re-fetched
     real_max_file_size_mb: float = 10.0  # web_crawler.py:304-308 payload cap
     real_timeout_s: float = 10.0
     collect_order: bool | None = None  # keep order deltas in driver RAM; None → collect_edges
@@ -652,6 +653,7 @@ class CrawlEngine:
                 if self.cfg.fetch_mode == "real" and self.cfg.fetch_robots
                 else None
             ),
+            robots_ttl_rounds=self.cfg.robots_ttl_rounds,
         )
         nf = self.cfg.num_fetchers
         if real:

@@ -1037,12 +1037,13 @@ def near_dup_survivors(
         )
 
         def emit(batch: pa.Table) -> pa.Table:
+            # only the neighbor push: the node's own label is supplied
+            # by the labels union below, and reverse flow is covered by
+            # the mirrored edge — emitting (doc_a, label) too doubled
+            # the per-iteration shuffle volume for nothing
             df = pl.from_arrow(batch)
-            return pl.concat(
-                [
-                    df.select(pl.col("doc_b").alias("doc_id"), pl.col("label")),
-                    df.select(pl.col("doc_a").alias("doc_id"), pl.col("label")),
-                ]
+            return df.select(
+                pl.col("doc_b").alias("doc_id"), pl.col("label")
             ).to_arrow()
 
         prop = with_lab.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)

@@ -6,9 +6,11 @@ module writes the synthetic page corpus out as standard WARC shards
 and reads WARC shards back into the engine's PAGES shape — so a user
 can point the pipeline at actual CC segment files.
 
-Record layout handled (the response-record subset CC uses):
+Record layout handled (the response-record subset CC uses; records
+are written as WARC/1.1 because WARC-Date carries fractional seconds,
+which ISO 28500 only legalized in 1.1 — the reader accepts both):
 
-    WARC/1.0\\r\\n
+    WARC/1.1\\r\\n
     WARC-Type: response\\r\\n
     WARC-Target-URI: <url>\\r\\n
     WARC-Date: <ISO8601>\\r\\n
@@ -37,7 +39,7 @@ _CRLF = b"\r\n"
 
 
 def write_warc(pages: rd.Dataset, out_dir: str) -> str:
-    """Serialize a PAGES-shaped Dataset to WARC/1.0 response shards.
+    """Serialize a PAGES-shaped Dataset to WARC/1.1 response shards.
 
     One ``.warc`` file per output task (parallel, resumable).  ``lang``
     rides in a ``WARC-Identified-Content-Language`` header (the field
@@ -58,7 +60,7 @@ def write_warc(pages: rd.Dataset, out_dir: str) -> str:
             # timestamp(us) and the round trip must be exact
             date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
             hdr = (
-                b"WARC/1.0" + _CRLF
+                b"WARC/1.1" + _CRLF
                 + b"WARC-Type: response" + _CRLF
                 + b"WARC-Target-URI: " + url.encode() + _CRLF
                 + b"WARC-Date: " + date.encode() + _CRLF

@@ -191,6 +191,9 @@ class FrontierShard:
         # cache, robots_parser.py:65-127 — T2 via the T6 ResponseCache);
         # None (replay/tests) keeps unknown hosts allow-all.
         self.robots_fetch_timeout = robots_fetch_timeout
+        # construction-time robots (robots_overrides / synthetic maps)
+        # are authoritative and never fetched over
+        self._robots_static = set(robots_by_host)
         if robots_fetch_timeout is not None:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -397,7 +400,11 @@ class FrontierShard:
             # hosts cost ~one network round trip, not K serial ones
             need: dict[str, str] = {}
             for h, u in zip(hosts_l, urls_l):
-                if h not in need and not self._robots_cache.contains("robots", h, round_no):
+                if (
+                    h not in need
+                    and h not in self._robots_static
+                    and not self._robots_cache.contains("robots", h, round_no)
+                ):
                     need[h] = u.split("/", 3)[0] + "//" + h
             if need:
                 order = list(need)
@@ -553,6 +560,7 @@ class DistributedFrontier:
         breaker_cfg: dict | None = None,
         politeness_mode: str = "fixed",
         robots_fetch_timeout: float | None = None,
+        robots_ttl_rounds: int = 10_000,
     ):
         self.num_shards = num_shards
         # cap polars threads per shard actor: 8+ actors each spawning a
@@ -565,7 +573,7 @@ class DistributedFrontier:
             actor_cls.remote(
                 s, robots_by_host, max_per_host, politeness, max_depth, collect_seen,
                 seen_backend, seen_capacity, breaker_cfg, politeness_mode,
-                robots_fetch_timeout,
+                robots_fetch_timeout, robots_ttl_rounds,
             )
             for s in range(num_shards)
         ]

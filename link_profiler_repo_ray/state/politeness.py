@@ -53,13 +53,18 @@ class RobotsIndex:
         self._parsers[host] = p
         d = p.crawl_delay(USER_AGENT)
         self._delays[host] = int(d) if d else 1
-        # fast path: a parser that can never deny skips per-URL checks
+        # fast path: a parser that can never deny skips per-URL checks.
+        # Membership is RE-EVALUATED on every add (a TTL re-fetch can
+        # replace an allow-all body with one that has Disallow rules —
+        # the flag must be able to flip off, not only on).
         entries = list(getattr(p, "entries", []) or [])
         default = getattr(p, "default_entry", None)
         if not entries and (
             default is None or all(rl.allowance for rl in default.rulelines)
         ):
             self._allow_all.add(host)
+        else:
+            self._allow_all.discard(host)
 
     def knows(self, host: str) -> bool:
         return host in self._parsers

@@ -223,3 +223,39 @@ def test_robots_fetched_lazily_for_discovered_hosts(site):
     finally:
         site_b.shutdown()
         PAGES.pop("/to_b.html", None)
+
+
+def test_add_host_reevaluates_allow_all():
+    """Review regression: a TTL re-fetch replacing an allow-all robots
+    body with Disallow rules must flip the fast-path flag OFF."""
+    from link_profiler_repo_ray.state.politeness import RobotsIndex
+
+    r = RobotsIndex({"a.com": "User-agent: *\nAllow: /\n"})
+    assert r.allowed("a.com", "https://a.com/doc/1")
+    r.add_host("a.com", "User-agent: *\nDisallow: /doc/\n")
+    assert not r.allowed("a.com", "https://a.com/doc/1")
+    assert r.allowed("a.com", "https://a.com/open")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_robots_overrides_are_authoritative_in_real_mode(site):
+    """Review regression: an injected robots override must NOT be
+    replaced by a live fetch at first admission."""
+    port = site.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    host = f"127.0.0.1:{port}"
+    cfg = CrawlConfig(
+        fetch_mode="real",
+        seeds=[{"url": base + "/", "priority": 5}],
+        num_seen_shards=2,
+        num_fetchers=1,
+        real_timeout_s=5.0,
+        # operator block-list: deny EVERYTHING on this host
+        robots_overrides={host: "User-agent: *\nDisallow: /\n"},
+    )
+    res = run_crawl(SF, cfg)
+    assert res.counters["pages_fetched"] == 0
+    assert res.counters["robots_denied"] >= 1
+    # the override was honored without fetching the live robots.txt
+    assert "/robots.txt" not in site.requests
+    assert "/" not in site.requests
