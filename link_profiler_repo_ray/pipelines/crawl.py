@@ -95,9 +95,15 @@ class CrawlConfig:
     fetch_mode: str = "replay"  # "replay" (corpus join) | "real" (live HTTP actors)
     robots_overrides: dict | None = None  # host → robots.txt body (test/real-mode injection)
     fetch_robots: bool = True  # real mode: lazy per-host robots fetch in the shards
+    # Crawl-delay units: None → wall-clock SECONDS in real mode (the
+    # reference's DomainBucket semantics, web_crawler.py:68-98), logical
+    # ROUNDS in replay mode (the determinism contract).  Force with
+    # True/False (e.g. False to benchmark real transport without pacing).
+    wall_clock_politeness: bool | None = None
     robots_ttl_rounds: int = 10_000  # logical-round TTL before a host's robots is re-fetched
     real_max_file_size_mb: float = 10.0  # web_crawler.py:304-308 payload cap
     real_timeout_s: float = 10.0
+    ua_rotation: bool = False  # T7: per-domain-consistent UA pool (state/useragent.py)
     collect_order: bool | None = None  # keep order deltas in driver RAM; None → collect_edges
     seen_backend: str = "exact"  # "exact" (oracle-matched) | "cuckoo" (2 B/key)
     seen_capacity: int = 1 << 20  # per-shard cuckoo capacity
@@ -126,6 +132,11 @@ class CrawlConfig:
 
     def resolved_collect_seen(self) -> bool:
         return self.collect_edges if self.collect_seen is None else self.collect_seen
+
+    def resolved_wall_clock(self) -> bool:
+        if self.wall_clock_politeness is None:
+            return self.fetch_mode == "real"
+        return self.wall_clock_politeness
 
     def resolved_collect_order(self) -> bool:
         return self.collect_edges if self.collect_order is None else self.collect_order
@@ -654,6 +665,7 @@ class CrawlEngine:
                 else None
             ),
             robots_ttl_rounds=self.cfg.robots_ttl_rounds,
+            wall_clock=self.cfg.resolved_wall_clock(),
         )
         nf = self.cfg.num_fetchers
         if real:
@@ -664,6 +676,7 @@ class CrawlEngine:
                     self.frontier.shards,
                     self.cfg.real_max_file_size_mb,
                     self.cfg.real_timeout_s,
+                    ua_rotation=self.cfg.ua_rotation,
                 )
                 for _ in range(nf)
             ]
@@ -735,6 +748,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
     pages_paths: list[str] = []
     seen_urls: list[str] = []
     collect_seen = cfg.resolved_collect_seen()
+    wall_clock = cfg.resolved_wall_clock()
     breaker_dirty = False
     seq = 0
     start_round = 0
@@ -772,7 +786,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             # seen-URL list is derivable: seeds ∪ every discovered
             # target in the persisted edge lineage
             seen_set: set[str] = set()
-            for row in (cfg.seeds or corpus_mod.seed_rows(n_docs)):
+            for row in (cfg.seeds if cfg.seeds is not None else corpus_mod.seed_rows(n_docs)):
                 u = can.canonicalize(row["url"])
                 if u is not None:
                     seen_set.add(u)
@@ -815,13 +829,20 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         # --- admission: all shards in parallel, then global order ----
         _t = _time.perf_counter()
         admit_out = ray.get([s.admit.remote(round_no) for s in shards])
-        admitted_parts = [a for a, _, _ in admit_out if a.num_rows]
-        rest_sizes = sum(fs for _, fs, _ in admit_out)
+        admitted_parts = [a for a, _, _, _ in admit_out if a.num_rows]
+        rest_sizes = sum(fs for _, fs, _, _ in admit_out)
         if not admitted_parts:
             if rest_sizes == 0:
                 break
-            nxt = min(nr for _, fs, nr in admit_out if fs > 0)
-            round_no = max(round_no + 1, nxt)
+            if wall_clock:
+                # real mode: sleep until the earliest host's Crawl-delay
+                # (wall seconds) elapses instead of spinning rounds
+                waits = [ws for _, fs, _, ws in admit_out if fs > 0]
+                _time.sleep(min(max(w, 0.01) for w in waits) if waits else 0.01)
+                round_no += 1
+            else:
+                nxt = min(nr for _, fs, nr, _ in admit_out if fs > 0)
+                round_no = max(round_no + 1, nxt)
             if round_no - start_round > 10_000_000:
                 raise RuntimeError("crawl failed to make progress")
             continue
@@ -959,9 +980,9 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         # breaker is a provable no-op (success only resets counters
         # that are already zero), so skip the RPC fan-out until the
         # first failure ever appears — a healthy crawl pays nothing.
-        if cfg.breaker_enabled or cfg.politeness_mode == "adaptive":
+        if cfg.breaker_enabled or cfg.politeness_mode == "adaptive" or wall_clock:
             breaker_dirty = breaker_dirty or failed.height > 0
-            if breaker_dirty or cfg.politeness_mode == "adaptive":
+            if breaker_dirty or cfg.politeness_mode == "adaptive" or wall_clock:
                 for sid, sub in frontier.route(joined, "host"):
                     retry_futures.append(
                         shards[sid].record_outcomes.remote(

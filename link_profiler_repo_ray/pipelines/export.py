@@ -12,6 +12,8 @@ this container, so ``write_excel`` emits a minimal standards-compliant
 
 from __future__ import annotations
 
+import math
+
 import ray.data as rd
 
 __all__ = ["write_parquet", "write_csv", "write_jsonl", "write_excel", "write_pdf_report"]
@@ -96,8 +98,12 @@ def write_excel(table, path: str, max_rows: int = 1_048_575) -> str:
                 rows_xml.append("<c/>")
             elif isinstance(v, bool):
                 rows_xml.append(f'<c t="b"><v>{int(v)}</v></c>')
-            elif isinstance(v, (int, float)):
+            elif isinstance(v, int) or (isinstance(v, float) and math.isfinite(v)):
                 rows_xml.append(f"<c><v>{v}</v></c>")
+            elif isinstance(v, float):
+                # NaN/inf are not valid SpreadsheetML numerics — write
+                # the repr as an inline string so Excel accepts the book
+                rows_xml.append(f'<c t="inlineStr"><is><t>{v!r}</t></is></c>')
             else:
                 rows_xml.append(f'<c t="inlineStr"><is><t>{escape(str(v))}</t></is></c>')
         rows_xml.append("</row>")

@@ -64,6 +64,7 @@ class RealFetchActor:
         max_file_size_mb: float = 10.0,
         timeout_s: float = 10.0,
         max_parallel: int = 16,
+        ua_rotation: bool = False,
     ):
         import urllib.request
         from concurrent.futures import ThreadPoolExecutor
@@ -74,6 +75,10 @@ class RealFetchActor:
         # one shared opener per actor == one session per worker (T8)
         self.opener = urllib.request.build_opener()
         self.opener.addheaders = [("User-Agent", USER_AGENT)]
+        # T7 (opt-in): per-domain-consistent UA + browser header
+        # envelope (state/useragent.py; reference rotation is
+        # utils/user_agent_manager.py:13-120)
+        self.ua_rotation = ua_rotation
         self.pool = ThreadPoolExecutor(max_workers=max_parallel)
         from .crawl import _PersistBuffer
 
@@ -88,10 +93,20 @@ class RealFetchActor:
     def _fetch_one(self, url: str) -> tuple[int, bytes | None, str, float]:
         import time
         import urllib.error
+        import urllib.request
 
+        req: str | urllib.request.Request = url
+        if self.ua_rotation:
+            from ..functions.canonical import host_of
+            from ..state.useragent import headers_for_host
+
+            # Request-carried headers take precedence over the
+            # opener's static addheaders (urllib only fills absent
+            # names), so the host's pinned identity wins per request
+            req = urllib.request.Request(url, headers=dict(headers_for_host(host_of(url))))
         t0 = time.monotonic()
         try:
-            with self.opener.open(url, timeout=self.timeout_s) as resp:
+            with self.opener.open(req, timeout=self.timeout_s) as resp:
                 st = int(resp.status)
                 ctype = (resp.headers.get("Content-Type") or "").lower()
                 clen = resp.headers.get("Content-Length")

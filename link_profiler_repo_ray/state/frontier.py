@@ -26,6 +26,7 @@ set + clock dict) serializes to the checkpoint.
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import polars as pl
@@ -182,8 +183,20 @@ class FrontierShard:
         politeness_mode: str = "fixed",
         robots_fetch_timeout: float | None = None,
         robots_ttl_rounds: int = 10_000,
+        wall_clock: bool = False,
     ):
         self.shard_id = shard_id
+        # wall-clock politeness (real-fetch mode): Crawl-delay N means N
+        # SECONDS between same-host fetches (web_crawler.py:68-98,
+        # smart_crawler_queue.py:65-113), enforced with a per-host
+        # monotonic timestamp next to the logical round clock.  Replay
+        # mode keeps the logical clock (the determinism contract).
+        # Not checkpointed: monotonic time does not survive a restart,
+        # so the first post-resume fetch per host is immediate and the
+        # spacing floor re-engages from there (safe: one request, not a
+        # burst, because max_per_host still caps the round).
+        self.wall_clock = wall_clock
+        self.last_fetch_wall: dict[str, float] = {}
         self.robots = RobotsIndex(robots_by_host)
         # real mode: hosts discovered mid-crawl get their robots.txt
         # fetched by their owning shard at first admission, cached with
@@ -316,15 +329,18 @@ class FrontierShard:
 
     # --- admission -------------------------------------------------------
 
-    def admit(self, round_no: int) -> tuple[pa.Table, int, int]:
+    def admit(self, round_no: int) -> tuple[pa.Table, int, int, float]:
         """Per-host-capped admission for this round.
 
         Returns (admitted_with_allowed_col, frontier_size,
-        next_eligible_round).  Robots is evaluated here (parallel
-        across shards) but only ANNOTATED — denial must still consume a
-        global max_pages budget slot (§3.1 discipline), so the driver
-        truncates before dropping denied rows.  Clock marks happen at
-        ``confirm``.
+        next_eligible_round, wait_s).  ``wait_s`` is only nonzero in
+        wall-clock mode: the seconds until this shard's earliest host
+        becomes Crawl-delay-eligible (the driver sleeps the minimum
+        across shards when a round admits nothing).  Robots is
+        evaluated here (parallel across shards) but only ANNOTATED —
+        denial must still consume a global max_pages budget slot (§3.1
+        discipline), so the driver truncates before dropping denied
+        rows.  Clock marks happen at ``confirm``.
         """
         f = self.frontier
         if f.height == 0:
@@ -332,6 +348,7 @@ class FrontierShard:
                 _empty_frontier_df().with_columns(pl.lit(True).alias("allowed")).to_arrow(),
                 0,
                 round_no + 1,
+                0.0,
             )
         hosts = f.get_column("host").unique().to_list()
         # T5 gate: hosts with an OPEN breaker are withheld entirely
@@ -348,26 +365,54 @@ class FrontierShard:
                     self.breaker.hosts[h].opened_round + self.breaker.recovery_rounds
                     for h in blocked
                 )
+        wait_s = 0.0
         if self.politeness:
-            eligible_hosts = {
-                h
-                for h in hosts
-                if h not in blocked
-                and (
-                    (last := self.last_crawl_round.get(h)) is None
-                    or round_no >= last + self._delay_rounds(h)
-                )
-            }
             next_round = round_no + 1
-            clock_waiting = [
-                self.last_crawl_round[h] + self._delay_rounds(h)
-                for h in hosts
-                if h not in eligible_hosts and h not in blocked
-                and self.last_crawl_round.get(h) is not None
-            ]
-            waiting = clock_waiting + ([breaker_next] if breaker_next is not None else [])
-            if len(eligible_hosts) < len(hosts) and waiting:
-                next_round = min(waiting)
+            if self.wall_clock:
+                # real-fetch mode: Crawl-delay N == N wall SECONDS
+                # between same-host fetch batches; the round clock only
+                # numbers admission attempts
+                now = time.monotonic()
+                eligible_hosts = {
+                    h
+                    for h in hosts
+                    if h not in blocked
+                    and (
+                        (last := self.last_fetch_wall.get(h)) is None
+                        or now >= last + self._delay_rounds(h)
+                    )
+                }
+                waits = [
+                    self.last_fetch_wall[h] + self._delay_rounds(h) - now
+                    for h in hosts
+                    if h not in eligible_hosts and h not in blocked
+                    and self.last_fetch_wall.get(h) is not None
+                ]
+                if blocked:
+                    waits.append(0.05)  # breaker recovery is attempt-counted; poll
+                if len(eligible_hosts) < len(hosts) and waits:
+                    wait_s = max(0.0, min(waits))
+            else:
+                eligible_hosts = {
+                    h
+                    for h in hosts
+                    if h not in blocked
+                    and (
+                        (last := self.last_crawl_round.get(h)) is None
+                        or round_no >= last + self._delay_rounds(h)
+                    )
+                }
+                clock_waiting = [
+                    self.last_crawl_round[h] + self._delay_rounds(h)
+                    for h in hosts
+                    if h not in eligible_hosts and h not in blocked
+                    and self.last_crawl_round.get(h) is not None
+                ]
+                waiting = clock_waiting + (
+                    [breaker_next] if breaker_next is not None else []
+                )
+                if len(eligible_hosts) < len(hosts) and waiting:
+                    next_round = min(waiting)
             elig = f.filter(pl.col("host").is_in(eligible_hosts))
             rest = f.filter(~pl.col("host").is_in(eligible_hosts))
             elig = elig.sort(["priority", "depth", "url"]).with_columns(
@@ -420,7 +465,7 @@ class FrontierShard:
         mask = self.robots.allowed_batch(hosts_l, urls_l)
         admitted = admitted.with_columns(pl.Series("allowed", np.asarray(mask, dtype=bool)))
         self._pending = admitted
-        return admitted.to_arrow(), self.frontier.height, max(next_round, round_no + 1)
+        return admitted.to_arrow(), self.frontier.height, max(next_round, round_no + 1), wait_s
 
     def confirm(self, round_no: int, rejected: pa.Table | None = None) -> None:
         """Finalize the round: reinsert budget-rejected rows, mark the
@@ -440,8 +485,13 @@ class FrontierShard:
             fetched = pending.filter(pl.col("allowed"))
             if rejected_urls:
                 fetched = fetched.filter(~pl.col("url").is_in(rejected_urls))
+            now = time.monotonic()
             for h in fetched.get_column("host").unique().to_list():
                 self.last_crawl_round[h] = round_no
+                if self.wall_clock:
+                    # spacing is measured between same-host request
+                    # starts (DomainBucket.record_request semantics)
+                    self.last_fetch_wall[h] = now
 
     def record_outcomes(self, round_no: int, table: pa.Table) -> None:
         """Feed per-URL fetch outcomes (host, status, latency) — in
@@ -449,7 +499,17 @@ class FrontierShard:
         success = any served response below 500 except 408 (a 404 is a
         served response; 408/5xx/timeouts trip the breaker,
         web_crawler.py:262-328 retry statuses)."""
-        if table.num_rows == 0 or (self.breaker is None and self.limiter is None):
+        if table.num_rows == 0:
+            return
+        if self.wall_clock:
+            # re-mark the politeness floor at fetch COMPLETION (the
+            # confirm-time mark precedes the actual request by the
+            # dispatch latency; Crawl-delay must hold between real
+            # request times, so the later timestamp wins)
+            now = time.monotonic()
+            for h in set(table.column("host").to_pylist()):
+                self.last_fetch_wall[h] = now
+        if self.breaker is None and self.limiter is None:
             return
         lats = (
             table.column("latency").to_pylist()
@@ -484,7 +544,7 @@ class FrontierShard:
     def sizes(self) -> tuple[int, int]:
         return self.frontier.height, len(self.seen)
 
-    def dump(self) -> tuple[pa.Table, np.ndarray, pa.Table, pa.Table]:
+    def dump(self) -> tuple[pa.Table, np.ndarray, pa.Table, pa.Table, pa.Table]:
         clock = pl.DataFrame(
             {
                 "host": list(self.last_crawl_round.keys()),
@@ -561,6 +621,7 @@ class DistributedFrontier:
         politeness_mode: str = "fixed",
         robots_fetch_timeout: float | None = None,
         robots_ttl_rounds: int = 10_000,
+        wall_clock: bool = False,
     ):
         self.num_shards = num_shards
         # cap polars threads per shard actor: 8+ actors each spawning a
@@ -573,7 +634,7 @@ class DistributedFrontier:
             actor_cls.remote(
                 s, robots_by_host, max_per_host, politeness, max_depth, collect_seen,
                 seen_backend, seen_capacity, breaker_cfg, politeness_mode,
-                robots_fetch_timeout, robots_ttl_rounds,
+                robots_fetch_timeout, robots_ttl_rounds, wall_clock,
             )
             for s in range(num_shards)
         ]

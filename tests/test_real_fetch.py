@@ -259,3 +259,127 @@ def test_robots_overrides_are_authoritative_in_real_mode(site):
     # the override was honored without fetching the live robots.txt
     assert "/robots.txt" not in site.requests
     assert "/" not in site.requests
+
+
+class _DelayHandler(BaseHTTPRequestHandler):
+    """Serves a 5-page chain under `Crawl-delay: 1`, recording the
+    monotonic arrival time of every request."""
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        import time
+
+        self.server.requests.append(self.path)
+        self.server.times.append((self.path, time.monotonic()))
+        if self.path == "/robots.txt":
+            body = b"User-agent: *\nCrawl-delay: 1\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+        else:
+            i = int(self.path[2:-5]) if self.path.startswith("/p") else 0
+            nxt = f'<a href="/p{i + 1}.html">next</a>' if i < 4 else "end"
+            body = f"<html><body><p>page {i} {nxt}</p></body></html>".encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_real_mode_crawl_delay_is_wall_clock_seconds():
+    """In fetch_mode='real', `Crawl-delay: 1` means ≥1 wall SECOND
+    between same-host fetches (web_crawler.py:68-98 semantics), not one
+    logical round — the round-2 gap where live rounds completed in
+    ~one batch latency and could hammer a host."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _DelayHandler)
+    srv.requests, srv.times = [], []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        cfg = CrawlConfig(
+            fetch_mode="real",
+            seeds=[{"url": base + "/p0.html", "priority": 5}],
+            num_seen_shards=2,
+            num_fetchers=1,
+            max_per_host_per_round=1,
+            max_depth=6,
+            real_timeout_s=5.0,
+        )
+        res = run_crawl(SF, cfg)
+        assert res.counters["pages_fetched"] == 5
+        page_times = sorted(t for p, t in srv.times if p != "/robots.txt")
+        assert len(page_times) == 5
+        gaps = [b - a for a, b in zip(page_times, page_times[1:])]
+        # every same-host gap honors the 1 s Crawl-delay (scheduling
+        # jitter tolerance: the clock marks at admission confirm)
+        assert all(g >= 0.85 for g in gaps), gaps
+    finally:
+        srv.shutdown()
+
+
+class _UAHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        self.server.requests.append(self.path)
+        self.server.agents.append((self.path, self.headers.get("User-Agent")))
+        if self.path == "/robots.txt":
+            body = b"User-agent: *\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+        else:
+            i = int(self.path[2:-5]) if self.path.startswith("/p") else 0
+            nxt = f'<a href="/p{i + 1}.html">next</a>' if i < 2 else "end"
+            body = f"<html><body><p>page {i} {nxt}</p></body></html>".encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ua_rotation_per_domain_consistent():
+    """T7: with ua_rotation on, every request to one host carries that
+    host's pinned pool UA (stability), and the pool spreads across
+    hosts (variety) — utils/user_agent_manager.py:13-120 rebuilt as a
+    deterministic per-domain pin."""
+    from link_profiler_repo_ray.state.politeness import USER_AGENT
+    from link_profiler_repo_ray.state.useragent import USER_AGENT_POOL, ua_for_host
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _UAHandler)
+    srv.requests, srv.agents = [], []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host = f"127.0.0.1:{srv.server_address[1]}"
+        base = f"http://{host}"
+        cfg = CrawlConfig(
+            fetch_mode="real",
+            seeds=[{"url": base + "/p0.html", "priority": 5}],
+            num_seen_shards=2,
+            num_fetchers=2,
+            ua_rotation=True,
+            wall_clock_politeness=False,  # pacing is not under test here
+            real_timeout_s=5.0,
+        )
+        res = run_crawl(SF, cfg)
+        assert res.counters["pages_fetched"] == 3
+        page_agents = {ua for p, ua in srv.agents if p != "/robots.txt"}
+        # per-domain stability: one UA across all requests, fetch
+        # actors included, and it is the host's deterministic pin
+        assert page_agents == {ua_for_host(host)}
+        assert ua_for_host(host) in USER_AGENT_POOL
+        # robots.txt is still fetched under the honest crawler UA (the
+        # identity robots rules are evaluated against)
+        robots_agents = {ua for p, ua in srv.agents if p == "/robots.txt"}
+        assert robots_agents == {USER_AGENT}
+    finally:
+        srv.shutdown()
+
+    # cross-domain variety: the pin spreads over the pool
+    hosts = [f"site{i}.example.com" for i in range(64)]
+    assert len({ua_for_host(h) for h in hosts}) >= len(USER_AGENT_POOL) - 1
