@@ -35,7 +35,10 @@ def main(argv=None) -> int:
         c.add_argument("--fetchers", type=int, default=8)
         c.add_argument("--checkpoint-every", type=int, default=1)
         c.add_argument("--politeness-mode", choices=["fixed", "adaptive"], default="fixed")
-        c.add_argument("--seen-backend", choices=["exact", "cuckoo"], default="exact")
+        c.add_argument(
+            "--seen-backend", choices=["exact", "cuckoo"], default=None,
+            help="default: exact (cuckoo under --scale-profile)",
+        )
         c.add_argument("--no-breaker", action="store_true")
         c.add_argument(
             "--fetch-mode", choices=["replay", "real"], default="replay",
@@ -45,6 +48,15 @@ def main(argv=None) -> int:
             "--seeds-file", default=None,
             help="JSON file: [{url, priority}] explicit seed list (or CDX output)",
         )
+        c.add_argument(
+            "--scale-profile", action="store_true",
+            help="CrawlConfig.scale(): no driver collection, cuckoo seen "
+                 "backend — the 100-TB defaults (requires --output or --checkpoint)",
+        )
+
+    st = sub.add_parser("stats", help="print a crawl run's per-round metrics stream (A8)")
+    st.add_argument("--dir", required=True, help="crawl output/checkpoint dir holding stats.jsonl")
+    st.add_argument("--tail", type=int, default=None, help="only the last N rounds")
 
     p = sub.add_parser("profiles")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -69,6 +81,34 @@ def main(argv=None) -> int:
         print(json.dumps(sorted(queries())))
         return 0
 
+    if args.cmd == "stats":
+        # pure file read — no Ray session
+        import os
+
+        path = os.path.join(args.dir, "stats.jsonl")
+        if not os.path.exists(path):
+            print(json.dumps({"error": f"no stats.jsonl under {args.dir!r}"}))
+            return 2
+        with open(path) as fh:
+            rows = [json.loads(line) for line in fh if line.strip()]
+        for r in rows[-args.tail:] if args.tail else rows:
+            print(json.dumps(r))
+        timers = ("t_admit", "t_fetch", "t_order", "t_expand", "t_checkpoint")
+        busy = sum(sum(r.get(k, 0.0) for k in timers) for r in rows)
+        pages = sum(r.get("pages_fetched", 0) for r in rows)
+        print(
+            json.dumps(
+                {
+                    "rounds": len(rows),
+                    "pages_fetched": pages,
+                    "busy_sec": round(busy, 3),
+                    "pages_per_sec": round(pages / busy, 3) if busy else 0.0,
+                }
+            ),
+            file=sys.stderr,
+        )
+        return 0
+
     import ray
 
     owns_session = not ray.is_initialized()
@@ -83,7 +123,8 @@ def main(argv=None) -> int:
             if args.seeds_file:
                 with open(args.seeds_file) as fh:
                     seeds = json.load(fh)
-            cfg = CrawlConfig(
+            ctor = CrawlConfig.scale if args.scale_profile else CrawlConfig
+            kwargs = dict(
                 politeness=(args.cmd == "crawl"),
                 politeness_mode=args.politeness_mode,
                 max_pages=args.max_pages,
@@ -96,11 +137,15 @@ def main(argv=None) -> int:
                 collect_edges=False,
                 resume=args.resume,
                 checkpoint_every=args.checkpoint_every,
-                seen_backend=args.seen_backend,
                 breaker_enabled=not args.no_breaker,
                 fetch_mode=args.fetch_mode,
                 seeds=seeds,
             )
+            if args.seen_backend is not None:
+                kwargs["seen_backend"] = args.seen_backend
+            elif not args.scale_profile:
+                kwargs["seen_backend"] = "exact"
+            cfg = ctor(**kwargs)
             res = run_crawl(args.sf_dir, cfg, multiplier=args.multiplier)
             out = {
                 k: v

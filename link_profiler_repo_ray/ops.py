@@ -43,7 +43,32 @@ __all__ = [
     "cluster_cpus",
     "auto_concurrency",
     "default_partitions",
+    "read_parquet",
 ]
+
+
+def read_parquet(paths, *, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
+    """``rd.read_parquet`` with an explicit metadata-free schema.
+
+    The driver's testdata parquet carries pandas schema metadata whose
+    dict payload makes ``hash(pa.Schema)`` raise inside Ray's
+    block-schema dedup (``transform_pyarrow.unify_schemas``), logging
+    ``Failed to hash the schemas (for deduplication)`` on every read.
+    Passing an explicit metadata-stripped schema restricted to the
+    selected columns makes every block schema identical *and* hashable,
+    so the dedup fast path works and the log stays clean.
+    """
+    import pyarrow.parquet as pq
+
+    schema = kwargs.pop("schema", None)
+    if schema is None:
+        first = paths[0] if isinstance(paths, (list, tuple)) else paths
+        try:
+            full = pq.read_schema(first).remove_metadata()
+            schema = pa.schema([full.field(c) for c in columns]) if columns else full
+        except Exception:
+            schema = None
+    return rd.read_parquet(paths, columns=columns, schema=schema, **kwargs)
 
 _PART_COL = "__part"
 

@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.sketches import HyperLogLog, token_hashes
+from .. import ops
 from ..ops import hash_aggregate, hash_group_apply
 from ..sources import corpus as corpus_mod
 from ..stages import ExtractLinksStage
@@ -50,7 +51,7 @@ def corpus_files(sf_dir: str, multiplier: int = 1) -> list[str]:
 
 def pages_dataset(sf_dir: str, multiplier: int = 1, columns: list[str] | None = None) -> rd.Dataset:
     """The Common-Crawl-style pages table (column-pruned at the read)."""
-    return rd.read_parquet(corpus_files(sf_dir, multiplier), columns=columns)
+    return ops.read_parquet(corpus_files(sf_dir, multiplier), columns=columns)
 
 
 def edges_dataset(sf_dir: str, multiplier: int = 1) -> rd.Dataset:

@@ -20,7 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..ops import auto_concurrency, hash_aggregate, hash_group_apply, tagged_union_join
+from .. import ops
+from ..ops import hash_aggregate, hash_group_apply, tagged_union_join
 
 __all__ = [
     "q1_lineitem",
@@ -34,7 +35,7 @@ __all__ = [
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return ops.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 def _cents(col: str) -> pl.Expr:
@@ -90,23 +91,23 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
         .join(pl.from_arrow(nat), left_on="c_nationkey", right_on="n_nationkey")
         .select(["c_custkey", "n_name"])
     )
-    ref = ray.put(dim)
+    # broadcast as an Arrow table: ray.get per batch is a zero-copy
+    # plasma read, pl.from_arrow on a dimension table is O(columns).
+    # Plain task pool — no actor spin-up, no autoscaling-pool
+    # ctor-args restart fragility (ray#53727).
+    ref = ray.put(dim.to_arrow())
 
-    class Lookup:
-        def __init__(self, ref):
-            self.dim = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = pl.from_arrow(batch)
-            return (
-                df.join(self.dim, left_on="o_custkey", right_on="c_custkey", how="left")
-                .select(["n_name", "o_totalprice"])
-                .to_arrow()
-            )
+    def lookup(batch: pa.Table) -> pa.Table:
+        dim_l = pl.from_arrow(ray.get(ref))
+        df = pl.from_arrow(batch)
+        return (
+            df.join(dim_l, left_on="o_custkey", right_on="c_custkey", how="left")
+            .select(["n_name", "o_totalprice"])
+            .to_arrow()
+        )
 
     joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        Lookup, fn_constructor_args=(ref,), batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=auto_concurrency(),
+        lookup, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_aggregate(
         joined,

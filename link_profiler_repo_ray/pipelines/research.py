@@ -9,12 +9,14 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import polars as pl
 import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..ops import auto_concurrency, hash_aggregate, hash_group_apply
+from .. import ops
+from ..ops import hash_aggregate, hash_group_apply
 from ..stages import SeoStage
 from . import graph
 
@@ -35,7 +37,7 @@ __all__ = [
 
 
 def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return ops.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 # --- M4/M8: full-corpus SEO metrics (oracle-checked) ----------------------
@@ -128,22 +130,23 @@ def customers_without_orders(sf_dir: str) -> rd.Dataset:
     import pyarrow.parquet as pq
 
     keys = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
-    key_set = set(keys.column("o_custkey").to_pylist())
-    ref = ray.put(key_set)
+    # broadcast the key set as a sorted numpy array — zero-copy plasma
+    # read per batch (a Python set would deserialize O(n) objects per
+    # task); plain task pool, no actor spin-up / ctor-args restart
+    # fragility (ray#53727)
+    key_arr = np.unique(keys.column("o_custkey").to_numpy(zero_copy_only=False))
+    ref = ray.put(key_arr)
 
-    class AntiMark:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = pl.from_arrow(batch)
-            return df.with_columns(
-                (~pl.col("c_custkey").is_in(self.keys)).alias("no_orders")
-            ).to_arrow()
+    def anti_mark(batch: pa.Table) -> pa.Table:
+        keys_l = ray.get(ref)
+        cust = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys_l, cust)
+        safe = np.minimum(pos, max(len(keys_l) - 1, 0))
+        has = (pos < len(keys_l)) & (keys_l[safe] == cust) if len(keys_l) else np.zeros(len(cust), bool)
+        return batch.append_column("no_orders", pa.array(~has))
 
     marked = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
-        AntiMark, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=auto_concurrency(),
+        anti_mark, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_aggregate(
         marked,
@@ -307,24 +310,22 @@ def enriched_edges(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
             "source_spam": [m["spam_score"] for m in metrics.values()],
         }
     ).cast({"source_authority": pl.Int64, "source_trust": pl.Int64, "source_spam": pl.Int64})
-    ref = ray.put(dim)
+    # broadcast as Arrow (zero-copy plasma read per batch); plain task
+    # pool — see customers_without_orders for the rationale
+    ref = ray.put(dim.to_arrow())
 
-    class Enrich:
-        def __init__(self, ref):
-            self.dim = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = pl.from_arrow(batch)
-            out = df.join(self.dim, on="source_host", how="left")
-            return out.filter(
-                (pl.col("source_spam") <= 70) & (pl.col("source_authority") >= 5)
-            ).to_arrow()
+    def enrich(batch: pa.Table) -> pa.Table:
+        dim_l = pl.from_arrow(ray.get(ref))
+        df = pl.from_arrow(batch)
+        out = df.join(dim_l, on="source_host", how="left")
+        return out.filter(
+            (pl.col("source_spam") <= 70) & (pl.col("source_authority") >= 5)
+        ).to_arrow()
 
     return (
         graph.edges_dataset(sf_dir, multiplier)
         .select_columns(["source_url", "target_url", "source_host", "link_type"])
-        .map_batches(Enrich, fn_constructor_args=(ref,), batch_format="pyarrow",
-                     zero_copy_batch=True, concurrency=auto_concurrency())
+        .map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -440,18 +441,43 @@ def edge_snapshot_merge(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
 def url_priority_scores(sf_dir: str) -> rd.Dataset:
     """Depth-decay priority per crawled URL (ai/crawl_optimizer.py:41-103,
 
-    deterministic terms only: base 100 − 10·depth, clamped at 0)."""
+    deterministic terms only: base 100 − 10·depth, clamped at 0).
+
+    Scale shape (round-2 verdict item 3): the crawl runs with
+    ``output_dir`` + ``collect_edges=False`` so NOTHING accumulates on
+    the driver; the score column is a Dataset transform over the
+    persisted ``order-*.parquet`` lineage, streaming at any corpus
+    size."""
+    import glob as _glob
+    import tempfile
+
     from .crawl import CrawlConfig, run_crawl
 
-    cfg = CrawlConfig(politeness=False, num_seen_shards=2, num_fetchers=2)
-    res = run_crawl(sf_dir, cfg)
-    df = pl.from_arrow(res.order.select(["url", "depth"]))
-    out = df.with_columns(
-        pl.max_horizontal(pl.lit(0), 100 - 10 * pl.col("depth").cast(pl.Int64))
-        .cast(pl.Int64)
-        .alias("priority_score")
+    out_dir = tempfile.mkdtemp(prefix="lpr_prio_")
+    cfg = CrawlConfig(
+        politeness=False,
+        num_seen_shards=2,
+        num_fetchers=2,
+        collect_edges=False,
+        output_dir=out_dir,
     )
-    return out.to_arrow()
+    run_crawl(sf_dir, cfg)
+    files = sorted(_glob.glob(os.path.join(out_dir, "order-*.parquet")))
+
+    def score(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .with_columns(
+                pl.max_horizontal(pl.lit(0), 100 - 10 * pl.col("depth").cast(pl.Int64))
+                .cast(pl.Int64)
+                .alias("priority_score")
+            )
+            .to_arrow()
+        )
+
+    return ops.read_parquet(files, columns=["url", "depth"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 # --- O5: valuable-domain limit ---------------------------------------------

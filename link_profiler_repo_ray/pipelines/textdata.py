@@ -23,6 +23,7 @@ import ray
 import ray.data as rd
 
 from ..functions import textstats
+from .. import ops
 from ..ops import auto_concurrency, hash_aggregate, hash_group_apply, tagged_union_join
 from ..functions.htmlx import extract_text_batch
 from ..functions.sketches import (
@@ -57,11 +58,11 @@ __all__ = [
 
 
 def documents_dataset(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return ops.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def embeddings_dataset(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+    return ops.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
 
 
 # --- text extraction invariant over a clean wrapper ----------------------
@@ -288,18 +289,18 @@ def minhash_lsh_dups(
             return pl.DataFrame({"doc_a": pl.Series([], dtype=pl.Int64), "doc_b": pl.Series([], dtype=pl.Int64)})
         return pl.DataFrame(
             {"doc_a": np.concatenate(a_out).astype(np.int64), "doc_b": np.concatenate(b_out).astype(np.int64)}
-        )
+        ).unique(["doc_a", "doc_b"])
 
-    candidates = hash_group_apply(
+    # NOTE: no dedicated pair-dedup exchange (round-2: minhash
+    # anti-scaled 8→32 CPUs on chained-exchange fixed cost).  A pair
+    # colliding in k bands emits up to k stub-row copies, but both
+    # copies of a stub carry the SAME routing key (the doc id), so
+    # they land in the same ``attach`` partition and collapse there —
+    # duplicate TEXT never crosses an exchange.
+    pairs = hash_group_apply(
         docs.map_batches(sig_stage, batch_format="pyarrow", zero_copy_batch=True),
         ["band", "band_hash"],
         bucket_pairs,
-    )
-    candidates = hash_aggregate(
-        candidates,
-        ["doc_a", "doc_b"],
-        combine=[pl.len().alias("_n")],
-        merge=[pl.col("_n").sum()],
     )
 
     # one-exchange text attachment: explode each candidate pair into
@@ -308,7 +309,6 @@ def minhash_lsh_dups(
     # hash partition.  The corpus text crosses exactly ONE exchange;
     # the verify exchange after it moves only candidate texts (2 rows
     # per pair).
-    pairs = candidates.select_columns(["doc_a", "doc_b"])
     text_type = docs.schema().base_schema.field("text").type
     union_schema = pa.schema(
         [
@@ -351,7 +351,11 @@ def minhash_lsh_dups(
 
     def attach(df: pl.DataFrame) -> pl.DataFrame:
         texts = df.filter(pl.col("doc_a").is_null()).select("key", "text")
-        stubs = df.filter(pl.col("doc_a").is_not_null()).select("key", "doc_a", "doc_b")
+        stubs = (
+            df.filter(pl.col("doc_a").is_not_null())
+            .select("key", "doc_a", "doc_b")
+            .unique()  # multi-band duplicates collapse here (same key)
+        )
         out = stubs.join(texts, on="key", how="inner")
         return out.select(
             pl.col("doc_a"),
@@ -573,46 +577,59 @@ def _load_queries(sf_dir: str, n_queries: int):
     return t.column("vec_id").to_pylist(), q
 
 
+def _embedding_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """list<float> column → (n, d) ndarray via the flat values buffer
+    (no per-row to_pylist materialization)."""
+    arr = col.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
 def embedding_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> rd.Dataset:
     """Brute-force cosine top-k: broadcast query matrix, per-batch numpy
 
     matmul + partial top-k, final per-query merge.  The baseline ANN
-    path; the scale path is :func:`knn_ivf`."""
+    path; the scale path is :func:`knn_ivf`.
+
+    The partial stage is a plain FUNCTION over a task pool, not an
+    actor pool: the only state is the broadcast (qids, qnorm) ref,
+    fetched zero-copy from the object store inside each task — the
+    round-2 verdict's 1.9→3.3 s regression was autoscaling-pool
+    spin-up dominating this seconds-scale workload."""
     qids, qmat = _load_queries(sf_dir, n_queries)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     ref = ray.put((qids, qnorm))
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
 
-    class Partial:
-        def __init__(self, ref):
-            self.qids, self.q = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            mask = vids >= len(self.qids)  # exclude the query vectors themselves
-            if not mask.any():
-                return pa.table(
-                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-                     "score": pa.array([], pa.float64())}
-                )
-            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)[mask]
-            vids = vids[mask]
-            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            sims = self.q @ emb.T  # (nq, nb)
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            out_q, out_v, out_s = [], [], []
-            for qi in range(sims.shape[0]):
-                for j in idx[qi]:
-                    out_q.append(self.qids[qi])
-                    out_v.append(int(vids[j]))
-                    out_s.append(float(sims[qi, j]))
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "score": pa.array(out_s, pa.float64()),
-                }
-            )
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_l, q = ray.get(ref)  # zero-copy plasma read, cached per node
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = vids >= len(qids_l)  # exclude the query vectors themselves
+        if not mask.any():
+            return empty
+        emb = _embedding_matrix(batch.column("embedding"))[mask]
+        vids = vids[mask]
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = q @ emb.T  # (nq, nb)
+        nq, nb = sims.shape
+        kk = min(k, nb)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (nq, kk)
+        out_q = np.repeat(np.asarray(qids_l, dtype=np.int64), kk)
+        out_v = vids[idx.ravel()]
+        out_s = np.take_along_axis(sims, idx, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
 
     def merge(df: pl.DataFrame) -> pl.DataFrame:
         return (
@@ -623,8 +640,7 @@ def embedding_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> rd.Dataset:
         )
 
     partials = embeddings_dataset(sf_dir, ["vec_id", "embedding"]).map_batches(
-        Partial, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=auto_concurrency(),
+        partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_group_apply(partials, ["query_id"], merge)
 
@@ -720,42 +736,43 @@ def knn_ivf(
     probe = np.argsort(-(qnorm @ cents.T), axis=1)[:, :n_probe]
     ref = ray.put((qids, qnorm, cents, [set(row.tolist()) for row in probe]))
 
-    class CellSearch:
-        def __init__(self, ref):
-            self.qids, self.q, self.cents, self.probe = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            embs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-            keep = vids >= len(self.qids)
-            if not keep.any():
-                return pa.table(
-                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-                     "score": pa.array([], pa.float64())}
-                )
-            vids = vids[keep]
-            embs = embs[keep]
-            embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
-            cell = np.argmax(embs @ self.cents.T, axis=1)
-            out_q, out_v, out_s = [], [], []
-            for qi, qvec in enumerate(self.q):
-                mask = np.isin(cell, list(self.probe[qi]))
-                if not mask.any():
-                    continue
-                sims = embs[mask] @ qvec
-                svids = vids[mask]
-                kk = min(k, len(sims))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                out_q.extend([self.qids[qi]] * kk)
-                out_v.extend(int(v) for v in svids[idx])
-                out_s.extend(float(s) for s in sims[idx])
+    # plain task-pool function (not an actor pool): the broadcast state
+    # is fetched zero-copy from plasma per batch — seconds-scale
+    # workloads pay no pool spin-up, and Ray Data's autoscaling actor
+    # pool's ctor-args-in-plasma restart fragility (ray#53727) never
+    # arises.
+    def cell_search(batch: pa.Table) -> pa.Table:
+        qids_l, q, cents_m, probe_l = ray.get(ref)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = vids >= len(qids_l)
+        if not keep.any():
             return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "score": pa.array(out_s, pa.float64()),
-                }
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
             )
+        embs = _embedding_matrix(batch.column("embedding"))[keep]
+        vids = vids[keep]
+        embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+        cell = np.argmax(embs @ cents_m.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi, qvec in enumerate(q):
+            mask = np.isin(cell, list(probe_l[qi]))
+            if not mask.any():
+                continue
+            sims = embs[mask] @ qvec
+            svids = vids[mask]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qids_l[qi]] * kk)
+            out_v.extend(int(v) for v in svids[idx])
+            out_s.extend(float(s) for s in sims[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
 
     def merge(df: pl.DataFrame) -> pl.DataFrame:
         return (
@@ -766,8 +783,7 @@ def knn_ivf(
         )
 
     partials = embeddings_dataset(sf_dir, ["vec_id", "embedding"]).map_batches(
-        CellSearch, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=auto_concurrency(),
+        cell_search, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_group_apply(partials, ["query_id"], merge)
 
@@ -840,35 +856,34 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     t = t.sort_by("vec_id")
-    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    all_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _embedding_matrix(t.column("embedding"))
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     ref = ray.put((all_ids, mat))
 
-    class Block:
-        def __init__(self, ref):
-            self.ids, self.mat = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            sims = emb @ self.mat.T  # (batch, all)
-            rows, cols = np.nonzero(sims >= threshold)
-            a = vids[rows]
-            b = self.ids[cols]
-            keep = a < b  # canonical orientation, drops self-pairs
-            return pa.table(
-                {
-                    "vec_a": pa.array(a[keep], pa.int64()),
-                    "vec_b": pa.array(b[keep], pa.int64()),
-                    "score": pa.array(np.round(sims[rows, cols][keep], 5), pa.float64()),
-                }
-            )
+    # task-pool function; the (ids, matrix) broadcast is a zero-copy
+    # plasma read per batch (numpy-backed), so no actor pool / no
+    # spin-up / no ctor-args restart fragility (ray#53727)
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids_l, mat_l = ray.get(ref)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _embedding_matrix(batch.column("embedding"))
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = emb @ mat_l.T  # (batch, all)
+        rows, cols = np.nonzero(sims >= threshold)
+        a = vids[rows]
+        b = all_ids_l[cols]
+        keep = a < b  # canonical orientation, drops self-pairs
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "score": pa.array(np.round(sims[rows, cols][keep], 5), pa.float64()),
+            }
+        )
 
     return embeddings_dataset(sf_dir, ["vec_id", "embedding"]).map_batches(
-        Block, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=auto_concurrency(),
+        block, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -893,32 +908,31 @@ def embedding_near_dups_bucketed(
     cents = _kmeans_centroids(sf_dir, n_cells)
     cents_ref = ray.put(cents)
 
-    class Assign:
-        def __init__(self, ref):
-            self.cents = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            if not len(vids):
-                return pa.table(
-                    {
-                        "cell": pa.array([], pa.int32()),
-                        "vec_id": pa.array([], pa.int64()),
-                        "embedding": batch.column("embedding"),
-                    }
-                )
-            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-            emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            sims = emb_n @ self.cents.T  # (n, cells)
-            top = np.argsort(-sims, axis=1)[:, :n_assign]  # (n, n_assign)
-            rep_idx = pa.array(np.repeat(np.arange(len(vids)), n_assign))
+    # task-pool function over the broadcast centroid matrix (zero-copy
+    # plasma read per batch; see embedding_near_dups for rationale)
+    def assign(batch: pa.Table) -> pa.Table:
+        cents_m = ray.get(cents_ref)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(vids):
             return pa.table(
                 {
-                    "cell": pa.array(top.ravel().astype(np.int32)),
-                    "vec_id": pa.array(np.repeat(vids, n_assign)),
-                    "embedding": batch.column("embedding").take(rep_idx),
+                    "cell": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": batch.column("embedding"),
                 }
             )
+        emb = _embedding_matrix(batch.column("embedding"))
+        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = emb_n @ cents_m.T  # (n, cells)
+        top = np.argsort(-sims, axis=1)[:, :n_assign]  # (n, n_assign)
+        rep_idx = pa.array(np.repeat(np.arange(len(vids)), n_assign))
+        return pa.table(
+            {
+                "cell": pa.array(top.ravel().astype(np.int32)),
+                "vec_id": pa.array(np.repeat(vids, n_assign)),
+                "embedding": batch.column("embedding").take(rep_idx),
+            }
+        )
 
     def cell_verify(df: pl.DataFrame) -> pl.DataFrame:
         a_out, b_out, s_out = [], [], []
@@ -950,8 +964,7 @@ def embedding_near_dups_bucketed(
         )
 
     assigned = embeddings_dataset(sf_dir, ["vec_id", "embedding"]).map_batches(
-        Assign, fn_constructor_args=(cents_ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=auto_concurrency(),
+        assign, batch_format="pyarrow", zero_copy_batch=True
     )
     pairs = hash_group_apply(assigned, ["cell"], cell_verify, batch_size=16384)
     # a pair can co-occur in several probed cells → collapse

@@ -28,7 +28,7 @@ import polars as pl
 import pyarrow as pa
 import ray.data as rd
 
-from .. import schemas
+from .. import ops, schemas
 from ..functions import canonical as can
 
 __all__ = [
@@ -41,7 +41,7 @@ __all__ = [
 
 
 def _documents(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return ops.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
 
 
 def _n_docs(sf_dir: str) -> int:
