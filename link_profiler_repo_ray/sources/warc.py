@@ -22,6 +22,14 @@ Parsing is a single pass over the shard bytes inside ``map_batches``
 (one task per WARC file — WARC is not splittable without an index,
 which is also how CC segment files are consumed); the round-trip
 (pages → WARC → pages) is byte-identical per URL and pytest-pinned.
+
+Real CC segment files are also accepted (pytest-pinned against a
+synthetic CC-shaped fixture): ``.warc.gz`` with one gzip member per
+record, warcinfo/request/metadata records filtered out, and the
+``application/http; msgtype=response`` status-line + header block
+stripped from payloads so ``html`` holds body bytes only.  Chunked
+transfer-encoding inside stored payloads is NOT decoded (modern CC
+stores de-chunked bodies).
 """
 
 from __future__ import annotations
@@ -95,7 +103,15 @@ def write_warc(pages: rd.Dataset, out_dir: str) -> str:
 
 
 def _parse_warc_bytes(blob: bytes) -> dict[str, list]:
-    """Single-pass parse of one WARC shard's bytes → column lists."""
+    """Single-pass parse of one WARC shard's bytes → column lists.
+
+    Handles both this module's own output and real Common Crawl
+    segment content (ADVICE round 2): non-``response`` records
+    (warcinfo / request / metadata / revisit) are skipped, and when a
+    response payload is an ``application/http`` capture — the status
+    line + header block CC stores verbatim — the HTTP headers are
+    stripped so ``html`` is the body bytes only.
+    """
     urls, tss, htmls, langs = [], [], [], []
     pos = 0
     n = len(blob)
@@ -111,6 +127,15 @@ def _parse_warc_bytes(blob: bytes) -> dict[str, list]:
         clen = int(fields.get("content-length", "0"))
         body_start = hdr_end + 4
         payload = blob[body_start : body_start + clen]
+        pos = body_start + clen + 4  # skip payload + record-separator CRLFCRLF
+        if fields.get("warc-type", "response").lower() != "response":
+            continue
+        if payload.startswith(b"HTTP/") or fields.get("content-type", "").startswith(
+            "application/http"
+        ):
+            http_end = payload.find(_CRLF + _CRLF)
+            if http_end >= 0:
+                payload = payload[http_end + 4 :]
         urls.append(fields.get("warc-target-uri", ""))
         date = fields.get("warc-date")
         if date:
@@ -120,7 +145,6 @@ def _parse_warc_bytes(blob: bytes) -> dict[str, list]:
             tss.append(None)
         htmls.append(payload)
         langs.append(fields.get("warc-identified-content-language"))
-        pos = body_start + clen + 4  # skip payload + record-separator CRLFCRLF
     return {"url": urls, "warc_ts": tss, "html": htmls, "lang": langs}
 
 
@@ -132,16 +156,26 @@ def pages_from_warc(warc_dir: str, extract_text: bool = True) -> rd.Dataset:
     ``text`` column is re-derived with the byte-identical extractor so
     downstream pipelines see the exact BASELINE schema.
     """
-    files = sorted(glob.glob(os.path.join(warc_dir, "*.warc")))
+    files = sorted(
+        glob.glob(os.path.join(warc_dir, "*.warc"))
+        + glob.glob(os.path.join(warc_dir, "*.warc.gz"))
+    )
     ds = rd.from_items([{"path": f} for f in files])
 
     def parse_file(batch: pa.Table) -> pa.Table:
+        import gzip
+
         from ..functions.htmlx import extract_text_batch
 
         cols = {"url": [], "warc_ts": [], "html": [], "lang": []}
         for path in batch.column("path").to_pylist():
             with open(path, "rb") as fh:
-                parsed = _parse_warc_bytes(fh.read())
+                raw = fh.read()
+            if path.endswith(".gz"):
+                # CC ships one gzip MEMBER per record, concatenated;
+                # gzip.decompress walks all members of the stream
+                raw = gzip.decompress(raw)
+            parsed = _parse_warc_bytes(raw)
             for k in cols:
                 cols[k].extend(parsed[k])
         texts = (
