@@ -419,4 +419,60 @@ s AS (SELECT user_id, event_id, ts,
       FROM e)
 SELECT user_id, session_id, count(*)::BIGINT AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
 FROM s GROUP BY 1, 2""",
+        "events_asof_join": """
+WITH s AS (
+  SELECT user_id, ts, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, s.signup_event_id, s.ts AS signup_ts
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""",
+        "clean_text": r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+k AS (SELECT doc_id, ws, list_filter(ws, (x, i) -> i = 1 OR ws[i-1] <> x) AS kept FROM w)
+SELECT doc_id, array_to_string(kept, ' ') AS text_clean,
+       (len(ws) - len(kept))::BIGINT AS n_repeats_removed
+FROM k""",
+        "pii_scrub": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+       len(regexp_extract_all(text, '\b\d{3}[- ]\d{3}[- ]\d{4}\b'))::BIGINT AS n_phone,
+       len(regexp_extract_all(text, '\b(spark|stream)\b'))::BIGINT AS n_terms,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+           '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
+         '\b(spark|stream)\b', '[TERM]', 'g') AS text_scrubbed
+FROM documents""",
+        "domain_balanced_sample": """
+SELECT doc_id, source, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5""",
+        "quality_funnel": """
+WITH g AS (SELECT source, n_chars, string_split(text, ' ') AS ws FROM documents),
+f AS (
+  SELECT source,
+         (n_chars >= 150) AS g1,
+         (n_chars >= 150 AND len(ws) >= 30) AS g2,
+         (n_chars >= 150 AND len(ws) >= 30
+          AND len(list_distinct(ws))::DOUBLE / len(ws) >= 0.65) AS g3
+  FROM g)
+SELECT source, count(*)::BIGINT AS n_docs, sum(g1::INT)::BIGINT AS pass_len,
+       sum(g2::INT)::BIGINT AS pass_tokens, sum(g3::INT)::BIGINT AS pass_unique
+FROM f GROUP BY source""",
+        "contamination_ngrams": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 5), i -> array_to_string(ws[i:i+6], ' '))) AS ngram
+  FROM w),
+d AS (SELECT DISTINCT doc_id, ngram FROM g),
+t AS (SELECT DISTINCT ngram FROM d WHERE doc_id % 43 = 0)
+SELECT d.doc_id, count(*)::BIGINT AS n_shared_ngrams
+FROM d JOIN t USING (ngram) WHERE d.doc_id % 43 <> 0
+GROUP BY d.doc_id""",
     }

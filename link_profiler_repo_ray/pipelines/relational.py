@@ -31,6 +31,7 @@ __all__ = [
     "events_by_day",
     "events_hopping_window",
     "sessionize",
+    "events_asof_join",
 ]
 
 
@@ -301,3 +302,69 @@ def events_hopping_window(sf_dir: str, window_min: int = 60, hop_min: int = 30) 
         ],
         merge=[pl.col("n_events").sum(), pl.col("sum_value_cents").sum()],
     )
+
+
+def events_asof_join(sf_dir: str) -> rd.Dataset:
+    """As-of join — each ``purchase`` event picks up the most recent
+    ``signup`` of the same user at or before its timestamp (DuckDB
+    ``ASOF JOIN`` semantics; the operator class Ray Data lacks
+    natively, per the custom-operator mandate).
+
+    Partitioning assumption: both sides hash-partition on ``user_id``
+    (ONE exchange over already-thin event rows), then a per-partition
+    vectorized sort + grouped forward-fill resolves the as-of match —
+    no row loop, no driver materialization.  Signups are pre-collapsed
+    to one row per (user_id, ts) (max event_id) so the tie case is
+    deterministic on both engines.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        sign = (
+            df.filter(pl.col("event_type") == "signup")
+            # block-local tie collapse; cross-block ties collapse again
+            # inside the partition apply below
+            .group_by(["user_id", "ts"])
+            .agg(pl.col("event_id").max())
+            .select(
+                pl.lit(None, dtype=pl.Int64).alias("event_id"),
+                "user_id",
+                "ts",
+                pl.col("event_id").alias("signup_event_id"),
+            )
+        )
+        purch = df.filter(pl.col("event_type") == "purchase").select(
+            "event_id",
+            "user_id",
+            "ts",
+            pl.lit(None, dtype=pl.Int64).alias("signup_event_id"),
+        )
+        return pl.concat([sign, purch]).to_arrow()
+
+    def asof(df: pl.DataFrame) -> pl.DataFrame:
+        is_sign = pl.col("event_id").is_null()
+        df = (
+            df.group_by(["user_id", "ts", "event_id"])
+            .agg(pl.col("signup_event_id").max())
+            # signup sorts BEFORE a purchase at the same ts (>= is
+            # inclusive in the oracle's ASOF condition)
+            .sort(["user_id", "ts", "event_id"], nulls_last=False)
+            .with_columns(
+                pl.when(is_sign).then(pl.col("ts")).alias("_sig_ts"),
+            )
+            .with_columns(
+                pl.col("signup_event_id").forward_fill().over("user_id"),
+                pl.col("_sig_ts").forward_fill().over("user_id"),
+            )
+        )
+        return df.filter(~is_sign).select(
+            "event_id",
+            "user_id",
+            "ts",
+            "signup_event_id",
+            pl.col("_sig_ts").alias("signup_ts"),
+        )
+
+    tagged = ev.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_group_apply(tagged, ["user_id"], asof)

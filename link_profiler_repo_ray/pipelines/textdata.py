@@ -54,6 +54,12 @@ __all__ = [
     "knn_ivf",
     "media_features",
     "vocab_top_tokens",
+    "clean_text",
+    "pii_scrub",
+    "domain_balanced_sample",
+    "quality_funnel",
+    "contamination_ngrams",
+    "sequence_packing",
 ]
 
 
@@ -1132,4 +1138,293 @@ def vocab_top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
         freq.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+# --- training-data curation ops (round 3) ---------------------------------
+#
+# The CCNet/Dolma-style cleaning stages a 100-TB pretraining pipeline
+# runs between the crawl and the tokenizer.  All are embarrassingly
+# parallel map_batches except the sample/funnel/contamination ops,
+# whose exchanges move only keys + counters (never corpus text).
+
+
+def clean_text(sf_dir: str) -> rd.Dataset:
+    """Normalize + de-repeat documents (the reference's content
+    validator normalizes whitespace the same way before scoring,
+    utils/content_validator.py:87-101; consecutive-token collapse is
+    the CCNet-style elongation cleanup).
+
+    lowercase → trim → collapse whitespace runs → drop consecutive
+    duplicate tokens.  Pure per-batch polars expressions (the
+    duplicate collapse is a vectorized ``list.eval`` shift-compare,
+    not a Python loop); no exchange, streams at any corpus size.
+    """
+
+    def stage(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (
+            df.with_columns(
+                # collapse BEFORE trim so the trim only ever sees
+                # plain spaces — the exact op chain the DuckDB oracle
+                # runs (its trim() strips spaces only)
+                pl.col("text")
+                .str.to_lowercase()
+                .str.replace_all(r"\s+", " ")
+                .str.strip_chars(" ")
+                .str.split(" ")
+                .alias("_ws")
+            )
+            .with_columns(
+                pl.col("_ws")
+                .list.eval(
+                    pl.element().filter(
+                        (pl.element() != pl.element().shift(1)).fill_null(True)
+                    )
+                )
+                .alias("_kept")
+            )
+            .select(
+                "doc_id",
+                pl.col("_kept").list.join(" ").alias("text_clean"),
+                (pl.col("_ws").list.len() - pl.col("_kept").list.len())
+                .cast(pl.Int64)
+                .alias("n_repeats_removed"),
+            )
+        )
+        return out.to_arrow()
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_PII_PATTERNS = (
+    # (tag, pattern) — RE2- and rust-regex-compatible (no backrefs),
+    # applied in this order on both the engine and the DuckDB oracle
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"),
+)
+
+
+def pii_scrub(sf_dir: str, extra_terms: tuple[str, ...] = ("spark", "stream")) -> rd.Dataset:
+    """PII redaction pass (emails / IPv4 / phone numbers → ``[TAG]``)
+    plus a term blocklist (``extra_terms`` → ``[TERM]``) — the scrub
+    stage every pretraining corpus runs.  The synthetic corpus carries
+    no real PII, so the blocklist keeps the op observably non-trivial
+    under the sf0.01 oracle gate while the PII regexes are exercised
+    over every byte.
+
+    Vectorized ``str.count_matches`` + chained ``str.replace_all`` per
+    batch; no exchange.
+    """
+    term_pat = r"\b(" + "|".join(extra_terms) + r")\b"
+
+    def stage(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        counts = [
+            pl.col("text").str.count_matches(pat).cast(pl.Int64).alias(f"n_{tag.lower()}")
+            for tag, pat in _PII_PATTERNS
+        ] + [pl.col("text").str.count_matches(term_pat).cast(pl.Int64).alias("n_terms")]
+        red = pl.col("text")
+        for tag, pat in _PII_PATTERNS:
+            red = red.str.replace_all(pat, f"[{tag}]")
+        red = red.str.replace_all(term_pat, "[TERM]")
+        return df.select("doc_id", *counts, red.alias("text_scrubbed")).to_arrow()
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def domain_balanced_sample(sf_dir: str, per_source: int = 5) -> rd.Dataset:
+    """Deterministic per-source document cap (domain balancing — the
+    pretraining answer to one domain dominating the mix): keep the
+    ``per_source`` lowest doc_ids of each source.
+
+    Scale shape: per-block top-k inside the combiner (the exchange
+    moves ≤ k rows per (block, source), never the corpus), final
+    top-k per source in one partitioned apply — the
+    ``top_valuable_domains`` pattern over the documents table.
+    """
+
+    def topk(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.sort(["source", "doc_id"])
+            .group_by("source", maintain_order=True)
+            .head(per_source)
+        )
+
+    return hash_group_apply(
+        documents_dataset(sf_dir, ["doc_id", "source", "n_chars"]),
+        ["source"],
+        topk,
+        pre=topk,
+    )
+
+
+def quality_funnel(sf_dir: str) -> rd.Dataset:
+    """Per-source quality-gate funnel: how many docs survive each of
+    the stacked filters a Dolma/CCNet-style cleaning run applies
+    (length → token count → lexical diversity).  The counts are what a
+    corpus curator reads to tune thresholds before committing to a
+    100-TB pass.
+
+    Gates (cumulative):  g1 ``n_chars >= 150``; g2 g1 AND ``>= 30``
+    whitespace tokens; g3 g2 AND unique-token ratio ``>= 0.65``.
+    Per-block partial counts ride ONE tiny exchange (rows = sources ×
+    blocks, corpus text never leaves the map stage).
+    """
+
+    def gates(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ws = pl.col("text").str.split(" ")
+        n_tok = ws.list.len().cast(pl.Int64)
+        uniq_ratio = ws.list.n_unique().cast(pl.Float64) / n_tok
+        g1 = pl.col("n_chars") >= 150
+        g2 = g1 & (n_tok >= 30)
+        g3 = g2 & (uniq_ratio >= 0.65)
+        return df.select(
+            "source",
+            pl.lit(1).cast(pl.Int64).alias("n_docs"),
+            g1.cast(pl.Int64).alias("pass_len"),
+            g2.cast(pl.Int64).alias("pass_tokens"),
+            g3.cast(pl.Int64).alias("pass_unique"),
+        ).to_arrow()
+
+    cols = ["n_docs", "pass_len", "pass_tokens", "pass_unique"]
+    return hash_aggregate(
+        documents_dataset(sf_dir, ["source", "text", "n_chars"]).map_batches(
+            gates, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["source"],
+        combine=[pl.col(c).sum() for c in cols],
+        merge=[pl.col(c).sum() for c in cols],
+    )
+
+
+def contamination_ngrams(sf_dir: str, n: int = 7, test_mod: int = 43) -> rd.Dataset:
+    """Train/test contamination check: which training documents share
+    a word ``n``-gram with the held-out set (``doc_id % test_mod ==
+    0``)?  The decontamination pass every eval-aware pretraining
+    pipeline runs (the GPT-3 paper's 13-gram overlap filter, here over
+    whitespace tokens).
+
+    Two exchanges, both over (ngram, doc_id) keys: (1) partition by
+    ngram string — a partition holding both a test and a train copy of
+    the same ngram emits the train (doc_id, ngram) hit; (2) count
+    distinct shared ngrams per contaminated doc.  Shingling is
+    vectorized (explode + shifted-concat window, no Python loop over
+    tokens).  The exchange keys are the ngram STRINGS so the DuckDB
+    oracle can reproduce them exactly; at 100 TB swap the key for a
+    64-bit ngram hash (same topology, 8-byte keys, collision odds
+    ~n_grams²/2⁶⁴).
+    """
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ex = (
+            df.select(
+                "doc_id",
+                pl.col("doc_id").mod(test_mod).eq(0).alias("is_test"),
+                pl.col("text").str.split(" ").alias("w"),
+            )
+            .explode("w")
+            .with_columns(
+                pl.concat_str(
+                    [pl.col("w")] + [pl.col("w").shift(-k).over("doc_id") for k in range(1, n)],
+                    separator=" ",
+                    ignore_nulls=False,
+                ).alias("ngram")
+            )
+            .drop_nulls("ngram")  # tail windows shorter than n
+            .select("doc_id", "is_test", "ngram")
+            .unique()
+        )
+        return ex.to_arrow()
+
+    def match(df: pl.DataFrame) -> pl.DataFrame:
+        df = df.unique()  # cross-block duplicates of (doc, ngram)
+        test_ngrams = df.filter(pl.col("is_test")).select("ngram").unique()
+        return (
+            df.filter(~pl.col("is_test"))
+            .join(test_ngrams, on="ngram", how="inner")
+            .select("doc_id", "ngram")
+        )
+
+    hits = hash_group_apply(
+        documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+            shingle, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["ngram"],
+        match,
+    )
+    return hash_aggregate(
+        hits,
+        ["doc_id"],
+        combine=[pl.len().cast(pl.Int64).alias("n_shared_ngrams")],
+        merge=[pl.col("n_shared_ngrams").sum()],
+    )
+
+
+def sequence_packing(sf_dir: str, budget: int = 512) -> rd.Dataset:
+    """Greedy sequence packing: concatenate documents (in doc_id order,
+    per source) into training sequences of at most ``budget``
+    whitespace tokens — the batching step between a cleaned corpus and
+    the trainer.  A doc longer than ``budget`` gets a bin of its own.
+
+    Packing is inherently a sequential scan per shard; sources are the
+    shards (each wholly inside one hash partition, mirroring how a
+    real run packs per input shard), so the scan is a tiny numpy loop
+    over per-doc token counts — O(docs-in-source) with no text in the
+    exchange: only (doc_id, source, n_tokens) rows move.  Output maps
+    every doc to (bin_id, bin_tokens); pytest replays the greedy scan
+    as the oracle.
+    """
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            "doc_id",
+            "source",
+            pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("n_tokens"),
+        ).to_arrow()
+
+    def pack(df: pl.DataFrame) -> pl.DataFrame:
+        out = []
+        for (src,), g in df.group_by("source", maintain_order=False):
+            g = g.sort("doc_id")
+            toks = g.get_column("n_tokens").to_numpy()
+            bins = np.empty(len(toks), dtype=np.int64)
+            fill = np.empty(len(toks), dtype=np.int64)
+            b, acc = 0, 0
+            for i, t in enumerate(toks):
+                if acc > 0 and acc + t > budget:
+                    b, acc = b + 1, 0
+                acc += int(t)
+                bins[i] = b
+                fill[i] = acc
+            out.append(
+                g.with_columns(
+                    pl.format("{}-{}", pl.lit(src), pl.Series(bins)).alias("bin_id"),
+                    pl.Series("_fill", fill),
+                )
+            )
+        packed = pl.concat(out) if out else df.with_columns(
+            pl.lit("").alias("bin_id"), pl.lit(0).alias("_fill")
+        )
+        return (
+            packed.with_columns(
+                pl.col("_fill").max().over("bin_id").alias("bin_tokens")
+            )
+            .select("doc_id", "source", "n_tokens", "bin_id", "bin_tokens")
+        )
+
+    return hash_group_apply(
+        documents_dataset(sf_dir, ["doc_id", "source", "text"]).map_batches(
+            count_tokens, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["source"],
+        pack,
     )

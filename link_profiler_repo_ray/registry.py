@@ -85,6 +85,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": textdata.embedding_near_dups,
         "embedding_near_dups_bucketed": textdata.embedding_near_dups_bucketed,
         "vocab_top_tokens": textdata.vocab_top_tokens,
+        # corpus-curation ops (round 3)
+        "clean_text": textdata.clean_text,
+        "pii_scrub": textdata.pii_scrub,
+        "domain_balanced_sample": textdata.domain_balanced_sample,
+        "quality_funnel": textdata.quality_funnel,
+        "contamination_ngrams": textdata.contamination_ngrams,
+        "sequence_packing": textdata.sequence_packing,
         # relational breadth
         "q1_lineitem": relational.q1_lineitem,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -93,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_day": relational.events_by_day,
         "events_hopping_window": relational.events_hopping_window,
         "sessionize": relational.sessionize,
+        "events_asof_join": relational.events_asof_join,
     }
 
 

@@ -1,0 +1,103 @@
+"""Round-3 corpus-curation operators: the no-SQL sequence_packing
+greedy oracle, plus non-triviality guards for the oracle-backed ops
+(an all-zero output would satisfy a DuckDB hash match without proving
+the operator does anything)."""
+
+import polars as pl
+import pyarrow as pa
+import pytest
+import ray
+
+from link_profiler_repo_ray.pipelines import textdata
+
+SF = "/root/testdata/sf0.001"
+
+
+def _collect(ds) -> pl.DataFrame:
+    return pl.from_arrow(
+        pa.concat_tables(
+            [ray.get(r) for r in ds.to_arrow_refs()], promote_options="permissive"
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sequence_packing_matches_greedy_oracle():
+    budget = 512
+    got = _collect(textdata.sequence_packing(SF, budget=budget)).sort("doc_id")
+
+    docs = (
+        pl.read_parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("n_tokens"),
+        )
+        .sort("doc_id")
+    )
+    # pure-Python greedy replay per source, doc_id order
+    expect = {}
+    for (src,), g in sorted(docs.group_by("source"), key=lambda kv: kv[0][0]):
+        b, acc = 0, 0
+        for doc_id, _, t in g.sort("doc_id").iter_rows():
+            if acc > 0 and acc + t > budget:
+                b, acc = b + 1, 0
+            acc += t
+            expect[doc_id] = f"{src}-{b}"
+    assert dict(zip(got["doc_id"], got["bin_id"])) == expect
+
+    # invariants: every doc exactly once; bins never exceed budget
+    # unless they hold a single oversized doc; bin_tokens is the sum
+    assert got.height == docs.height
+    assert got["doc_id"].n_unique() == docs.height
+    per_bin = got.group_by("bin_id").agg(
+        pl.col("n_tokens").sum().alias("s"), pl.len().alias("n"),
+        pl.col("bin_tokens").first(),
+    )
+    bad = per_bin.filter((pl.col("s") > budget) & (pl.col("n") > 1))
+    assert bad.height == 0
+    assert (per_bin["s"] == per_bin["bin_tokens"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_ops_nontrivial():
+    clean = _collect(textdata.clean_text(SF))
+    assert clean["n_repeats_removed"].sum() > 0  # corpus has 'batch batch batch' runs
+
+    scrub = _collect(textdata.pii_scrub(SF))
+    assert scrub["n_terms"].sum() > 0
+    assert scrub.filter(pl.col("text_scrubbed").str.contains(r"\[TERM\]")).height > 0
+
+    cont = _collect(textdata.contamination_ngrams(SF))
+    assert cont.height > 0  # planted dups share 7-grams with the test slice
+
+    funnel = _collect(textdata.quality_funnel(SF))
+    # funnel is monotone and discriminating at every gate
+    assert (funnel["n_docs"] >= funnel["pass_len"]).all()
+    assert (funnel["pass_len"] >= funnel["pass_tokens"]).all()
+    assert (funnel["pass_tokens"] >= funnel["pass_unique"]).all()
+    assert 0 < funnel["pass_unique"].sum() < funnel["n_docs"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pii_patterns_on_planted_pii():
+    """The corpus has no real PII, so drive the patterns directly
+    through the same stage polars runs per batch."""
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": "mail me at a.b+c@ex-ample.co.uk or 10.0.0.1 now"},
+        {"doc_id": 2, "text": "call 555-123-4567 x" },
+        {"doc_id": 3, "text": "nothing here"},
+    ]
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="pii_")
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(d, "documents.parquet"))
+    got = _collect(textdata.pii_scrub(d)).sort("doc_id")
+    assert got["n_email"].to_list() == [1, 0, 0]
+    assert got["n_ip"].to_list() == [1, 0, 0]
+    assert got["n_phone"].to_list() == [0, 1, 0]
+    assert got["text_scrubbed"].to_list()[0] == "mail me at [EMAIL] or [IP] now"
+    assert got["text_scrubbed"].to_list()[1] == "call [PHONE] x"
