@@ -475,4 +475,28 @@ t AS (SELECT DISTINCT ngram FROM d WHERE doc_id % 43 = 0)
 SELECT d.doc_id, count(*)::BIGINT AS n_shared_ngrams
 FROM d JOIN t USING (ngram) WHERE d.doc_id % 43 <> 0
 GROUP BY d.doc_id""",
+        "curated_documents": r"""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+k AS (SELECT doc_id, source, n_chars,
+             list_filter(ws, (x, i) -> i = 1 OR ws[i-1] <> x) AS kept
+      FROM w),
+c AS (SELECT doc_id, source,
+             array_to_string(kept, ' ') AS text_clean,
+             len(kept)::BIGINT AS n_tokens,
+             len(list_distinct(kept))::DOUBLE / len(kept) AS uniq_ratio,
+             n_chars
+      FROM k),
+f AS (SELECT * FROM c
+      WHERE n_chars >= 150 AND n_tokens >= 30 AND uniq_ratio >= 0.45),
+d AS (SELECT *, row_number() OVER (PARTITION BY text_clean ORDER BY doc_id) AS rn FROM f)
+SELECT doc_id, source, n_tokens,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text_clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+         '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g') AS text_curated
+FROM d WHERE rn = 1""",
     }

@@ -8,6 +8,10 @@ Subcommands:
                resumable)
 - ``bfs``      politeness-off BFS mode
 - ``profiles`` full-corpus link-profile aggregation to Parquet
+- ``curate``   end-to-end corpus curation (clean → gates → dedup →
+               scrub → partitioned Parquet corpus + packing bin map)
+- ``query``    run any registry.queries() entry; ``stats`` prints a
+               crawl's per-round metrics stream
 """
 
 from __future__ import annotations
@@ -62,6 +66,15 @@ def main(argv=None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--multiplier", type=int, default=1)
     p.add_argument("--out", required=True)
+
+    cu = sub.add_parser(
+        "curate",
+        help="end-to-end corpus curation: clean → gates → dedup → scrub "
+        "→ partitioned corpus + sequence-packing bin map",
+    )
+    cu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--budget", type=int, default=512, help="tokens per packed sequence")
 
     # generic job-type dispatch (the reference's 12-type registry,
     # crawl_service.py:215-264 → registry.queries())
@@ -157,6 +170,10 @@ def main(argv=None) -> int:
             # driver list (round-1 advice: the CLI printed 0 for
             # "not collected")
             print(json.dumps(out))
+        elif args.cmd == "curate":
+            from .pipelines.curate import curate_corpus
+
+            print(json.dumps(curate_corpus(args.sf_dir, args.out, budget=args.budget)))
         elif args.cmd == "profiles":
             from .pipelines import graph
 

@@ -1368,6 +1368,43 @@ def contamination_ngrams(sf_dir: str, n: int = 7, test_mod: int = 43) -> rd.Data
     )
 
 
+def greedy_pack_partition(df: pl.DataFrame, budget: int) -> pl.DataFrame:
+    """Greedy first-fit packing of one hash partition (complete sources).
+
+    Shared by ``sequence_packing`` and the end-to-end curation pipeline
+    (``pipelines/curate.py``).  Input needs (doc_id, source, n_tokens);
+    scan is O(docs-in-source) over a numpy token-count array.
+    """
+    out = []
+    for (src,), g in df.group_by("source", maintain_order=False):
+        g = g.sort("doc_id")
+        toks = g.get_column("n_tokens").to_numpy()
+        bins = np.empty(len(toks), dtype=np.int64)
+        fill = np.empty(len(toks), dtype=np.int64)
+        b, acc = 0, 0
+        for i, t in enumerate(toks):
+            if acc > 0 and acc + t > budget:
+                b, acc = b + 1, 0
+            acc += int(t)
+            bins[i] = b
+            fill[i] = acc
+        out.append(
+            g.with_columns(
+                pl.format("{}-{}", pl.lit(src), pl.Series(bins)).alias("bin_id"),
+                pl.Series("_fill", fill),
+            )
+        )
+    packed = pl.concat(out) if out else df.with_columns(
+        pl.lit("").alias("bin_id"), pl.lit(0).alias("_fill")
+    )
+    return (
+        packed.with_columns(
+            pl.col("_fill").max().over("bin_id").alias("bin_tokens")
+        )
+        .select("doc_id", "source", "n_tokens", "bin_id", "bin_tokens")
+    )
+
+
 def sequence_packing(sf_dir: str, budget: int = 512) -> rd.Dataset:
     """Greedy sequence packing: concatenate documents (in doc_id order,
     per source) into training sequences of at most ``budget``
@@ -1392,34 +1429,7 @@ def sequence_packing(sf_dir: str, budget: int = 512) -> rd.Dataset:
         ).to_arrow()
 
     def pack(df: pl.DataFrame) -> pl.DataFrame:
-        out = []
-        for (src,), g in df.group_by("source", maintain_order=False):
-            g = g.sort("doc_id")
-            toks = g.get_column("n_tokens").to_numpy()
-            bins = np.empty(len(toks), dtype=np.int64)
-            fill = np.empty(len(toks), dtype=np.int64)
-            b, acc = 0, 0
-            for i, t in enumerate(toks):
-                if acc > 0 and acc + t > budget:
-                    b, acc = b + 1, 0
-                acc += int(t)
-                bins[i] = b
-                fill[i] = acc
-            out.append(
-                g.with_columns(
-                    pl.format("{}-{}", pl.lit(src), pl.Series(bins)).alias("bin_id"),
-                    pl.Series("_fill", fill),
-                )
-            )
-        packed = pl.concat(out) if out else df.with_columns(
-            pl.lit("").alias("bin_id"), pl.lit(0).alias("_fill")
-        )
-        return (
-            packed.with_columns(
-                pl.col("_fill").max().over("bin_id").alias("bin_tokens")
-            )
-            .select("doc_id", "source", "n_tokens", "bin_id", "bin_tokens")
-        )
+        return greedy_pack_partition(df, budget)
 
     return hash_group_apply(
         documents_dataset(sf_dir, ["doc_id", "source", "text"]).map_batches(

@@ -30,7 +30,7 @@ def _crawl_ordered(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from .pipelines import graph, relational, research, textdata
+    from .pipelines import curate, graph, relational, research, textdata
     from .sources import cdx
 
     return {
@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_funnel": textdata.quality_funnel,
         "contamination_ngrams": textdata.contamination_ngrams,
         "sequence_packing": textdata.sequence_packing,
+        "curated_documents": curate.curated_documents,
         # relational breadth
         "q1_lineitem": relational.q1_lineitem,
         "revenue_by_nation": relational.revenue_by_nation,
