@@ -429,7 +429,7 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""",
         "clean_text": r"""
 WITH w AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+         string_split(trim(regexp_replace(lower(text), '[ \t\r\n\x0B\x0C]+', ' ', 'g')), ' ') AS ws
   FROM documents),
 k AS (SELECT doc_id, ws, list_filter(ws, (x, i) -> i = 1 OR ws[i-1] <> x) AS kept FROM w)
 SELECT doc_id, array_to_string(kept, ' ') AS text_clean,
@@ -478,7 +478,7 @@ GROUP BY d.doc_id""",
         "curated_documents": r"""
 WITH w AS (
   SELECT doc_id, source, n_chars,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+         string_split(trim(regexp_replace(lower(text), '[ \t\r\n\x0B\x0C]+', ' ', 'g')), ' ') AS ws
   FROM documents),
 k AS (SELECT doc_id, source, n_chars,
              list_filter(ws, (x, i) -> i = 1 OR ws[i-1] <> x) AS kept

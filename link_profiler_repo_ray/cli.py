@@ -88,6 +88,11 @@ def main(argv=None) -> int:
 
     args = ap.parse_args(argv)
 
+    if getattr(args, "scale_profile", False) and not (args.output or args.checkpoint):
+        # scale() turns off all driver-side collection, so a run with
+        # no persistence target would silently discard every result
+        ap.error("--scale-profile requires --output or --checkpoint")
+
     if args.cmd == "query" and args.name == "list":
         from .registry import queries
 

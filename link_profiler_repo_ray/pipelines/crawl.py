@@ -907,8 +907,23 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
     stats_dir = cfg.checkpoint_dir or cfg.output_dir
     if cfg.stats and stats_dir:
         os.makedirs(stats_dir, exist_ok=True)
-        # append mode: a resumed run continues the same stats stream
-        stats_fh = open(os.path.join(stats_dir, "stats.jsonl"), "a", buffering=1)
+        stats_path = os.path.join(stats_dir, "stats.jsonl")
+        if cfg.resume and os.path.exists(stats_path):
+            # a resumed run continues the stream, but rounds past the
+            # restored checkpoint re-execute — drop their stale rows so
+            # the one-row-per-round invariant survives a crash+resume
+            with open(stats_path) as fh:
+                keep = [
+                    ln
+                    for ln in fh
+                    if ln.strip() and json.loads(ln).get("round", 0) < start_round
+                ]
+            with open(stats_path, "w") as fh:
+                fh.writelines(keep)
+            stats_fh = open(stats_path, "a", buffering=1)
+        else:
+            # fresh run: truncate any stream a prior run left in this dir
+            stats_fh = open(stats_path, "w", buffering=1)
         stats_prev = dict(counters)
 
     round_no = start_round

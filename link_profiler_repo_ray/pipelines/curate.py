@@ -36,6 +36,7 @@ import ray.data as rd
 
 from .. import ops
 from ..ops import hash_aggregate, hash_group_apply
+from . import textdata
 from .textdata import (
     _PII_PATTERNS,
     documents_dataset,
@@ -61,7 +62,7 @@ def _clean_and_gate(batch: pa.Table) -> pa.Table:
         df.with_columns(
             pl.col("text")
             .str.to_lowercase()
-            .str.replace_all(r"\s+", " ")
+            .str.replace_all(textdata.ASCII_WS, " ")
             .str.strip_chars(" ")
             .str.split(" ")
             .alias("_ws")
@@ -153,6 +154,20 @@ def curate_corpus(sf_dir: str, out_dir: str, budget: int = 512) -> dict:
     bins_dir = os.path.join(out_dir, "bins")
 
     curated_documents(sf_dir).write_parquet(corpus_dir, partition_cols=["source"])
+
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(corpus_dir, "**", "*.parquet"), recursive=True):
+        # every document gated out: an empty-but-valid run, not an error
+        os.makedirs(bins_dir, exist_ok=True)
+        return {
+            "n_docs_curated": 0,
+            "n_bins": 0,
+            "total_tokens": 0,
+            "budget": budget,
+            "corpus_dir": corpus_dir,
+            "bins_dir": bins_dir,
+        }
 
     thin = ops.read_parquet(corpus_dir, columns=["doc_id", "source", "n_tokens"])
     packed = hash_group_apply(

@@ -448,7 +448,9 @@ def url_priority_scores(sf_dir: str) -> rd.Dataset:
     the driver; the score column is a Dataset transform over the
     persisted ``order-*.parquet`` lineage, streaming at any corpus
     size."""
+    import atexit
     import glob as _glob
+    import shutil
     import tempfile
 
     from .crawl import CrawlConfig, run_crawl
@@ -462,6 +464,12 @@ def url_priority_scores(sf_dir: str) -> rd.Dataset:
         output_dir=out_dir,
     )
     run_crawl(sf_dir, cfg)
+    # only the thin order lineage feeds the score; drop the page/edge
+    # parquet immediately and reap the rest at interpreter exit so
+    # repeated invocations don't accumulate corpus-sized /tmp dirs
+    for sub in ("pages", "edges"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     files = sorted(_glob.glob(os.path.join(out_dir, "order-*.parquet")))
 
     def score(batch: pa.Table) -> pa.Table:

@@ -496,13 +496,18 @@ def word_jaccard_pairs(
     if max_df is None:
         import warnings
 
-        n_docs = documents_dataset(sf_dir, ["doc_id"]).count()
+        import pyarrow.parquet as _pq
+
+        # parquet footer metadata — no Ray job, no data read
+        n_docs = _pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
         if n_docs > 100_000:
             warnings.warn(
                 f"word_jaccard_pairs(max_df=None) on {n_docs} docs is exact "
                 "but emits O(df^2) pairs per hub token; set max_df (e.g. "
                 "n_docs // 100) or use minhash_lsh_dups at this scale.",
-                ResourceWarning,
+                UserWarning,
                 stacklevel=2,
             )
 
@@ -1164,6 +1169,13 @@ def vocab_top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
 # whose exchanges move only keys + counters (never corpus text).
 
 
+# explicit ASCII whitespace class: rust-regex '\s' is Unicode-aware
+# while DuckDB's RE2 '\s' is ASCII-only — a document containing U+00A0
+# would clean differently on the two engines.  Both support this class
+# identically.
+ASCII_WS = r"[ \t\r\n\x0B\x0C]+"
+
+
 def clean_text(sf_dir: str) -> rd.Dataset:
     """Normalize + de-repeat documents (the reference's content
     validator normalizes whitespace the same way before scoring,
@@ -1185,7 +1197,7 @@ def clean_text(sf_dir: str) -> rd.Dataset:
                 # runs (its trim() strips spaces only)
                 pl.col("text")
                 .str.to_lowercase()
-                .str.replace_all(r"\s+", " ")
+                .str.replace_all(ASCII_WS, " ")
                 .str.strip_chars(" ")
                 .str.split(" ")
                 .alias("_ws")
@@ -1234,18 +1246,30 @@ def pii_scrub(sf_dir: str, extra_terms: tuple[str, ...] = ("spark", "stream")) -
     Vectorized ``str.count_matches`` + chained ``str.replace_all`` per
     batch; no exchange.
     """
-    term_pat = r"\b(" + "|".join(extra_terms) + r")\b"
+    # r'\b()\b' would zero-width-match at every word boundary and
+    # shred the text — an empty blocklist means "no term pass"
+    term_pat = r"\b(" + "|".join(extra_terms) + r")\b" if extra_terms else None
 
     def stage(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
         counts = [
             pl.col("text").str.count_matches(pat).cast(pl.Int64).alias(f"n_{tag.lower()}")
             for tag, pat in _PII_PATTERNS
-        ] + [pl.col("text").str.count_matches(term_pat).cast(pl.Int64).alias("n_terms")]
+        ]
+        counts.append(
+            (
+                pl.col("text").str.count_matches(term_pat)
+                if term_pat
+                else pl.lit(0)
+            )
+            .cast(pl.Int64)
+            .alias("n_terms")
+        )
         red = pl.col("text")
         for tag, pat in _PII_PATTERNS:
             red = red.str.replace_all(pat, f"[{tag}]")
-        red = red.str.replace_all(term_pat, "[TERM]")
+        if term_pat:
+            red = red.str.replace_all(term_pat, "[TERM]")
         return df.select("doc_id", *counts, red.alias("text_scrubbed")).to_arrow()
 
     return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(

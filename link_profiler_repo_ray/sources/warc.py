@@ -130,9 +130,12 @@ def _parse_warc_bytes(blob: bytes) -> dict[str, list]:
         pos = body_start + clen + 4  # skip payload + record-separator CRLFCRLF
         if fields.get("warc-type", "response").lower() != "response":
             continue
-        if payload.startswith(b"HTTP/") or fields.get("content-type", "").startswith(
-            "application/http"
-        ):
+        # strip the stored HTTP envelope ONLY when the record declares
+        # it (CC sets Content-Type: application/http; msgtype=response).
+        # A payload-prefix sniff would corrupt a legitimate page body
+        # that merely begins with "HTTP/" (this module's own writer
+        # never embeds an envelope).
+        if fields.get("content-type", "").startswith("application/http"):
             http_end = payload.find(_CRLF + _CRLF)
             if http_end >= 0:
                 payload = payload[http_end + 4 :]

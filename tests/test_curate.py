@@ -35,7 +35,7 @@ def _oracle_curated() -> pl.DataFrame:
         df.with_columns(
             pl.col("text")
             .str.to_lowercase()
-            .str.replace_all(r"\s+", " ")
+            .str.replace_all(textdata.ASCII_WS, " ")
             .str.strip_chars(" ")
             .str.split(" ")
             .alias("ws")

@@ -101,3 +101,12 @@ def test_pii_patterns_on_planted_pii():
     assert got["n_phone"].to_list() == [0, 1, 0]
     assert got["text_scrubbed"].to_list()[0] == "mail me at [EMAIL] or [IP] now"
     assert got["text_scrubbed"].to_list()[1] == "call [PHONE] x"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pii_scrub_empty_blocklist_is_noop_on_terms():
+    """extra_terms=() must not build r'\\b()\\b' (zero-width match at
+    every word boundary would shred the text)."""
+    got = _collect(textdata.pii_scrub(SF, extra_terms=())).sort("doc_id")
+    assert got["n_terms"].sum() == 0
+    assert got.filter(pl.col("text_scrubbed").str.contains(r"\[TERM\]")).height == 0

@@ -98,3 +98,24 @@ def test_scale_profile_override_wins():
     assert cfg.seen_backend == "exact"
     assert cfg.max_depth == 5
     assert not cfg.collect_edges
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stats_jsonl_survives_resume_without_duplicates(tmp_path):
+    """Stale stats rows from rounds the resume re-executes are dropped
+    (and a fresh run into a reused dir truncates the old stream), so
+    one-row-per-round holds across crash+resume."""
+    ck = str(tmp_path / "ck")
+    cfg = dict(num_seen_shards=2, num_fetchers=2, checkpoint_dir=ck,
+               collect_edges=False, checkpoint_every=3)
+    run_crawl(SF, CrawlConfig(**cfg, stop_after_round=5))  # stops past ckpt round 3
+    res = run_crawl(SF, CrawlConfig(**cfg, resume=True))
+
+    path = os.path.join(ck, "stats.jsonl")
+    with open(path) as fh:
+        rows = [json.loads(line) for line in fh if line.strip()]
+    rounds = [r["round"] for r in rows]
+    assert len(rounds) == len(set(rounds)), "duplicate stats rows after resume"
+    # the merged stream still reconstructs the full-run totals
+    full = run_crawl(SF, CrawlConfig(num_seen_shards=2, num_fetchers=2))
+    assert sum(r["pages_fetched"] for r in rows) == full.counters["pages_fetched"]

@@ -110,3 +110,26 @@ def test_real_cc_segment_shape(tmp_path):
     assert row["html"] == html  # HTTP headers stripped, body exact
     assert row["lang"] == "en"
     assert "real cc body" in row["text"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_body_starting_with_http_prefix_not_stripped(tmp_path):
+    """Envelope stripping keys on the record's Content-Type
+    (application/http), never on a payload-prefix sniff — a page whose
+    body legitimately begins with 'HTTP/' must round-trip intact."""
+    import datetime
+
+    import ray.data as rd
+
+    body = b"HTTP/1.1 is a protocol\r\n\r\nand this article explains it"
+    page = {
+        "url": "http://h0.example.com/http-article",
+        "warc_ts": datetime.datetime(2024, 3, 1),
+        "html": body,
+        "text": "x",
+        "lang": "en",
+    }
+    out = str(tmp_path / "warc")
+    warc.write_warc(rd.from_items([page]), out)
+    back = _collect(warc.pages_from_warc(out, extract_text=False))
+    assert back.get_column("html").to_list() == [body]
