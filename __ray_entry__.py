@@ -86,6 +86,24 @@ FROM snaps GROUP BY url""",
         + """
 SELECT url, 'h' || host_id || '.example.com' AS host, 5::BIGINT AS priority
 FROM docurl WHERE doc_id % 13 <> 0 AND doc_id % 11 <> 0""",
+        "sitemap_parse": "WITH "
+        + hosts_cte()
+        + """
+SELECT url AS loc,
+       'h' || host_id || '.example.com' AS host,
+       strftime(TIMESTAMP '2024-03-01' + (97 * doc_id) * INTERVAL 1 MINUTE, '%Y-%m-%d') AS lastmod,
+       CASE WHEN doc_id % 7 = 0 THEN 'daily' ELSE 'weekly' END AS changefreq,
+       (doc_id % 10) / 10.0 AS priority
+FROM docurl""",
+        "sitemap_seed_frontier": "WITH "
+        + hosts_cte()
+        + """
+SELECT url,
+       'h' || host_id || '.example.com' AS host,
+       (CASE WHEN (doc_id % 10) / 10.0 >= 0.7 THEN 1
+             WHEN (doc_id % 10) / 10.0 < 0.3 THEN 10
+             ELSE 5 END)::BIGINT AS priority
+FROM docurl""",
         "seo_metrics": "WITH "
         + hosts_cte()
         + ","

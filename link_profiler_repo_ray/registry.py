@@ -31,13 +31,16 @@ def _crawl_ordered(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from .pipelines import curate, graph, relational, research, textdata
-    from .sources import cdx
+    from .sources import cdx, sitemap
 
     return {
         # CDX index sources (S4/S5)
         "cc_cdx_parse": cdx.cc_cdx_parse,
         "wayback_latest_snapshot": cdx.wayback_latest_snapshot,
         "cdx_seed_frontier": cdx.cdx_seed_frontier,
+        # sitemap sources
+        "sitemap_parse": sitemap.sitemap_parse,
+        "sitemap_seed_frontier": sitemap.sitemap_seed_frontier,
         # research / auxiliary operators
         "seo_metrics": research.seo_metrics,
         "domain_value_scores": research.domain_value_scores,
