@@ -152,6 +152,25 @@ scored AS (
 SELECT target_host, inbound_links, referring_domains, dofollow_links,
        value_score, (value_score >= 50) AS valuable
 FROM scored""",
+        "expired_domain_finder": graph_cte
+        + """
+, perhost AS (
+  SELECT target_host,
+         count(*)::BIGINT AS inbound_links,
+         count(DISTINCT source_host)::BIGINT AS referring_domains,
+         sum(CASE WHEN link_type = 'dofollow' THEN 1 ELSE 0 END)::BIGINT AS dofollow_links
+  FROM edges GROUP BY target_host),
+scored AS (
+  SELECT *,
+         (CASE WHEN inbound_links >= 100 THEN 30 ELSE 0 END
+          + CASE WHEN referring_domains >= 5 THEN 25 ELSE 0 END
+          + CASE WHEN dofollow_links >= 50 THEN 40 ELSE 0 END
+          + CASE WHEN inbound_links >= 20 THEN 15 ELSE 0 END)::BIGINT AS value_score,
+         CAST(regexp_extract(target_host, '^h(\\d+)\\.', 1) AS BIGINT) AS hid
+  FROM perhost)
+SELECT target_host AS host, inbound_links, referring_domains, dofollow_links, value_score
+FROM scored
+WHERE (hid * 13 + 5) % 4 = 0 AND value_score >= 50""",
         "customers_without_orders": """
 SELECT c_mktsegment,
        count(*)::BIGINT AS n_customers,

@@ -33,6 +33,7 @@ __all__ = [
     "edge_snapshot_merge",
     "url_priority_scores",
     "top_valuable_domains",
+    "expired_domain_finder",
 ]
 
 
@@ -117,6 +118,43 @@ def domain_value_scores(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
         ).to_arrow()
 
     return per_host.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def expired_domain_finder(
+    sf_dir: str, min_value_score: int = 50, multiplier: int = 1
+) -> rd.Dataset:
+    """Valuable-expired-domain search
+    (expired_domain_finder_service.py:24-79): among candidate domains,
+    keep those that are AVAILABLE and whose backlink-graph value score
+    clears ``min_value_score``.
+
+    The reference loops candidates through a WHOIS availability API;
+    the sandbox stand-in is deterministic in host_id (available ⇔
+    ``(host_id·13 + 5) % 4 == 0``, the synthetic_domain_metrics
+    convention) so the DuckDB oracle reproduces the filter.  Value
+    scoring rides the existing one-exchange ``domain_value_scores``
+    rollup; availability + threshold are a stateless map — the whole
+    finder streams over however many candidate hosts the graph holds.
+    """
+    scored = domain_value_scores(sf_dir, multiplier)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        hid = pl.col("target_host").str.extract(r"^h(\d+)\.").cast(pl.Int64)
+        return (
+            df.with_columns(((hid * 13 + 5) % 4 == 0).alias("_avail"))
+            .filter(pl.col("_avail") & (pl.col("value_score") >= min_value_score))
+            .select(
+                pl.col("target_host").alias("host"),
+                "inbound_links",
+                "referring_domains",
+                "dofollow_links",
+                "value_score",
+            )
+            .to_arrow()
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- J4: anti-join ---------------------------------------------------------

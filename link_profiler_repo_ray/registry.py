@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # research / auxiliary operators
         "seo_metrics": research.seo_metrics,
         "domain_value_scores": research.domain_value_scores,
+        "expired_domain_finder": research.expired_domain_finder,
         "customers_without_orders": research.customers_without_orders,
         "latest_event_per_user": research.latest_event_per_user,
         "anomalous_events": research.anomalous_events,
