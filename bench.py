@@ -174,6 +174,21 @@ def run_bench() -> dict:
     # 5. MinHash-LSH near-dup over documents
     timed("minhash_lsh", lambda: textdata.minhash_lsh_dups(SF_DIR).count())
 
+    # 5b. full curation flow over the 500k-page corpus: clean + quality
+    # gates + exact dedup (all corpus text through ONE exchange; the
+    # multiplier's replicated texts collapse to their originals) + scrub
+    def _curate_corpus_pages():
+        from link_profiler_repo_ray import ops
+        from link_profiler_repo_ray.pipelines import curate
+
+        files = sorted(
+            os.path.join(cdir, f) for f in os.listdir(cdir) if f.endswith(".parquet")
+        )
+        pages = ops.read_parquet(files, columns=["url", "text"])
+        return curate.curate_pages(pages).count()
+
+    extras["curated_docs"] = timed("curate_pages", _curate_corpus_pages)
+
     # 6. brute-force cosine top-k
     timed("embedding_topk", lambda: textdata.embedding_topk(SF_DIR).count())
 

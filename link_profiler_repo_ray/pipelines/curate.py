@@ -43,7 +43,7 @@ from .textdata import (
     greedy_pack_partition,
 )
 
-__all__ = ["curated_documents", "curate_corpus"]
+__all__ = ["curate_dataset", "curated_documents", "curate_pages", "curate_corpus"]
 
 MIN_CHARS = 150
 MIN_TOKENS = 30
@@ -127,16 +127,56 @@ def _scrub(batch: pa.Table) -> pa.Table:
     ).to_arrow()
 
 
+def curate_dataset(ds: rd.Dataset) -> rd.Dataset:
+    """Core clean → gates → dedup → scrub flow over ANY dataset with
+    columns (doc_id:int, source:str, text:str, n_chars:int) — the
+    documents table, a crawled page corpus, a WARC read, etc.
+    Document text crosses exactly one exchange (the dedup partition).
+    """
+    cleaned = ds.map_batches(
+        _clean_and_gate, batch_format="pyarrow", zero_copy_batch=True
+    )
+    survivors = hash_group_apply(cleaned, ["text_clean"], _dedup_partition)
+    return survivors.map_batches(_scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def curated_documents(sf_dir: str) -> rd.Dataset:
     """The curation pipeline up to (and including) the scrub — the
     SQL-checkable registry surface.  Columns: (doc_id, source,
     n_tokens, text_curated); one row per surviving document.
     """
-    cleaned = documents_dataset(sf_dir, ["doc_id", "source", "text", "n_chars"]).map_batches(
-        _clean_and_gate, batch_format="pyarrow", zero_copy_batch=True
+    return curate_dataset(
+        documents_dataset(sf_dir, ["doc_id", "source", "text", "n_chars"])
     )
-    survivors = hash_group_apply(cleaned, ["text_clean"], _dedup_partition)
-    return survivors.map_batches(_scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def curate_pages(pages: rd.Dataset) -> rd.Dataset:
+    """Adapter: run the curation flow over a crawled PAGES corpus
+    (url, text, ... — the BASELINE input shape).  doc_id is the 64-bit
+    url hash (cast to int64 — only used as a deterministic dedup
+    tiebreak), source is the url's host."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions import canonical as can
+
+    def shape(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    can.url_hash64(urls).astype(np.int64), pa.int64()
+                ),
+                "source": pa.array(can.host_of_batch(urls), pa.string()),
+                "text": texts,
+                "n_chars": pc.cast(pc.utf8_length(pc.cast(texts, pa.string())), pa.int64()),
+            }
+        )
+
+    return curate_dataset(
+        pages.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 def curate_corpus(sf_dir: str, out_dir: str, budget: int = 512) -> dict:

@@ -128,3 +128,25 @@ def test_curate_corpus_artifacts(tmp_path):
         corpus.sort("doc_id")["text_curated"].to_list()
         == reg["text_curated"].to_list()
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_pages_adapter_dedups_mirror_urls():
+    """Same text served from two urls (the crawl-corpus mirror case)
+    collapses to one survivor; doc_id is the url hash, source the host."""
+    import ray.data as rd
+
+    body = " ".join(f"w{i}" for i in range(60))
+    pages = rd.from_items(
+        [
+            {"url": "https://a.example.com/x", "text": body},
+            {"url": "https://b.example.com/mirror-of-x", "text": body},
+            {"url": "https://b.example.com/y", "text": body + " unique tail"},
+        ]
+    )
+    got = _collect(curate.curate_pages(pages))
+    assert got.height == 2
+    # the mirror pair kept exactly one row; the distinct text survived
+    assert got.filter(pl.col("text_curated") == body).height == 1
+    assert got.filter(pl.col("text_curated") == body + " unique tail").height == 1
+    assert set(got["source"].to_list()) <= {"a.example.com", "b.example.com"}
