@@ -44,7 +44,30 @@ __all__ = [
     "auto_concurrency",
     "default_partitions",
     "read_parquet",
+    "ensure_schema",
 ]
+
+
+def ensure_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Replace zero-column empty BLOCKS with typed empty tables.
+
+    Ray's exchange operators can emit 0-row blocks with no columns
+    (e.g. an all-empty hash partition out of ``groupby().map_groups``),
+    which crashes any downstream ``select`` and breaks schema compares.
+    This appends a stateless guard mapping such blocks to
+    ``schema.empty_table()``; non-empty blocks pass through zero-copy.
+
+    Limitation: a dataset that ends up with NO blocks at all (entirely
+    empty input) never invokes map stages, so its dataset-level schema
+    stays unset — that case needs handling at the consumption site.
+    """
+
+    def guard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        return batch
+
+    return ds.map_batches(guard, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def read_parquet(paths, *, columns: list[str] | None = None, **kwargs) -> rd.Dataset:

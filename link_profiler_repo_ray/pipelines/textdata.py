@@ -1399,11 +1399,17 @@ def contamination_ngrams(sf_dir: str, n: int = 7, test_mod: int = 43) -> rd.Data
         ["ngram"],
         match,
     )
-    return hash_aggregate(
+    counted = hash_aggregate(
         hits,
         ["doc_id"],
         combine=[pl.len().cast(pl.Int64).alias("n_shared_ngrams")],
         merge=[pl.col("n_shared_ngrams").sum()],
+    )
+    # a contamination-free corpus must yield an empty TYPED result, not
+    # the zero-column block Ray produces for an empty groupby
+    return ops.ensure_schema(
+        counted,
+        pa.schema([("doc_id", pa.int64()), ("n_shared_ngrams", pa.int64())]),
     )
 
 
