@@ -121,7 +121,10 @@ def domain_value_scores(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
 
 
 def expired_domain_finder(
-    sf_dir: str, min_value_score: int = 50, multiplier: int = 1
+    sf_dir: str,
+    min_value_score: int = 50,
+    limit: int | None = None,
+    multiplier: int = 1,
 ) -> rd.Dataset:
     """Valuable-expired-domain search
     (expired_domain_finder_service.py:24-79): among candidate domains,
@@ -135,6 +138,9 @@ def expired_domain_finder(
     scoring rides the existing one-exchange ``domain_value_scores``
     rollup; availability + threshold are a stateless map — the whole
     finder streams over however many candidate hosts the graph holds.
+    ``limit`` keeps the best ``limit`` hosts by (value_score, host):
+    per-block top-k then one ≤k·blocks final merge (the
+    ``top_valuable_domains`` pattern), never a global sort.
     """
     scored = domain_value_scores(sf_dir, multiplier)
 
@@ -154,7 +160,17 @@ def expired_domain_finder(
             .to_arrow()
         )
 
-    return scored.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    found = scored.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    if limit is None:
+        return found
+
+    def topk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.sort(["value_score", "host"], descending=[True, False]).head(limit).to_arrow()
+
+    return found.map_batches(
+        topk, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(1).map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- J4: anti-join ---------------------------------------------------------

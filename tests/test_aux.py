@@ -109,3 +109,32 @@ def test_top_anchor_profiles_matches_pandas():
     )
     got = dict(zip(row["top_anchor_text_keys"], row["top_anchor_text_counts"]))
     assert got == dict(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_expired_domain_finder_limit_and_threshold():
+    import polars as pl
+    import pyarrow as pa
+    import ray as _ray
+
+    from link_profiler_repo_ray.pipelines import research
+
+    sf = "/root/testdata/sf0.001"
+    full = pl.from_arrow(
+        pa.concat_tables(
+            [_ray.get(r) for r in research.expired_domain_finder(sf, min_value_score=0).to_arrow_refs()],
+            promote_options="permissive",
+        )
+    )
+    assert full.height > 0
+    # availability predicate: host_id ≡ 3 (mod 4)
+    hids = full["host"].str.extract(r"^h(\d+)\.", 1).cast(pl.Int64)
+    assert ((hids * 13 + 5) % 4 == 0).all()
+    top2 = pl.from_arrow(
+        pa.concat_tables(
+            [_ray.get(r) for r in research.expired_domain_finder(sf, min_value_score=0, limit=2).to_arrow_refs()],
+            promote_options="permissive",
+        )
+    )
+    want = full.sort(["value_score", "host"], descending=[True, False]).head(2)
+    assert top2.sort(["value_score", "host"], descending=[True, False]).equals(want)
