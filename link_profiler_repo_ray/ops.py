@@ -45,7 +45,45 @@ __all__ = [
     "default_partitions",
     "read_parquet",
     "ensure_schema",
+    "parquet_num_rows",
+    "block_topk",
 ]
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from the parquet footer — no Ray job, no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
+def block_topk(
+    ds: rd.Dataset,
+    by: list[str],
+    descending: list[bool],
+    k: int,
+    pre: Callable[[pl.DataFrame], pl.DataFrame] | None = None,
+) -> rd.Dataset:
+    """Distributed deterministic top-k: per-block sort+head thins each
+    block to ≤ k rows, then ONE-block final merge re-sorts ≤ k·blocks
+    rows — no global sort, no driver materialization.  ``pre``
+    optionally filters/projects each block before ranking.
+    """
+
+    def blk(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        if pre is not None:
+            df = pre(df)
+        return df.sort(by, descending=descending).head(k).to_arrow()
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pl.from_arrow(batch).sort(by, descending=descending).head(k).to_arrow()
+
+    return (
+        ds.map_batches(blk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 def ensure_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:

@@ -912,12 +912,19 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             # a resumed run continues the stream, but rounds past the
             # restored checkpoint re-execute — drop their stale rows so
             # the one-row-per-round invariant survives a crash+resume
+            def _keep(ln: str) -> bool:
+                # the crash we're resuming from may have truncated the
+                # final line mid-write — drop unparseable rows (they
+                # belong to rounds the resume re-executes anyway)
+                if not ln.strip():
+                    return False
+                try:
+                    return json.loads(ln).get("round", 0) < start_round
+                except json.JSONDecodeError:
+                    return False
+
             with open(stats_path) as fh:
-                keep = [
-                    ln
-                    for ln in fh
-                    if ln.strip() and json.loads(ln).get("round", 0) < start_round
-                ]
+                keep = [ln for ln in fh if _keep(ln)]
             with open(stats_path, "w") as fh:
                 fh.writelines(keep)
             stats_fh = open(stats_path, "a", buffering=1)

@@ -155,24 +155,21 @@ def curate_pages(pages: rd.Dataset) -> rd.Dataset:
     (url, text, ... — the BASELINE input shape).  doc_id is the 64-bit
     url hash (cast to int64 — only used as a deterministic dedup
     tiebreak), source is the url's host."""
-    import numpy as np
-    import pyarrow.compute as pc
-
-    from ..functions import canonical as can
-
     def shape(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        texts = batch.column("text")
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    can.url_hash64(urls).astype(np.int64), pa.int64()
-                ),
-                "source": pa.array(can.host_of_batch(urls), pa.string()),
-                "text": texts,
-                "n_chars": pc.cast(pc.utf8_length(pc.cast(texts, pa.string())), pa.int64()),
-            }
-        )
+        # fully vectorized (this runs over EVERY corpus page in the
+        # bench): xxhash for doc_id — same kernel as canonical.url_hash64
+        # — and a regex host extract (crawl-corpus urls are already
+        # canonical lowercase, so no per-row urlsplit needed)
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col("url")
+            .hash(seed=0)
+            .reinterpret(signed=True)
+            .alias("doc_id"),
+            pl.col("url").str.extract(r"^[a-z][a-z0-9+.-]*://([^/?#]+)").alias("source"),
+            "text",
+            pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        ).to_arrow()
 
     return curate_dataset(
         pages.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)

@@ -163,14 +163,7 @@ def expired_domain_finder(
     found = scored.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     if limit is None:
         return found
-
-    def topk(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        return df.sort(["value_score", "host"], descending=[True, False]).head(limit).to_arrow()
-
-    return found.map_batches(
-        topk, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(1).map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.block_topk(found, ["value_score", "host"], [True, False], limit)
 
 
 # --- J4: anti-join ---------------------------------------------------------
@@ -550,28 +543,12 @@ def top_valuable_domains(sf_dir: str, k: int = 3, multiplier: int = 1) -> rd.Dat
     (expired_domain_finder_service.py:24-79's stop-at-limit shape).
     Per-block top-k then a one-block final merge of ≤ k·blocks rows —
     no driver materialization of the scored table."""
-    scored = domain_value_scores(sf_dir, multiplier)
-
-    def blk(batch: pa.Table) -> pa.Table:
-        return (
-            pl.from_arrow(batch)
-            .filter(pl.col("valuable"))
-            .sort(["value_score", "target_host"], descending=[True, False])
-            .head(k)
-            .select(["target_host", "value_score"])
-            .to_arrow()
-        )
-
-    def final(batch: pa.Table) -> pa.Table:
-        return (
-            pl.from_arrow(batch)
-            .sort(["value_score", "target_host"], descending=[True, False])
-            .head(k)
-            .to_arrow()
-        )
-
-    return (
-        scored.map_batches(blk, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.block_topk(
+        domain_value_scores(sf_dir, multiplier),
+        ["value_score", "target_host"],
+        [True, False],
+        k,
+        pre=lambda df: df.filter(pl.col("valuable")).select(
+            ["target_host", "value_score"]
+        ),
     )

@@ -496,12 +496,8 @@ def word_jaccard_pairs(
     if max_df is None:
         import warnings
 
-        import pyarrow.parquet as _pq
-
         # parquet footer metadata — no Ray job, no data read
-        n_docs = _pq.ParquetFile(
-            os.path.join(sf_dir, "documents.parquet")
-        ).metadata.num_rows
+        n_docs = ops.parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
         if n_docs > 100_000:
             warnings.warn(
                 f"word_jaccard_pairs(max_df=None) on {n_docs} docs is exact "

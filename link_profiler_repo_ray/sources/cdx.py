@@ -45,9 +45,7 @@ def _documents(sf_dir: str) -> rd.Dataset:
 
 
 def _n_docs(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    return ops.parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
 
 
 # --- deterministic synthetic records -------------------------------------

@@ -77,9 +77,7 @@ def _documents(sf_dir: str) -> rd.Dataset:
 
 
 def _n_docs(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    return ops.parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
 
 
 def host_sitemap_xml(sf_dir: str) -> rd.Dataset:
@@ -174,32 +172,51 @@ def sitemap_index_xml(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _xml_unescape(expr: pl.Expr) -> pl.Expr:
+    """Undo the five XML predefined entities (&amp; last, so escaped
+    sequences like ``&amp;lt;`` decode in one pass exactly as a real
+    XML parser would after its single entity pass)."""
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        expr = expr.str.replace_all(ent, ch, literal=True)
+    return expr
+
+
 def parse_urlsets(blobs: rd.Dataset) -> rd.Dataset:
     """Parse ``<urlset>`` blobs (column ``xml``) into one typed row per
     ``<url>`` entry: (loc, host, lastmod, changefreq, priority).
 
     Vectorized: ``str.extract_all`` explodes the entries, per-field
-    ``str.extract`` types them.  ``lastmod`` stays a YYYY-MM-DD string
+    ``str.extract`` types them.  Handles real (pretty-printed) sitemap
+    XML: ``(?s)`` spans newlines between tags, field values are
+    whitespace-trimmed, and ``<loc>`` is XML-entity-unescaped (query
+    strings carry ``&amp;``).  ``lastmod`` stays a YYYY-MM-DD string
     (the protocol's W3C-date wire form)."""
 
     def parse(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
         ex = (
-            df.select(pl.col("xml").str.extract_all(r"<url>.*?</url>").alias("e"))
+            df.select(pl.col("xml").str.extract_all(r"(?s)<url>.*?</url>").alias("e"))
             .explode("e")
             .drop_nulls("e")
         )
+        loc = _xml_unescape(
+            pl.col("e").str.extract(r"(?s)<loc>\s*(.*?)\s*</loc>")
+        )
         return ex.select(
-            pl.col("e").str.extract(r"<loc>([^<]*)</loc>").alias("loc"),
+            loc.alias("loc"),
+            loc.str.extract(r"^https?://([^/]+)").alias("host"),
+            pl.col("e").str.extract(r"(?s)<lastmod>\s*(.*?)\s*</lastmod>").alias("lastmod"),
             pl.col("e")
-            .str.extract(r"<loc>https?://([^/<]+)")
-            .alias("host"),
-            pl.col("e").str.extract(r"<lastmod>([^<]*)</lastmod>").alias("lastmod"),
-            pl.col("e")
-            .str.extract(r"<changefreq>([^<]*)</changefreq>")
+            .str.extract(r"(?s)<changefreq>\s*(.*?)\s*</changefreq>")
             .alias("changefreq"),
             pl.col("e")
-            .str.extract(r"<priority>([^<]*)</priority>")
+            .str.extract(r"(?s)<priority>\s*(.*?)\s*</priority>")
             .cast(pl.Float64)
             .alias("priority"),
         ).to_arrow()
@@ -215,13 +232,15 @@ def parse_sitemap_index(blobs: rd.Dataset) -> rd.Dataset:
         df = pl.from_arrow(batch)
         ex = (
             df.select(
-                pl.col("xml").str.extract_all(r"<sitemap>.*?</sitemap>").alias("e")
+                pl.col("xml").str.extract_all(r"(?s)<sitemap>.*?</sitemap>").alias("e")
             )
             .explode("e")
             .drop_nulls("e")
         )
         return ex.select(
-            pl.col("e").str.extract(r"<loc>([^<]*)</loc>").alias("loc")
+            _xml_unescape(
+                pl.col("e").str.extract(r"(?s)<loc>\s*(.*?)\s*</loc>")
+            ).alias("loc")
         ).to_arrow()
 
     return blobs.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)

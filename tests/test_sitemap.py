@@ -70,3 +70,43 @@ def test_crawl_seeded_from_sitemap():
     res = run_crawl(SF, CrawlConfig(num_seen_shards=2, num_fetchers=2, max_depth=0, seeds=seeds))
     got = set(res.order.column("url").to_pylist())
     assert got == set(top["url"].to_list())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_parse_real_world_pretty_printed_sitemap():
+    """Real sitemaps are pretty-printed (newlines inside <url>) and
+    escape & in query strings — the parser must handle both."""
+    import ray.data as rd
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://shop.example.org/p?id=3&amp;ref=home</loc>
+    <lastmod>2024-05-01</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url>
+    <loc>
+      https://shop.example.org/about
+    </loc>
+  </url>
+</urlset>"""
+    idx = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap>
+    <loc>https://shop.example.org/sitemap-a.xml</loc>
+  </sitemap>
+</sitemapindex>"""
+    got = _collect(sitemap.parse_urlsets(rd.from_items([{"xml": xml}]))).sort("loc")
+    assert got["loc"].to_list() == [
+        "https://shop.example.org/about",
+        "https://shop.example.org/p?id=3&ref=home",
+    ]
+    assert got["host"].to_list() == ["shop.example.org"] * 2
+    assert got["lastmod"].to_list() == [None, "2024-05-01"]
+    assert got["changefreq"].to_list() == [None, "daily"]
+    assert got["priority"].to_list() == [None, 0.8]
+
+    locs = _collect(sitemap.parse_sitemap_index(rd.from_items([{"xml": idx}])))
+    assert locs["loc"].to_list() == ["https://shop.example.org/sitemap-a.xml"]
