@@ -34,6 +34,7 @@ __all__ = [
     "url_priority_scores",
     "top_valuable_domains",
     "expired_domain_finder",
+    "link_health_audit",
 ]
 
 
@@ -164,6 +165,48 @@ def expired_domain_finder(
     if limit is None:
         return found
     return ops.block_topk(found, ["value_score", "host"], [True, False], limit)
+
+
+def link_health_audit(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Broken-outgoing-link audit
+    (link_health_service.py:73-140): for every page, HEAD-check each
+    outgoing link and report the broken ones; canonical/redirect links
+    are skipped per the reference (:127-128).
+
+    The sandbox has no network, so the status check is the
+    deterministic stand-in convention the CDX source already uses for
+    its ``status`` field: a target serves 404 iff its doc_id % 17 == 0,
+    else 200 — closed-form, so the DuckDB oracle reproduces the audit.
+
+    Scale shape: pure map + filter over the edges stream — NO exchange;
+    a real deployment swaps the status expression for a RealFetchActor
+    HEAD-request pool (T8) and nothing else changes.
+    Output: one row per broken link (source_url, target_url, status).
+    """
+    from . import graph
+
+    edges = graph.edges_dataset(sf_dir, multiplier).select_columns(
+        ["source_url", "target_url", "link_type"]
+    )
+
+    def audit(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        df = df.filter(~pl.col("link_type").is_in(["canonical", "redirect"]))
+        tdoc = pl.col("target_url").str.extract(r"/doc/(\d+)$").cast(pl.Int64)
+        return (
+            df.with_columns(
+                pl.when(tdoc % 17 == 0)
+                .then(404)
+                .otherwise(200)
+                .cast(pl.Int64)
+                .alias("status")
+            )
+            .filter(pl.col("status") >= 400)
+            .select("source_url", "target_url", "status")
+            .to_arrow()
+        )
+
+    return edges.map_batches(audit, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- J4: anti-join ---------------------------------------------------------

@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDX index sources (S4/S5)
         "cc_cdx_parse": cdx.cc_cdx_parse,
         "wayback_latest_snapshot": cdx.wayback_latest_snapshot,
+        "wayback_domain_age": cdx.wayback_domain_age,
         "cdx_seed_frontier": cdx.cdx_seed_frontier,
         # sitemap sources
         "sitemap_parse": sitemap.sitemap_parse,
@@ -45,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seo_metrics": research.seo_metrics,
         "domain_value_scores": research.domain_value_scores,
         "expired_domain_finder": research.expired_domain_finder,
+        "link_health_audit": research.link_health_audit,
         "customers_without_orders": research.customers_without_orders,
         "latest_event_per_user": research.latest_event_per_user,
         "anomalous_events": research.anomalous_events,

@@ -36,6 +36,7 @@ __all__ = [
     "wayback_cdx_lines",
     "cc_cdx_parse",
     "wayback_latest_snapshot",
+    "wayback_domain_age",
     "cdx_seed_frontier",
 ]
 
@@ -231,6 +232,42 @@ def wayback_latest_snapshot(sf_dir: str, lines: rd.Dataset | None = None) -> rd.
             pl.len().cast(pl.Int64).alias("n_snapshots"),
         ],
         merge=[pl.col("latest_ts").max(), pl.col("n_snapshots").sum()],
+    )
+
+
+def wayback_domain_age(sf_dir: str, lines: rd.Dataset | None = None) -> rd.Dataset:
+    """Domain age from the Wayback index
+    (historical_data_service.py:105-130's
+    ``get_domain_age_from_wayback``): the earliest snapshot timestamp
+    per domain, plus its snapshot count.
+
+    Positional CDX parse → vectorized host extract → one tiny
+    hash-aggregate exchange keyed by host (partials are one row per
+    (host, block))."""
+    from ..ops import hash_aggregate
+
+    if lines is None:
+        lines = wayback_cdx_lines(sf_dir)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        parts = pl.col("line").str.split(" ")
+        return df.select(
+            parts.list.get(2).str.extract(r"https?://([^/]+)").alias("host"),
+            parts.list.get(1)
+            .str.strptime(pl.Datetime("us"), "%Y%m%d%H%M%S")
+            .alias("snap_ts"),
+        ).to_arrow()
+
+    snaps = lines.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_aggregate(
+        snaps,
+        ["host"],
+        combine=[
+            pl.col("snap_ts").min().alias("first_snapshot_ts"),
+            pl.len().cast(pl.Int64).alias("n_snapshots"),
+        ],
+        merge=[pl.col("first_snapshot_ts").min(), pl.col("n_snapshots").sum()],
     )
 
 
