@@ -316,10 +316,12 @@ def _parse_and_emit(
         }
     )
 
-    src, tgt, anchor, ltype, rels, ctx, ets = [], [], [], [], [], [], []
-    for u, html, st, ts in zip(urls, html_strs, status, tss):
+    src, tgt, anchor, ltype, rels, ctx, ets, tdepth = [], [], [], [], [], [], [], []
+    for u, html, st, ts, dep in zip(urls, html_strs, status, tss, depths):
         if st != 200:
             continue
+        d1 = dep + 1  # discovered-at depth, recorded inline (no
+        #               per-batch source→depth join needed downstream)
         for link in extract_links(u, html):
             src.append(u)
             tgt.append(link["target_url"])
@@ -328,12 +330,14 @@ def _parse_and_emit(
             rels.append(link["rel_attributes"])
             ctx.append(link["context_text"])
             ets.append(ts)
+            tdepth.append(d1)
+    tgt_hosts = can.host_of_batch(tgt)
     edges = pa.table(
         {
             "source_url": pa.array(src, pa.string()),
             "target_url": pa.array(tgt, pa.string()),
             "source_host": pa.array(can.host_of_batch(src), pa.string()),
-            "target_host": pa.array(can.host_of_batch(tgt), pa.string()),
+            "target_host": pa.array(tgt_hosts, pa.string()),
             "anchor_text": pa.array(anchor, pa.string()),
             "link_type": pa.array(ltype, pa.string()),
             "rel_attributes": pa.array(rels, pa.list_(pa.string())),
@@ -358,41 +362,51 @@ def _parse_and_emit(
             ),
         }
     )
-    # per-batch expansion pre-reduction: distinct targets, min depth,
-    # pushed DIRECTLY to the owning frontier shards (actor→actor) —
-    # the driver never touches expansion data
+    # per-batch expansion candidates, pushed DIRECTLY to the owning
+    # frontier shards (actor→actor) — the driver never touches
+    # expansion data.  Raw (target_url, host, depth) rows are staged
+    # unreduced: the shard's ``insert_candidates`` performs the
+    # min-depth/distinct merge ONCE over the whole round's staged set,
+    # where the polars group_by amortizes — a per-batch polars
+    # pre-reduce here cost ~15 ms fixed per tiny call and dominated
+    # the fetch actors' busy time (round-4 stage-timer A/B).
     if edges.num_rows:
-        depth_map = dict(zip(urls, depths))
-        e = pl.from_arrow(edges.select(["source_url", "target_url", "target_host"]))
-        cand = (
-            e.with_columns(
-                (pl.col("source_url").replace_strict(depth_map, default=None) + 1)
-                .cast(pl.Int16)
-                .alias("depth")
-            )
-            .group_by("target_url")
-            .agg(pl.col("target_host").first().alias("host"), pl.col("depth").min())
+        cand = pa.table(
+            {
+                "target_url": edges.column("target_url"),
+                "host": pa.array(tgt_hosts, pa.string()),
+                "depth": pa.array(tdepth, pa.int16()),
+            }
         )
         if frontier_shards:
             ns = np.uint64(len(frontier_shards))
-            sid = (can.url_hash64(cand.get_column("host").to_list()) % ns).astype(np.int64)
-            cand = cand.with_columns(pl.Series("_shard", sid))
-            futures = []
-            for (s,), sub in cand.partition_by(
-                "_shard", maintain_order=True, as_dict=True
-            ).items():
-                futures.append(
-                    frontier_shards[int(s)].stage_candidates.remote(
-                        sub.drop("_shard").to_arrow()
+            sid = (can.url_hash64(tgt_hosts) % ns).astype(np.int64)
+            order = np.argsort(sid, kind="stable")
+            by_shard = cand.take(pa.array(order))
+            bounds = np.searchsorted(sid[order], np.arange(int(ns) + 1))
+            stage_refs = []
+            for s in range(int(ns)):
+                lo, hi = int(bounds[s]), int(bounds[s + 1])
+                if hi > lo:
+                    stage_refs.append(
+                        frontier_shards[s].stage_candidates.remote(
+                            by_shard.slice(lo, hi - lo)
+                        )
                     )
-                )
-            ray.get(futures)  # staged before this fetch call returns
+            # NOT awaited here: blocking each fetch task on the shard
+            # actors' mailboxes put a full actor→actor RTT inside the
+            # round's fetch barrier.  The refs travel back to the
+            # driver, which settles them (in parallel with its order
+            # bookkeeping) before the next admit/flush RPC — the same
+            # happens-before, one fewer serial wave per round.
             cand_out = None
         else:
-            cand_out = cand.to_arrow()
+            stage_refs = []
+            cand_out = cand
     else:
+        stage_refs = []
         cand_out = None
-    return meta, cand_out, (edges if collect_edges else None)
+    return meta, cand_out, (edges if collect_edges else None), stage_refs
 
 
 @ray.remote(num_cpus=1)
@@ -447,6 +461,8 @@ class FetchParseActor:
         self.flaky_mod = flaky_mod
         self.flaky_persistent = flaky_persistent
         self._attempted: set[str] = set()
+        self.collisions = 0  # 64-bit hash collisions observed in probes
+        self.busy_s = 0.0  # cumulative in-actor fetch_parse seconds (A8)
         self.persister = _PersistBuffer()
 
     def ready(self) -> int:
@@ -454,6 +470,9 @@ class FetchParseActor:
 
     def flush_persist(self) -> None:
         self.persister.flush()
+
+    def perf_stats(self) -> dict:
+        return {"busy_s": self.busy_s, "collisions": self.collisions}
 
     def fetch_parse(
         self,
@@ -472,6 +491,9 @@ class FetchParseActor:
         (target_url, target_host, depth) with min depth.  Shipping full
         pages driver-ward every round was the crawl's scaling ceiling.
         """
+        import time as _time
+
+        _t0 = _time.perf_counter()
         urls = batch.column("url").to_pylist()
         depths = batch.column("depth").to_pylist()
         # vectorized sorted-hash probe, then ONE ``take`` of just this
@@ -483,45 +505,74 @@ class FetchParseActor:
         found = (pos < n_idx) & (
             self._hash_sorted[safe] == q if n_idx else np.zeros(len(urls), dtype=bool)
         )
-        sub = self.table.take(pa.array(self._perm[safe[found]]))
+        take_rows = self._perm[safe]
+        # 64-bit collision guard: two distinct corpus URLs sharing a
+        # hash form a run of equal keys — resolve by scanning the run
+        # for the URL itself (bounded; runs >1 are ~never at 10^10
+        # docs, but a first-of-run-only probe would turn the later URL
+        # into a permanent false 404)
+        if n_idx:
+            pos_r = np.searchsorted(self._hash_sorted, q, side="right")
+            for i in np.flatnonzero(found & (pos_r - pos > 1)):
+                run = self._perm[pos[i] : pos_r[i]]
+                u = urls[i]
+                hit = False
+                for r in run.tolist():
+                    if self.table.column("url")[r].as_py() == u:
+                        take_rows[i] = r
+                        hit = True
+                        break
+                if not hit:
+                    found[i] = False
+                    self.collisions += 1
+        sub = self.table.take(pa.array(take_rows[found]))
         sub_urls = sub.column("url").to_pylist()
         sub_ts = sub.column("warc_ts").to_pylist()
         sub_html = sub.column("html").to_pylist()
         sub_lang = sub.column("lang").to_pylist()
-        status, tss, htmls, langs = [], [], [], []
-        j = 0
-        for i, u in enumerate(urls):
-            if not found[i] or sub_urls[j] != u:  # miss (or 64-bit hash collision)
-                if found[i]:
-                    j += 1
-                status.append(404)
-                tss.append(None)
-                htmls.append(None)
-                langs.append(None)
-                continue
-            hit = (sub_ts[j], sub_html[j], sub_lang[j])
-            j += 1
-            if self.flaky_mod is not None and (
-                self.flaky_persistent or u not in self._attempted
-            ):
-                self._attempted.add(u)
-                d_str = u.rsplit("/", 1)[-1]
-                if d_str.isdigit() and int(d_str) % self.flaky_mod == 0:
-                    status.append(503)
+        if self.flaky_mod is None and bool(found.all()) and sub_urls == urls:
+            # fast path: every URL hit (the common case mid-crawl) —
+            # skip the per-row merge loop entirely
+            status = [200] * len(urls)
+            tss, htmls, langs = sub_ts, sub_html, sub_lang
+        else:
+            status, tss, htmls, langs = [], [], [], []
+            j = 0
+            for i, u in enumerate(urls):
+                if not found[i] or sub_urls[j] != u:  # run-of-1 hash collision
+                    if found[i]:
+                        j += 1
+                        self.collisions += 1
+                    status.append(404)
                     tss.append(None)
                     htmls.append(None)
                     langs.append(None)
                     continue
-            status.append(200)
-            tss.append(hit[0])
-            htmls.append(hit[1])
-            langs.append(hit[2])
+                hit = (sub_ts[j], sub_html[j], sub_lang[j])
+                j += 1
+                if self.flaky_mod is not None and (
+                    self.flaky_persistent or u not in self._attempted
+                ):
+                    self._attempted.add(u)
+                    d_str = u.rsplit("/", 1)[-1]
+                    if d_str.isdigit() and int(d_str) % self.flaky_mod == 0:
+                        status.append(503)
+                        tss.append(None)
+                        htmls.append(None)
+                        langs.append(None)
+                        continue
+                status.append(200)
+                tss.append(hit[0])
+                htmls.append(hit[1])
+                langs.append(hit[2])
 
-        return _parse_and_emit(
+        out = _parse_and_emit(
             urls, depths, status, tss, htmls, langs,
             persist_dir, shard_tag, collect_edges, self.frontier_shards,
             persister=self.persister if buffered else None,
         )
+        self.busy_s += _time.perf_counter() - _t0
+        return out
 
 
 def _route_chunks(table: pa.Table, num_shards: int, batch_size: int):
@@ -833,6 +884,11 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
     seen_urls: list[str] = []
     collect_seen = cfg.resolved_collect_seen()
     wall_clock = cfg.resolved_wall_clock()
+    # non-checkpoint runs merge staged candidates lazily inside the
+    # NEXT round's admit RPC (one fewer serial actor wave per round);
+    # checkpointed runs flush eagerly so each round's shard dump is
+    # self-contained
+    lazy_flush = cfg.checkpoint_dir is None
     breaker_dirty = False
     seq = 0
     start_round = 0
@@ -904,6 +960,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
 
     stats_fh = None
     stats_prev: dict = {}
+    pending_stats_round: int | None = None
     stats_dir = cfg.checkpoint_dir or cfg.output_dir
     if cfg.stats and stats_dir:
         os.makedirs(stats_dir, exist_ok=True)
@@ -942,21 +999,37 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         )
 
         # --- admission: all shards in parallel, then global order ----
+        # lazy_flush piggybacks the previous round's candidate merge on
+        # this admit RPC (non-checkpoint runs): one fewer serial actor
+        # wave per round.  Checkpointed runs flush eagerly in-round so
+        # the shard dumps already contain the round's discoveries.
         _t = _time.perf_counter()
-        admit_out = ray.get([s.admit.remote(round_no) for s in shards])
-        admitted_parts = [a for a, _, _, _ in admit_out if a.num_rows]
-        rest_sizes = sum(fs for _, fs, _, _ in admit_out)
+        admit_out = ray.get([s.admit.remote(round_no, lazy_flush) for s in shards])
+        for _, _, _, _, n_new, n_dup, newly in admit_out:
+            counters["discovered"] += n_new + n_dup
+            counters["dedup_hits"] += n_dup
+            counters["frontier_ops"] += n_new + n_dup
+            seen_urls.extend(newly)
+        # a round's stats row is emitted HERE, one admit later, because
+        # lazy mode attributes its discovery/dedup counters to the
+        # flush trailer of this admit — the row is complete only now
+        if stats_fh is not None and pending_stats_round is not None:
+            _emit_round_stats(stats_fh, pending_stats_round, counters, stats_prev)
+            stats_prev = dict(counters)
+        pending_stats_round = None
+        admitted_parts = [a for a, *_ in admit_out if a.num_rows]
+        rest_sizes = sum(fs for _, fs, *_ in admit_out)
         if not admitted_parts:
             if rest_sizes == 0:
                 break
             if wall_clock:
                 # real mode: sleep until the earliest host's Crawl-delay
                 # (wall seconds) elapses instead of spinning rounds
-                waits = [ws for _, fs, _, ws in admit_out if fs > 0]
+                waits = [ws for _, fs, _, ws, *_ in admit_out if fs > 0]
                 _time.sleep(min(max(w, 0.01) for w in waits) if waits else 0.01)
                 round_no += 1
             else:
-                nxt = min(nr for _, fs, nr, _ in admit_out if fs > 0)
+                nxt = min(nr for _, fs, nr, *_ in admit_out if fs > 0)
                 round_no = max(round_no + 1, nxt)
             if round_no - start_round > 10_000_000:
                 raise RuntimeError("crawl failed to make progress")
@@ -984,9 +1057,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         if admitted.height == 0:
             ray.get(confirm_futures)
             counters["rounds"] += 1
-            if stats_fh is not None:  # an all-denied round is still a round
-                _emit_round_stats(stats_fh, round_no, counters, stats_prev)
-                stats_prev = dict(counters)
+            pending_stats_round = round_no  # an all-denied round is still a round
             round_no += 1
             continue
         admitted_tab = admitted.to_arrow().cast(schemas.FRONTIER)
@@ -1019,9 +1090,9 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
                 )
             )
         results = ray.get(futures)
-        metas = [m for m, _, _ in results]
-        edges_list = [e for _, _, e in results if e is not None and e.num_rows]
-        ray.get(confirm_futures)
+        metas = [m for m, _, _, _ in results]
+        edges_list = [e for _, _, e, _ in results if e is not None and e.num_rows]
+        stage_refs = [r for _, _, _, refs in results for r in refs]
         counters["t_fetch"] += _time.perf_counter() - _t
 
         _t = _time.perf_counter()
@@ -1112,17 +1183,23 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         if edges_list:
             edges_parts.extend(edges_list)
 
-        # --- expansion: flush the candidates the fetch actors staged ---
+        # --- settle: one barrier for everything the next round's admit
+        # depends on — staging acks (candidates buffered in their
+        # shards), confirms (politeness clocks), retries, outcome
+        # records (breaker/limiter).  All were launched earlier and
+        # ran while the driver did its order bookkeeping.
         _t = _time.perf_counter()
-        for n_new, n_dup, newly in ray.get(
-            [s.flush_candidates.remote() for s in shards]
-        ):
-            counters["discovered"] += n_new + n_dup
-            counters["dedup_hits"] += n_dup
-            counters["frontier_ops"] += n_new + n_dup
-            seen_urls.extend(newly)
-        if retry_futures:
-            ray.get(retry_futures)
+        ray.get(stage_refs + confirm_futures + retry_futures)
+        if not lazy_flush:
+            # checkpoint mode: eager flush so this round's shard dumps
+            # (write_round below) already contain its discoveries
+            for n_new, n_dup, newly in ray.get(
+                [s.flush_candidates.remote() for s in shards]
+            ):
+                counters["discovered"] += n_new + n_dup
+                counters["dedup_hits"] += n_dup
+                counters["frontier_ops"] += n_new + n_dup
+                seen_urls.extend(newly)
         counters["t_expand"] += _time.perf_counter() - _t
         counters["rounds"] += 1
 
@@ -1141,19 +1218,50 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             )
         counters["t_checkpoint"] += _time.perf_counter() - _t
 
-        if stats_fh is not None:
-            _emit_round_stats(stats_fh, round_no, counters, stats_prev)
-            stats_prev = dict(counters)
-
-        if cfg.stop_after_round is not None and round_no >= cfg.stop_after_round:
+        will_stop = (
+            cfg.max_pages is not None and counters["pages_fetched"] >= cfg.max_pages
+        ) or (cfg.stop_after_round is not None and round_no >= cfg.stop_after_round)
+        if will_stop and lazy_flush:
+            # this round is the run's last: drain its staged candidates
+            # NOW so the final stats row (and the run totals) include
+            # them — the next admit that would have flushed them never
+            # happens
+            for n_new, n_dup, newly in ray.get(
+                [s.flush_candidates.remote() for s in shards]
+            ):
+                counters["discovered"] += n_new + n_dup
+                counters["dedup_hits"] += n_dup
+                counters["frontier_ops"] += n_new + n_dup
+                seen_urls.extend(newly)
+        if will_stop:
+            if stats_fh is not None:
+                _emit_round_stats(stats_fh, round_no, counters, stats_prev)
+                stats_prev = dict(counters)
             break
+        pending_stats_round = round_no
         round_no += 1
 
+    # drain candidates staged by the final fetched round (lazy mode
+    # exits before the next admit could flush them in some paths;
+    # eager mode already flushed — this is then a no-op)
+    for n_new, n_dup, newly in ray.get([s.flush_candidates.remote() for s in shards]):
+        counters["discovered"] += n_new + n_dup
+        counters["dedup_hits"] += n_dup
+        counters["frontier_ops"] += n_new + n_dup
+        seen_urls.extend(newly)
     if stats_fh is not None:
+        if pending_stats_round is not None:
+            _emit_round_stats(stats_fh, pending_stats_round, counters, stats_prev)
         stats_fh.close()
     if cfg.output_dir and not cfg.checkpoint_dir:
         ray.get([f.flush_persist.remote() for f in fetchers])
     counters["seen_urls"] = sorted(seen_urls)
+    # A8 fleet stats: in-actor busy seconds vs the driver's t_fetch
+    # wall — the gap is pure scheduling/RPC overhead, the first thing
+    # to look at when pages/sec drops (round-3 verdict item 1)
+    fetch_perf = ray.get([f.perf_stats.remote() for f in fetchers])
+    counters["fetch_busy_s"] = round(sum(p["busy_s"] for p in fetch_perf), 3)
+    counters["hash_collisions"] = sum(p["collisions"] for p in fetch_perf)
     shard_sizes = ray.get([s.sizes.remote() for s in shards])
     counters["seen_total"] = sum(n for _, n in shard_sizes)
     counters["frontier_remaining"] = sum(f for f, _ in shard_sizes)

@@ -84,11 +84,16 @@ class RealFetchActor:
 
         self.persister = _PersistBuffer()
 
+        self.busy_s = 0.0
+
     def ready(self) -> int:
         return 1
 
     def flush_persist(self) -> None:
         self.persister.flush()
+
+    def perf_stats(self) -> dict:
+        return {"busy_s": self.busy_s, "collisions": 0}
 
     def _fetch_one(self, url: str) -> tuple[int, bytes | None, str, float]:
         import time
@@ -136,8 +141,11 @@ class RealFetchActor:
         collect_edges: bool = True,
         buffered: bool = False,
     ):
+        import time as _time
+
         from .crawl import _parse_and_emit
 
+        _t0 = _time.perf_counter()
         urls = batch.column("url").to_pylist()
         depths = batch.column("depth").to_pylist()
         results = list(self.pool.map(self._fetch_one, urls))
@@ -150,7 +158,7 @@ class RealFetchActor:
             )
             htmls.append(data if is_html else None)
         n = len(urls)
-        return _parse_and_emit(
+        out = _parse_and_emit(
             urls,
             depths,
             status,
@@ -164,3 +172,5 @@ class RealFetchActor:
             persister=self.persister if buffered else None,
             latencies=lats,
         )
+        self.busy_s += _time.perf_counter() - _t0
+        return out

@@ -272,10 +272,15 @@ class FrontierShard:
 
         Fetch actors push their per-batch (target_url, host, depth)
         candidates here directly (actor→actor) — the driver never
-        touches expansion data; it only triggers ``flush_candidates``
-        once all fetches of the round completed, which keeps the
-        min-depth merge deterministic (all of a round's candidates are
-        merged in one batch, exactly as the oracle does).
+        touches expansion data.  The buffered tables are merged either
+        by an explicit ``flush_candidates`` (checkpointed runs: the
+        shard dump must already contain the round's discoveries) or
+        lazily by the NEXT round's ``admit(flush=True)`` — both flush
+        ALL of a round's candidates in one batch before any of them can
+        be admitted, which keeps the min-depth merge deterministic
+        (exactly as the oracle does).  The driver guarantees the
+        happens-before: it waits on the staging ObjectRefs returned by
+        the fetch actors before sending the next admit/flush RPC.
         """
         self._staged.append(table)
 
@@ -329,19 +334,31 @@ class FrontierShard:
 
     # --- admission -------------------------------------------------------
 
-    def admit(self, round_no: int) -> tuple[pa.Table, int, int, float]:
+    def admit(
+        self, round_no: int, flush: bool = False
+    ) -> tuple[pa.Table, int, int, float, int, int, list[str]]:
         """Per-host-capped admission for this round.
 
         Returns (admitted_with_allowed_col, frontier_size,
-        next_eligible_round, wait_s).  ``wait_s`` is only nonzero in
-        wall-clock mode: the seconds until this shard's earliest host
-        becomes Crawl-delay-eligible (the driver sleeps the minimum
-        across shards when a round admits nothing).  Robots is
-        evaluated here (parallel across shards) but only ANNOTATED —
-        denial must still consume a global max_pages budget slot (§3.1
-        discipline), so the driver truncates before dropping denied
-        rows.  Clock marks happen at ``confirm``.
+        next_eligible_round, wait_s, n_new, n_dup, newly_seen).
+        ``wait_s`` is only nonzero in wall-clock mode: the seconds
+        until this shard's earliest host becomes Crawl-delay-eligible
+        (the driver sleeps the minimum across shards when a round
+        admits nothing).  Robots is evaluated here (parallel across
+        shards) but only ANNOTATED — denial must still consume a global
+        max_pages budget slot (§3.1 discipline), so the driver
+        truncates before dropping denied rows.  Clock marks happen at
+        ``confirm``.
+
+        ``flush=True`` merges the previous round's staged candidates
+        first (one RPC instead of a separate flush wave — the per-round
+        barrier count bounds a politeness-bound crawl's throughput);
+        the (n_new, n_dup, newly_seen) trailer reports that merge.
         """
+        n_new = n_dup = 0
+        newly: list[str] = []
+        if flush:
+            n_new, n_dup, newly = self.flush_candidates()
         f = self.frontier
         if f.height == 0:
             return (
@@ -349,6 +366,9 @@ class FrontierShard:
                 0,
                 round_no + 1,
                 0.0,
+                n_new,
+                n_dup,
+                newly,
             )
         hosts = f.get_column("host").unique().to_list()
         # T5 gate: hosts with an OPEN breaker are withheld entirely
@@ -465,7 +485,15 @@ class FrontierShard:
         mask = self.robots.allowed_batch(hosts_l, urls_l)
         admitted = admitted.with_columns(pl.Series("allowed", np.asarray(mask, dtype=bool)))
         self._pending = admitted
-        return admitted.to_arrow(), self.frontier.height, max(next_round, round_no + 1), wait_s
+        return (
+            admitted.to_arrow(),
+            self.frontier.height,
+            max(next_round, round_no + 1),
+            wait_s,
+            n_new,
+            n_dup,
+            newly,
+        )
 
     def confirm(self, round_no: int, rejected: pa.Table | None = None) -> None:
         """Finalize the round: reinsert budget-rejected rows, mark the
