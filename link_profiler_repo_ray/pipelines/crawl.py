@@ -436,11 +436,15 @@ class FetchParseActor:
             resolved.extend(v) if isinstance(v, list) else resolved.append(v)
         self.frontier_shards = frontier_shards or []
         # Replay lookup is a sorted-hash index over the shard's Arrow
-        # slices, NOT a url→HTML Python dict: the concatenated table
-        # stays backed by the object store's shared-memory buffers
-        # (zero-copy ray.get), so actor heap is O(8 B × rows) of index
-        # plus whatever one batch ``take`` materializes — the round-2
-        # verdict's "corpus/P of raw HTML resident per actor" is gone.
+        # slice, NOT a url→HTML Python dict.  The slice is reordered
+        # into hash order ONCE here and re-``ray.put`` so the steady
+        # state is a SINGLE-chunk table backed by the object store's
+        # shared memory (zero-copy ray.get): actor heap stays O(8 B ×
+        # rows) of index, and a batch probe is one ``take`` on one
+        # contiguous chunk.  The chunky concat of per-file slices the
+        # actor previously probed directly made that same ``take``
+        # ~300× slower (13 ms per ~50-row batch across 125 chunks —
+        # the politeness crawl's single largest cost, round-4 A/B).
         tbl = (
             pa.concat_tables(resolved)
             if resolved
@@ -455,9 +459,20 @@ class FetchParseActor:
             )
         )
         h = tbl.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        self._perm = np.argsort(h, kind="stable")
-        self._hash_sorted = h[self._perm]
-        self.table = tbl.select(["url", "warc_ts", "html", "lang"])
+        perm = np.argsort(h, kind="stable")
+        self._hash_sorted = h[perm]
+        sorted_tbl = (
+            tbl.select(["url", "warc_ts", "html", "lang"])
+            .take(pa.array(perm))
+            .combine_chunks()
+        )
+        del tbl, resolved
+        # plasma round-trip: the sorted copy lives in shared memory,
+        # not this actor's heap; the constructor-arg refs are released
+        # by the engine once every actor reports ready
+        self._table_ref = ray.put(sorted_tbl)
+        del sorted_tbl
+        self.table = ray.get(self._table_ref)
         self.flaky_mod = flaky_mod
         self.flaky_persistent = flaky_persistent
         self._attempted: set[str] = set()
@@ -505,7 +520,7 @@ class FetchParseActor:
         found = (pos < n_idx) & (
             self._hash_sorted[safe] == q if n_idx else np.zeros(len(urls), dtype=bool)
         )
-        take_rows = self._perm[safe]
+        take_rows = safe.copy()  # table rows ARE hash-sorted positions
         # 64-bit collision guard: two distinct corpus URLs sharing a
         # hash form a run of equal keys — resolve by scanning the run
         # for the URL itself (bounded; runs >1 are ~never at 10^10
@@ -514,10 +529,9 @@ class FetchParseActor:
         if n_idx:
             pos_r = np.searchsorted(self._hash_sorted, q, side="right")
             for i in np.flatnonzero(found & (pos_r - pos > 1)):
-                run = self._perm[pos[i] : pos_r[i]]
                 u = urls[i]
                 hit = False
-                for r in run.tolist():
+                for r in range(int(pos[i]), int(pos_r[i])):
                     if self.table.column("url")[r].as_py() == u:
                         take_rows[i] = r
                         hit = True
