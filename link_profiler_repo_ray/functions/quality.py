@@ -40,24 +40,28 @@ BOT_PHRASES = (
 _SENT_RE = re.compile(r"[.!?]+")
 _NON_ALPHA_RE = re.compile(r"[^a-z]")
 _VOWELS = frozenset("aeiouy")
+_VOWEL_GROUP_RE = re.compile(r"[aeiouy]+")
+# every byte except ASCII A-Z, for a C-level uppercase count on ASCII text
+_NON_UPPER_BYTES = bytes(b for b in range(256) if not (65 <= b <= 90))
 
 
 def _syllables(text: str) -> int:
+    # per-word logic identical to the reference
+    # (content_validator.py:120-150): count vowel groups in the
+    # lowercased alpha-only word, silent-e adjustment, floor 1.  The
+    # group count is a C-level regex findall instead of a per-char
+    # Python loop (same result: runs of consecutive vowels).
     total = 0
+    findall = _VOWEL_GROUP_RE.findall
+    sub = _NON_ALPHA_RE.sub
     for word in text.lower().split():
-        word = _NON_ALPHA_RE.sub("", word)
+        word = sub("", word)
         if not word:
             continue
-        n = 0
-        prev = False
-        for ch in word:
-            v = ch in _VOWELS
-            if v and not prev:
-                n += 1
-            prev = v
-        if word.endswith("e") and n > 1:
+        n = len(findall(word))
+        if n > 1 and word[-1] == "e":
             n -= 1
-        total += max(1, n)
+        total += n if n > 0 else 1
     return total
 
 
@@ -78,9 +82,15 @@ def spam_score(text: str) -> float:
             score += low.count(kw) * mult
     n = len(text)
     if n:
-        if sum(1 for c in text if c.isupper()) / n > 0.3:
+        if text.isascii():
+            # C-level: delete every non-A-Z byte, count what remains
+            # (str.isupper() is true for exactly A-Z within ASCII)
+            upper = len(text.encode().translate(None, delete=_NON_UPPER_BYTES))
+        else:
+            upper = sum(1 for c in text if c.isupper())
+        if upper / n > 0.3:
             score += 10
-        if sum(1 for c in text if c in "!?") / n > 0.05:
+        if (text.count("!") + text.count("?")) / n > 0.05:
             score += 5
     return min(100.0, score)
 
@@ -89,10 +99,14 @@ def duplicate_score(text: str) -> float:
     words = text.split()
     if len(words) < 10:
         return 0.0
-    counts: dict[str, int] = {}
-    for i in range(len(words) - 2):
-        p = " ".join(words[i : i + 3]).lower()
-        counts[p] = counts.get(p, 0) + 1
+    # tuple keys over pre-lowered words: identical distinct-phrase
+    # semantics as joined lowercase strings (words cannot contain
+    # whitespace), without a join+lower per trigram
+    wl = [w.lower() for w in words]
+    counts: dict[tuple, int] = {}
+    get = counts.get
+    for p in zip(wl, wl[1:], wl[2:]):
+        counts[p] = get(p, 0) + 1
     total = len(counts)
     if not total:
         return 0.0

@@ -1124,14 +1124,21 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         counters["fetch_misses"] += int((st == 404).sum())
         counters["fetch_errors"] += int(retryable.sum())
 
-        # admission/order log + O6 retry demotion, one vectorized pass
-        joined = (
-            admitted  # already in final (priority, depth, host, url) order
-            .join(pl.from_arrow(meta), on="url", how="left", maintain_order="left")
-            .with_columns(
-                pl.col("status").fill_null(-1).cast(pl.Int16),
-                pl.col("latency").fill_null(0.0),
+        # admission/order log + O6 retry demotion: a hash-map lookup
+        # keyed by url (admitted is already in final (priority, depth,
+        # host, url) order; a polars left join here cost ~15 ms of
+        # fixed overhead per ~1k-row round)
+        lookup = dict(
+            zip(
+                meta.column("url").to_pylist(),
+                zip(meta.column("status").to_pylist(), meta.column("latency").to_pylist()),
             )
+        )
+        _miss = (-1, 0.0)
+        pairs = [lookup.get(u, _miss) for u in admitted.get_column("url").to_list()]
+        joined = admitted.with_columns(
+            pl.Series("status", [p[0] for p in pairs], dtype=pl.Int16),
+            pl.Series("latency", [p[1] for p in pairs], dtype=pl.Float64),
         )
         n_adm = joined.height
         order_delta = pa.table(
