@@ -104,6 +104,10 @@ class CrawlConfig:
     real_max_file_size_mb: float = 10.0  # web_crawler.py:304-308 payload cap
     real_timeout_s: float = 10.0
     ua_rotation: bool = False  # T7: per-domain-consistent UA pool (state/useragent.py)
+    proxies: list | None = None  # T7: real-mode proxy pool (state/proxies.py rotation)
+    ai_scoring: bool = False  # T10: per-page AI content scoring in the fetch actors
+    #                           (stages.AIScoreStage — the reference scores pages via
+    #                           ai_service inside its crawl loop, crawl_service.py:560-575)
     collect_order: bool | None = None  # keep order deltas in driver RAM; None → collect_edges
     stats: bool = True  # A8: append per-round metrics to <lineage dir>/stats.jsonl
     seen_backend: str = "exact"  # "exact" (oracle-matched) | "cuckoo" (2 B/key)
@@ -270,6 +274,7 @@ def _parse_and_emit(
     frontier_shards,
     persister=None,
     latencies=None,
+    ai_stage=None,
 ):
     """Shared fetch-result pipeline: byte-identical text extraction,
     quality/SEO scoring, page+edge Parquet persistence by the actor,
@@ -346,6 +351,16 @@ def _parse_and_emit(
         },
         schema=schemas.EDGES,
     )
+
+    if ai_stage is not None:
+        # T10: the per-page AI scoring the reference runs between fetch
+        # and persist (crawl_service.py:560-575); the fake model lives
+        # in the actor (built once in __init__), scoring is vectorized.
+        # Only the text column crosses into the stage so the binary/
+        # timestamp columns never round-trip through polars.
+        scored = ai_stage(pa.table({"text": pages.column("text")}))
+        for col in ("ai_quality_score", "ai_classification", "ai_sentiment", "ai_topic"):
+            pages = pages.append_column(col, scored.column(col))
 
     if persist_dir is not None:
         if persister is not None:
@@ -426,7 +441,12 @@ class FetchParseActor:
         flaky_mod=None,
         frontier_shards: list | None = None,
         flaky_persistent: bool = False,
+        ai_scoring: bool = False,
     ):
+        from ..stages import AIScoreStage
+
+        # T10 model "load" — once per actor, never per batch
+        self.ai_stage = AIScoreStage() if ai_scoring else None
         # nested ObjectRefs are not auto-resolved in collections; a
         # num_returns=1 split task returns a LIST of tables per ref
         # (round-1 advice: num_fetchers=1 crashed here) — flatten both.
@@ -584,6 +604,7 @@ class FetchParseActor:
             urls, depths, status, tss, htmls, langs,
             persist_dir, shard_tag, collect_edges, self.frontier_shards,
             persister=self.persister if buffered else None,
+            ai_stage=self.ai_stage,
         )
         self.busy_s += _time.perf_counter() - _t0
         return out
@@ -801,6 +822,8 @@ class CrawlEngine:
                     self.cfg.real_max_file_size_mb,
                     self.cfg.real_timeout_s,
                     ua_rotation=self.cfg.ua_rotation,
+                    proxies=self.cfg.proxies,
+                    ai_scoring=self.cfg.ai_scoring,
                 )
                 for _ in range(nf)
             ]
@@ -822,6 +845,7 @@ class CrawlEngine:
                 self.cfg.flaky_mod,
                 self.frontier.shards,
                 self.cfg.flaky_persistent,
+                self.cfg.ai_scoring,
             )
             for s in range(nf)
         ]

@@ -65,6 +65,8 @@ class RealFetchActor:
         timeout_s: float = 10.0,
         max_parallel: int = 16,
         ua_rotation: bool = False,
+        proxies: list | None = None,
+        ai_scoring: bool = False,
     ):
         import urllib.request
         from concurrent.futures import ThreadPoolExecutor
@@ -79,6 +81,30 @@ class RealFetchActor:
         # envelope (state/useragent.py; reference rotation is
         # utils/user_agent_manager.py:13-120)
         self.ua_rotation = ua_rotation
+        # T7 (second half, opt-in): proxy rotation with health marking
+        # (state/proxies.py; reference is utils/proxy_manager.py:33-209).
+        # One opener per proxy, built once per actor — urllib binds the
+        # ProxyHandler at build time, so per-request proxy choice means
+        # per-proxy openers, not per-request opener builds.
+        self.proxy_pool = None
+        self.proxy_openers: dict = {}
+        if proxies:
+            from ..state.proxies import ProxyPool
+
+            self.proxy_pool = ProxyPool(list(proxies))
+            for p in proxies:
+                op = urllib.request.build_opener(
+                    urllib.request.ProxyHandler({"http": p, "https": p})
+                )
+                op.addheaders = [("User-Agent", USER_AGENT)]
+                self.proxy_openers[p] = op
+        # T10 (opt-in): per-page AI scoring, model built once per actor
+        if ai_scoring:
+            from ..stages import AIScoreStage
+
+            self.ai_stage = AIScoreStage()
+        else:
+            self.ai_stage = None
         self.pool = ThreadPoolExecutor(max_workers=max_parallel)
         from .crawl import _PersistBuffer
 
@@ -95,6 +121,9 @@ class RealFetchActor:
     def perf_stats(self) -> dict:
         return {"busy_s": self.busy_s, "collisions": 0}
 
+    def proxy_stats(self) -> dict:
+        return self.proxy_pool.stats() if self.proxy_pool is not None else {}
+
     def _fetch_one(self, url: str) -> tuple[int, bytes | None, str, float]:
         import time
         import urllib.error
@@ -109,9 +138,15 @@ class RealFetchActor:
             # opener's static addheaders (urllib only fills absent
             # names), so the host's pinned identity wins per request
             req = urllib.request.Request(url, headers=dict(headers_for_host(host_of(url))))
+        proxy = self.proxy_pool.get_next() if self.proxy_pool is not None else None
+        opener = self.proxy_openers.get(proxy, self.opener)
         t0 = time.monotonic()
         try:
-            with self.opener.open(req, timeout=self.timeout_s) as resp:
+            with opener.open(req, timeout=self.timeout_s) as resp:
+                if proxy is not None:
+                    # any relayed response (even a site 4xx/5xx, which
+                    # raises HTTPError below) proves the proxy works
+                    self.proxy_pool.mark_good(proxy)
                 st = int(resp.status)
                 ctype = (resp.headers.get("Content-Type") or "").lower()
                 clen = resp.headers.get("Content-Length")
@@ -126,11 +161,15 @@ class RealFetchActor:
                     return st, None, ctype, time.monotonic() - t0  # size cap via read
                 return st, data, ctype, time.monotonic() - t0
         except urllib.error.HTTPError as exc:
+            if proxy is not None:
+                self.proxy_pool.mark_good(proxy)  # the exit relayed the site's error
             ct = ""
             if exc.headers is not None:
                 ct = (exc.headers.get("Content-Type") or "").lower()
             return int(exc.code), None, ct, time.monotonic() - t0
         except Exception:
+            if proxy is not None:
+                self.proxy_pool.mark_bad(proxy)  # connection/timeout → demote the exit
             return 599, None, "", time.monotonic() - t0  # transport failure → retryable
 
     def fetch_parse(
@@ -171,6 +210,7 @@ class RealFetchActor:
             self.frontier_shards,
             persister=self.persister if buffered else None,
             latencies=lats,
+            ai_stage=self.ai_stage,
         )
         self.busy_s += _time.perf_counter() - _t0
         return out

@@ -30,8 +30,8 @@ def _crawl_ordered(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from .pipelines import curate, graph, relational, research, textdata
-    from .sources import cdx, sitemap
+    from .pipelines import audit, curate, graph, relational, research, textdata
+    from .sources import cdx, serpkw, sitemap
 
     return {
         # CDX index sources (S4/S5)
@@ -42,6 +42,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sitemap sources
         "sitemap_parse": sitemap.sitemap_parse,
         "sitemap_seed_frontier": sitemap.sitemap_seed_frontier,
+        # SERP analysis + keyword research job types
+        "serp_rank_latest": serpkw.serp_rank_latest,
+        "keyword_gap": serpkw.keyword_gap,
+        "keyword_suggest_rollup": serpkw.keyword_suggest_rollup,
+        # AI content scoring (T10) + technical audit job types
+        "ai_content_scores": audit.ai_content_scores,
+        "technical_audit": audit.technical_audit,
         # research / auxiliary operators
         "seo_metrics": research.seo_metrics,
         "domain_value_scores": research.domain_value_scores,

@@ -4,6 +4,7 @@ from .stages import (
     ExtractLinksStage,
     SeoStage,
     QualityStage,
+    AIScoreStage,
     CorpusReplayFetcher,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "ExtractLinksStage",
     "SeoStage",
     "QualityStage",
+    "AIScoreStage",
     "CorpusReplayFetcher",
 ]

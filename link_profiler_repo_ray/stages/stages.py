@@ -160,6 +160,77 @@ class QualityStage:
         return pa.table(cols)
 
 
+class AIScoreStage:
+    """T10: deterministic fake AI content scorer (actor-pool stage).
+
+    The reference's ``services/ai_service.py`` (922 LoC) classifies
+    page content via an LLM: ``score_content`` returns 0-100 quality
+    scores and ``classify_content`` one of {high_quality, low_quality,
+    spam, irrelevant} (ai_service.py:207-295).  No model ships in this
+    container, so the "model" here is a deterministic closed-form
+    scorer over two cheap text features — chosen so a DuckDB oracle
+    can recompute every output exactly:
+
+        n_chars = len(text);  n_e = count of 'e' in text
+        ai_quality_score  = (17 + 3·n_chars + 7·n_e) % 101
+        ai_classification = high_quality ≥75 | low_quality ≥40
+                            | spam ≥15 | irrelevant
+        ai_sentiment      = [negative neutral positive][(n_chars+n_e)%3]
+        ai_topic          = 'topic_' + str((31·n_chars + n_e) % 8)
+
+    The Ray plumbing is the real deliverable: weights load ONCE per
+    actor in ``__init__`` (swap the dict for a tokenizer + model
+    checkpoint and ``__call__`` for batched inference — nothing else
+    changes), scoring is vectorized polars over the Arrow batch.
+    """
+
+    LABELS = ("irrelevant", "spam", "low_quality", "high_quality")
+    SENTIMENTS = ("negative", "neutral", "positive")
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        # the "model load": one weight table per actor, never per batch
+        self.weights = {"bias": 17, "w_chars": 3, "w_e": 7, "mod": 101}
+
+    def score_exprs(self):
+        """Polars expressions computing the score columns from
+        ``text_col`` — reusable inside other stages (the crawl's
+        per-page pipeline applies them in the fetch actors)."""
+        import polars as pl
+
+        w = self.weights
+        n_chars = pl.col(self.text_col).str.len_chars().cast(pl.Int64)
+        n_e = pl.col(self.text_col).str.count_matches("e", literal=True).cast(pl.Int64)
+        score = (w["bias"] + w["w_chars"] * n_chars + w["w_e"] * n_e) % w["mod"]
+        label = (
+            pl.when(score >= 75)
+            .then(pl.lit("high_quality"))
+            .when(score >= 40)
+            .then(pl.lit("low_quality"))
+            .when(score >= 15)
+            .then(pl.lit("spam"))
+            .otherwise(pl.lit("irrelevant"))
+        )
+        sentiment = ((n_chars + n_e) % 3).replace_strict(
+            {i: s for i, s in enumerate(self.SENTIMENTS)}, return_dtype=pl.Utf8
+        )
+        topic = pl.concat_str(
+            [pl.lit("topic_"), ((31 * n_chars + n_e) % 8).cast(pl.Utf8)]
+        )
+        return [
+            score.alias("ai_quality_score"),
+            label.alias("ai_classification"),
+            sentiment.alias("ai_sentiment"),
+            topic.alias("ai_topic"),
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return df.with_columns(self.score_exprs()).to_arrow()
+
+
 class CorpusReplayFetcher:
     """S1 substitute: fetch = lookup into the synthetic corpus (J3).
 

@@ -383,3 +383,92 @@ def test_ua_rotation_per_domain_consistent():
     # cross-domain variety: the pin spreads over the pool
     hosts = [f"site{i}.example.com" for i in range(64)]
     assert len({ua_for_host(h) for h in hosts}) >= len(USER_AGENT_POOL) - 1
+
+
+# --- T7 second half: proxy rotation (state/proxies.py) --------------------
+
+def test_proxy_pool_rotation_ban_and_cooldown():
+    """Deterministic lifecycle vs utils/proxy_manager.py:33-209:
+    round-robin hand-out, ban after max_failures consecutive fails,
+    cooled-down ban becomes probe-eligible again, success resets."""
+    from link_profiler_repo_ray.state.proxies import ProxyPool
+
+    now = [0.0]
+    pool = ProxyPool(["p1", "p2"], max_failures=3, retry_after_s=100.0, clock=lambda: now[0])
+    assert [pool.get_next() for _ in range(4)] == ["p1", "p2", "p1", "p2"]
+    for _ in range(3):
+        pool.mark_bad("p1")
+    # p1 banned: rotation only serves p2
+    assert [pool.get_next() for _ in range(3)] == ["p2", "p2", "p2"]
+    # cooldown elapsed: p1 is probe-eligible again
+    now[0] = 101.0
+    got = {pool.get_next() for _ in range(2)}
+    assert got == {"p1", "p2"}
+    # a successful probe fully reinstates it
+    pool.mark_good("p1")
+    now[0] = 102.0
+    assert pool.stats()["p1"]["consec_fail"] == 0
+    # all proxies banned -> None (go direct)
+    for _ in range(3):
+        pool.mark_bad("p1")
+        pool.mark_bad("p2")
+    now[0] = 103.0
+    assert pool.get_next() is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_real_fetch_proxy_rotation_and_demotion(site):
+    """RealFetchActor with a good forwarding proxy + a dead proxy:
+    requests route through the live proxy, the dead exit accumulates
+    failures and is demoted, fetches still succeed."""
+    import urllib.request
+
+    import pyarrow as pa
+    import ray
+
+    from link_profiler_repo_ray.pipelines.fetch_real import RealFetchActor
+
+    class _ForwardProxy(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.server.proxied.append(self.path)  # absolute-URL form
+            try:
+                with urllib.request.urlopen(self.path, timeout=5) as r:
+                    body = r.read()
+                    self.send_response(int(r.status))
+                    self.send_header("Content-Type", r.headers.get("Content-Type", ""))
+            except Exception:
+                body = b"proxy error"
+                self.send_response(502)
+                self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    prox = ThreadingHTTPServer(("127.0.0.1", 0), _ForwardProxy)
+    prox.proxied = []
+    threading.Thread(target=prox.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{site.server_address[1]}"
+        good = f"http://127.0.0.1:{prox.server_address[1]}"
+        dead = "http://127.0.0.1:1"  # closed port -> connection refused
+        actor = RealFetchActor.remote(
+            max_parallel=1,  # serialize so round-robin order is exact
+            proxies=[dead, good],
+            timeout_s=2.0,
+        )
+        urls = [base + "/", base + "/a.html", base + "/b.html"] * 4
+        batch = pa.table({"url": pa.array(urls), "depth": pa.array([0] * len(urls), pa.int16())})
+        meta, _, _, _ = ray.get(actor.fetch_parse.remote(batch, None, "0", False, False))
+        stats = ray.get(actor.proxy_stats.remote())
+        status = meta.column("status").to_pylist()
+        assert status.count(200) >= 5  # good-proxy fetches succeeded
+        assert status.count(599) >= 1  # dead-proxy attempts failed as transport errors
+        assert len(prox.proxied) == status.count(200)  # 200s all routed via the proxy
+        assert stats[good]["ok"] == status.count(200) and stats[good]["consec_fail"] == 0
+        assert stats[dead]["fail"] == status.count(599) and stats[dead]["consec_fail"] >= 5
+        ray.kill(actor)
+    finally:
+        prox.shutdown()

@@ -1,0 +1,69 @@
+"""Driver-window honesty guard (round-3 verdict item 10 / ADVICE).
+
+The driver records only the first 50 ``queries()`` entries.  The
+contract: every query that CAN be value-hash-verified (has an
+``oracle_sql`` entry) is either inside that window or (a) is
+redundantly covered by an in-window sibling sharing its upstream
+parse/rollup AND (b) is still hash-verified in-repo by
+tests/test_queries_oracle.py.  These assertions make registry growth
+fail loudly instead of silently orphaning a query."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __ray_entry__ as entry
+
+WINDOW = 50
+
+# yielded query -> the in-window sibling that exercises the same
+# upstream parse/rollup (must stay consistent with the rationale in
+# __ray_entry__._YIELD_WINDOW_SLOT)
+SIBLINGS = {
+    "sitemap_seed_frontier": "sitemap_parse",
+    "wayback_domain_age": "wayback_latest_snapshot",
+    "link_health_audit": "extract_links",
+    "expired_domain_finder": "domain_value_scores",
+    "top_valuable_domains": "domain_value_scores",
+    "anomalous_events_windowed": "anomalous_events",
+    "token_stats_bpe": "token_stats",
+    "order_priority_revenue": "revenue_by_nation",
+}
+
+
+def test_all_oracle_queries_fit_window_or_yield():
+    oracles = entry.oracle_sql()
+    yielded = set(entry._YIELD_WINDOW_SLOT)
+    assert len(oracles) - len(yielded) <= WINDOW, (
+        f"{len(oracles)} oracle queries minus {len(yielded)} yields exceeds the "
+        f"{WINDOW}-slot driver window — add a redundantly-covered query to "
+        "_YIELD_WINDOW_SLOT (with a sibling) or drop one"
+    )
+
+
+def test_window_prefix_is_exactly_the_unyielded_oracles():
+    qs = list(entry.queries().keys())
+    oracles = set(entry.oracle_sql())
+    yielded = set(entry._YIELD_WINDOW_SLOT)
+    in_window = set(qs[:WINDOW])
+    # every unyielded oracle query must land in the recorded window
+    missing = (oracles - yielded) - in_window
+    assert not missing, f"oracle-backed queries fell out of the driver window: {missing}"
+
+
+def test_every_yield_has_an_in_window_sibling():
+    qs = list(entry.queries().keys())
+    oracles = set(entry.oracle_sql())
+    in_window = set(qs[:WINDOW])
+    for name in entry._YIELD_WINDOW_SLOT:
+        assert name in oracles, f"yielded query {name} lost its in-repo oracle"
+        sib = SIBLINGS.get(name)
+        assert sib is not None, f"yielded query {name} has no documented sibling"
+        assert sib in in_window, f"{name}'s sibling {sib} is not in the driver window"
+
+
+def test_every_registry_query_is_exposed():
+    from link_profiler_repo_ray.registry import queries as reg
+
+    exposed = set(entry.queries().keys())
+    assert set(reg().keys()) == exposed
