@@ -148,6 +148,27 @@ def run_bench() -> dict:
     extras["bfs_pages_fetched"] = res_bfs.counters["pages_fetched"]
     extras["bfs_pages_per_sec"] = res_bfs.counters["pages_fetched"] / dt
 
+    # cuckoo-backend BFS (the 10^10-URL seen-set memory plan) vs the
+    # exact backend above — evidence the 2 B/key path is not the slow
+    # one (round-3 verdict item 5).  Extras only (not a suite stage);
+    # the scaling runner disables it to keep levels comparable.
+    if os.environ.get("LPR_BENCH_CUCKOO", "1") == "1":
+        cfg_ck = replace(
+            cfg_bfs,
+            seen_backend="cuckoo",
+            seen_capacity=max(1 << 17, (base_n * mult * 2) // n_shards),
+            output_dir=os.path.join(out_root, "bfs_ck"),
+        )
+        engine_ck = CrawlEngine(SF_DIR, cfg_ck, multiplier=mult)
+        settle()
+        t0 = time.time()
+        res_ck = engine_ck.run()
+        dt = time.time() - t0
+        extras["bfs_cuckoo_pages_per_sec"] = res_ck.counters["pages_fetched"] / dt
+        extras["bfs_cuckoo_vs_exact"] = (
+            extras["bfs_cuckoo_pages_per_sec"] / extras["bfs_pages_per_sec"]
+        )
+
     # 2. full-corpus link extraction → partitioned edges table (the
     # materialize-once step a production pipeline would run; analytics
     # below read the edges Parquet, not the raw HTML again)

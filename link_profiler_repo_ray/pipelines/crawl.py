@@ -611,13 +611,17 @@ class FetchParseActor:
 
 
 def _route_chunks(table: pa.Table, num_shards: int, batch_size: int):
-    """Yield (shard_id, sub_table) chunks routed by url_hash % num_shards."""
+    """Yield (shard_id, row_indices, sub_table) chunks routed by
+    url_hash % num_shards.  The row indices let the driver scatter each
+    chunk's fetch statuses straight back into admitted order — no
+    url-keyed join or dict merge per round."""
     h = table.column("url_hash").to_numpy(zero_copy_only=False)
     shard_ids = (h % np.uint64(num_shards)).astype(np.int64)
     for s in range(num_shards):
         idx = np.nonzero(shard_ids == s)[0]
         for start in range(0, len(idx), batch_size):
-            yield s, table.take(pa.array(idx[start : start + batch_size]))
+            sub = idx[start : start + batch_size]
+            yield s, sub, table.take(pa.array(sub))
 
 
 class _Checkpointer:
@@ -917,6 +921,9 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         "dead_lettered": 0,
     }
     order_parts: list[pa.Table] = []
+    order_buf: list[pa.Table] = []  # non-collected order deltas awaiting flush
+    order_buf_rows = 0
+    order_buf_seq = 0
     edges_parts: list[pa.Table] = []
     pages_paths: list[str] = []
     seen_urls: list[str] = []
@@ -1118,10 +1125,12 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             buffered = False
         bs = max(512, min(cfg.fetch_batch_size, -(-admitted_tab.num_rows // cfg.num_fetchers)))
         futures = []
-        for i, (shard, chunk) in enumerate(
+        chunk_idx: list[np.ndarray] = []
+        for i, (shard, sub_idx, chunk) in enumerate(
             _route_chunks(admitted_tab, cfg.num_fetchers, bs)
         ):
             tag = f"{shard:03d}" if buffered else f"{shard:03d}-{i:04d}"
+            chunk_idx.append(sub_idx)
             futures.append(
                 fetchers[shard].fetch_parse.remote(
                     chunk, persist_dir, tag, cfg.collect_edges, buffered
@@ -1134,37 +1143,27 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         counters["t_fetch"] += _time.perf_counter() - _t
 
         _t = _time.perf_counter()
-        meta = pa.concat_tables(metas) if metas else pa.table(
-            {
-                "url": pa.array([], pa.string()),
-                "status": pa.array([], pa.int16()),
-                "latency": pa.array([], pa.float64()),
-            }
-        )
+        # admission/order log + O6 retry demotion: each chunk's statuses
+        # scatter straight back into admitted order via the row indices
+        # saved at routing time — a pure numpy scatter (the url-keyed
+        # dict this replaces was ~15 ms of serial driver Python per
+        # round; fetch actors preserve input row order in their meta)
+        n_adm = admitted.height
+        st_all = np.zeros(n_adm, dtype=np.int64)
+        lat_all = np.zeros(n_adm, dtype=np.float64)
+        for sub_idx, m in zip(chunk_idx, metas):
+            st_all[sub_idx] = m.column("status").to_numpy()
+            lat_all[sub_idx] = m.column("latency").to_numpy()
         # retryable statuses per web_crawler.py:262-328: 408 + any 5xx
-        st = meta.column("status").to_numpy()
-        retryable = (st >= 500) | (st == 408)
+        retryable = (st_all >= 500) | (st_all == 408)
         counters["pages_fetched"] += int((~retryable).sum())
-        counters["fetch_misses"] += int((st == 404).sum())
+        counters["fetch_misses"] += int((st_all == 404).sum())
         counters["fetch_errors"] += int(retryable.sum())
 
-        # admission/order log + O6 retry demotion: a hash-map lookup
-        # keyed by url (admitted is already in final (priority, depth,
-        # host, url) order; a polars left join here cost ~15 ms of
-        # fixed overhead per ~1k-row round)
-        lookup = dict(
-            zip(
-                meta.column("url").to_pylist(),
-                zip(meta.column("status").to_pylist(), meta.column("latency").to_pylist()),
-            )
-        )
-        _miss = (-1, 0.0)
-        pairs = [lookup.get(u, _miss) for u in admitted.get_column("url").to_list()]
         joined = admitted.with_columns(
-            pl.Series("status", [p[0] for p in pairs], dtype=pl.Int16),
-            pl.Series("latency", [p[1] for p in pairs], dtype=pl.Float64),
+            pl.Series("status", st_all, dtype=pl.Int16),
+            pl.Series("latency", lat_all, dtype=pl.Float64),
         )
-        n_adm = joined.height
         order_delta = pa.table(
             {
                 "seq": pa.array(range(seq, seq + n_adm), pa.int64()),
@@ -1180,15 +1179,22 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         if cfg.resolved_collect_order():
             order_parts.append(order_delta)
         elif persist_dir is not None and not cfg.checkpoint_dir:
-            # driver-RAM diet: the order log goes straight to the
-            # run's output lineage instead of accumulating O(corpus)
-            # tables on the driver (checkpoint runs write it in
-            # write_round)
-            os.makedirs(persist_dir, exist_ok=True)
-            pq.write_table(
-                order_delta,
-                os.path.join(persist_dir, f"order-{round_no:05d}.parquet"),
-            )
+            # driver-RAM diet: the order log goes to the run's output
+            # lineage instead of accumulating O(corpus) tables on the
+            # driver (checkpoint runs write it in write_round) —
+            # buffered to ~32k rows per file so a politeness crawl's
+            # ~190 rounds cost ~6 file creates, not 190 (the per-round
+            # write was a measured ~40% of t_order)
+            order_buf.append(order_delta)
+            order_buf_rows += n_adm
+            if order_buf_rows >= 32_768:
+                os.makedirs(persist_dir, exist_ok=True)
+                pq.write_table(
+                    pa.concat_tables(order_buf),
+                    os.path.join(persist_dir, f"order-{order_buf_seq:05d}.parquet"),
+                )
+                order_buf, order_buf_rows = [], 0
+                order_buf_seq += 1
 
         failed = joined.filter((pl.col("status") >= 500) | (pl.col("status") == 408))
         retry_futures = []
@@ -1300,6 +1306,12 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         stats_fh.close()
     if cfg.output_dir and not cfg.checkpoint_dir:
         ray.get([f.flush_persist.remote() for f in fetchers])
+    if order_buf:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        pq.write_table(
+            pa.concat_tables(order_buf),
+            os.path.join(cfg.output_dir, f"order-{order_buf_seq:05d}.parquet"),
+        )
     counters["seen_urls"] = sorted(seen_urls)
     # A8 fleet stats: in-actor busy seconds vs the driver's t_fetch
     # wall — the gap is pure scheduling/RPC overhead, the first thing

@@ -591,10 +591,22 @@ def word_jaccard_pairs(
 # --- similarity search ----------------------------------------------------
 
 def _load_queries(sf_dir: str, n_queries: int):
+    """First ``n_queries`` vectors (by vec_id) as the query matrix.
+
+    Reads only as many ROW GROUPS as cover ``n_queries`` rows instead
+    of the whole embeddings file on the driver (round-3 verdict item
+    4); assumes the file is vec_id-sorted, which the input-hint layout
+    guarantees (and the sort below re-asserts within the prefix)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    t = t.sort_by("vec_id").slice(0, n_queries)
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    parts, rows = [], 0
+    for g in range(pf.num_row_groups):
+        parts.append(pf.read_row_group(g, columns=["vec_id", "embedding"]))
+        rows += parts[-1].num_rows
+        if rows >= n_queries:
+            break
+    t = pa.concat_tables(parts).sort_by("vec_id").slice(0, n_queries)
     q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     return t.column("vec_id").to_pylist(), q
 
@@ -1243,8 +1255,16 @@ def pii_scrub(sf_dir: str, extra_terms: tuple[str, ...] = ("spark", "stream")) -
     batch; no exchange.
     """
     # r'\b()\b' would zero-width-match at every word boundary and
-    # shred the text — an empty blocklist means "no term pass"
-    term_pat = r"\b(" + "|".join(extra_terms) + r")\b" if extra_terms else None
+    # shred the text — an empty blocklist means "no term pass".
+    # Terms are regex-escaped: a blocklist entry like 'c++' or 'a.b'
+    # must match literally, not as a (possibly invalid) pattern.
+    import re as _re
+
+    term_pat = (
+        r"\b(" + "|".join(_re.escape(t) for t in extra_terms) + r")\b"
+        if extra_terms
+        else None
+    )
 
     def stage(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)

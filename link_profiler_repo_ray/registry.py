@@ -95,8 +95,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": textdata.embedding_centroids,
         "knn_ivf": textdata.knn_ivf,
         "media_features": textdata.media_features,
-        "embedding_near_dups": textdata.embedding_near_dups,
-        "embedding_near_dups_bucketed": textdata.embedding_near_dups_bucketed,
+        # the scale path (IVF cell blocking, no full-matrix broadcast)
+        # IS the default; the exact broadcast variant stays for small
+        # corpora / recall assertions (round-3 verdict item 7)
+        "embedding_near_dups": textdata.embedding_near_dups_bucketed,
+        "embedding_near_dups_exact": textdata.embedding_near_dups,
         "vocab_top_tokens": textdata.vocab_top_tokens,
         # corpus-curation ops (round 3)
         "clean_text": textdata.clean_text,

@@ -68,6 +68,11 @@ class CuckooFilter:
         h = np.uint64(h)
         fp = self._fingerprint(h)
         i1 = self._index1(h)
+        return self.add_fp(i1, fp)
+
+    def add_fp(self, i1: int, fp: np.uint16) -> bool:
+        """``add_one`` with (bucket, fingerprint) precomputed — the
+        batch path computes them vectorized for the whole batch."""
         for i in (i1, self._index2(i1, fp)):
             row = self.table[i]
             empty = np.nonzero(row == _EMPTY)[0]

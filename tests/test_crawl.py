@@ -380,9 +380,11 @@ def test_resume_with_sparse_state_checkpoints(tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_buffered_output_keeps_full_order_log(tmp_path):
-    """Review regression: in output-dir (buffered) mode every round's
-    order delta must survive as its own file — an earlier version
-    overwrote one path per round, keeping only the final round."""
+    """Review regression: in output-dir (buffered) mode the COMPLETE
+    order log must survive to disk — an earlier version overwrote one
+    path per round, keeping only the final round.  (Deltas are now
+    buffered ~32k rows per file, so file count is bounded, not
+    per-round; completeness is the invariant.)"""
     import glob
 
     import pyarrow as pa
@@ -395,7 +397,7 @@ def test_buffered_output_keeps_full_order_log(tmp_path):
     )
     res = run_crawl(SF, cfg)
     files = sorted(glob.glob(out + "/order-*.parquet"))
-    assert len(files) == res.counters["rounds"]
+    assert files
     order = pa.concat_tables(pq.read_table(f) for f in files).sort_by("seq")
     ora = oracle_crawl(SF, cfg)
     got = list(zip(order.column("url").to_pylist(), order.column("depth").to_pylist()))
