@@ -47,6 +47,10 @@ def entry() -> Any:
 #   token_stats_bpe           -> token_stats (same documents scan)
 #   order_priority_revenue    -> revenue_by_nation + q1_lineitem
 #                                (same join+agg family on lineitem/orders)
+#   cdx_seed_frontier         -> cc_cdx_parse (same NDJSON parse)
+#   events_hopping_window     -> events_by_day (same events aggregate)
+#   doc_quality               -> token_stats (same scan) + curated_documents
+#                                (the curate flow recomputes the ratios)
 _YIELD_WINDOW_SLOT = (
     "sitemap_seed_frontier",
     "wayback_domain_age",
@@ -56,6 +60,9 @@ _YIELD_WINDOW_SLOT = (
     "anomalous_events_windowed",
     "token_stats_bpe",
     "order_priority_revenue",
+    "cdx_seed_frontier",
+    "events_hopping_window",
+    "doc_quality",
 )
 
 
@@ -295,6 +302,47 @@ SELECT url, n_anchors, performance_score, accessibility_score,
        ((performance_score + accessibility_score + best_practices_score)
         // 3 >= 70) AS audit_passed
 FROM s""",
+        "social_engagement_rollup": """
+WITH params AS (SELECT GREATEST(20, count(*) // 25)::BIGINT AS k FROM documents),
+kw AS (SELECT doc_id AS kw_id FROM documents WHERE doc_id < (SELECT k FROM params)),
+posts AS (
+  SELECT kw_id, p.p AS p, g.i AS i,
+         (10 + (17 * kw_id + 31 * g.i + 7 * p.p) % 991)::BIGINT AS engagement,
+         CASE (kw_id + g.i + p.p) % 3 WHEN 0 THEN 'positive' WHEN 1 THEN 'negative'
+              ELSE 'neutral' END AS sentiment
+  FROM kw CROSS JOIN generate_series(0, 2) p(p) CROSS JOIN generate_series(1, 7) g(i)
+  WHERE g.i < 4 + (kw_id + p.p) % 5)
+SELECT CASE p WHEN 0 THEN 'twitter' WHEN 1 THEN 'linkedin' ELSE 'reddit' END AS platform,
+       'kw' || kw_id AS keyword,
+       count(*)::BIGINT AS n_posts,
+       sum(engagement)::BIGINT AS total_engagement,
+       sum(CASE WHEN sentiment = 'positive' THEN 1 ELSE 0 END)::BIGINT AS n_positive
+FROM posts GROUP BY p, kw_id""",
+        "web3_content_index": """
+SELECT doc_id,
+       'Qm' || doc_id AS cid,
+       'IPFS_Content' AS content_type,
+       'https://ipfs.example/ipfs/Qm' || doc_id AS gateway_url,
+       length(text)::BIGINT AS size_chars,
+       substr(text, 1, 200) AS content_preview,
+       (1 + doc_id % 3)::BIGINT AS n_links_found
+FROM documents WHERE doc_id % 9 = 0""",
+        "content_gap_topics": """
+WITH params AS (SELECT GREATEST(5, count(*) // 50)::BIGINT AS h FROM documents),
+t AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+             (length(text) - length(replace(text, 'e', '')))::BIGINT AS n_e
+      FROM documents),
+tagged AS (
+  SELECT 'h' || (CASE WHEN doc_id % 37 = 0 THEN 0
+                      ELSE doc_id % (SELECT h FROM params) END) || '.example.com' AS host,
+         'topic_' || ((31 * n_chars + n_e) % 512) AS topic
+  FROM t),
+d AS (SELECT DISTINCT host, topic FROM tagged),
+covered AS (SELECT topic FROM d WHERE host = 'h1.example.com')
+SELECT host AS competitor_host, topic
+FROM d
+WHERE host IN ('h2.example.com', 'h3.example.com')
+  AND topic NOT IN (SELECT topic FROM covered)""",
         "customers_without_orders": """
 SELECT c_mktsegment,
        count(*)::BIGINT AS n_customers,

@@ -30,7 +30,7 @@ def _crawl_ordered(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from .pipelines import audit, curate, graph, relational, research, textdata
+    from .pipelines import audit, curate, graph, relational, research, social, textdata
     from .sources import cdx, serpkw, sitemap
 
     return {
@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # AI content scoring (T10) + technical audit job types
         "ai_content_scores": audit.ai_content_scores,
         "technical_audit": audit.technical_audit,
+        # social-media / web3 / content-gap job types
+        "social_engagement_rollup": social.social_engagement_rollup,
+        "web3_content_index": social.web3_content_index,
+        "content_gap_topics": social.content_gap_topics,
         # research / auxiliary operators
         "seo_metrics": research.seo_metrics,
         "domain_value_scores": research.domain_value_scores,

@@ -28,6 +28,9 @@ SIBLINGS = {
     "anomalous_events_windowed": "anomalous_events",
     "token_stats_bpe": "token_stats",
     "order_priority_revenue": "revenue_by_nation",
+    "cdx_seed_frontier": "cc_cdx_parse",
+    "events_hopping_window": "events_by_day",
+    "doc_quality": "token_stats",
 }
 
 
