@@ -51,7 +51,11 @@ def entry() -> Any:
 #   events_hopping_window     -> events_by_day (same events aggregate)
 #   doc_quality               -> token_stats (same scan) + curated_documents
 #                                (the curate flow recomputes the ratios)
+#   link_velocity             -> host_graph (same edges exchange keyed host;
+#                                the day-trunc path stays covered in-window
+#                                by events_by_day)
 _YIELD_WINDOW_SLOT = (
+    "link_velocity",
     "sitemap_seed_frontier",
     "wayback_domain_age",
     "link_health_audit",
@@ -343,6 +347,33 @@ SELECT host AS competitor_host, topic
 FROM d
 WHERE host IN ('h2.example.com', 'h3.example.com')
   AND topic NOT IN (SELECT topic FROM covered)""",
+        "full_seo_audit": graph_cte
+        + """,
+tech AS (
+  SELECT u.url,
+         (2 + u.doc_id % 4 + 3)::BIGINT AS n_anchors,
+         GREATEST(0, 100 - 5 * (2 + u.doc_id % 4 + 3))::BIGINT AS performance_score,
+         (60 + CASE WHEN u.doc_id % 3 = 0 THEN 25 ELSE 0 END + 15)::BIGINT
+           AS accessibility_score,
+         (50 + CASE WHEN u.doc_id % 7 = 0 THEN 30 ELSE 0 END
+             + CASE WHEN u.doc_id % 10 = 0 THEN 20 ELSE 0 END)::BIGINT
+           AS best_practices_score
+  FROM docurl u),
+tech2 AS (
+  SELECT *, ((performance_score + accessibility_score + best_practices_score)
+             // 3)::BIGINT AS audit_overall
+  FROM tech),
+bl AS (
+  SELECT source_url, count(*)::BIGINT AS n_broken_links
+  FROM edges
+  WHERE link_type NOT IN ('canonical', 'redirect') AND tdoc % 17 = 0
+  GROUP BY source_url)
+SELECT t.url, t.n_anchors, t.performance_score, t.accessibility_score,
+       t.best_practices_score, t.audit_overall,
+       (t.audit_overall >= 70) AS audit_passed,
+       COALESCE(bl.n_broken_links, 0)::BIGINT AS n_broken_links,
+       (t.audit_overall >= 70 AND COALESCE(bl.n_broken_links, 0) = 0) AS seo_healthy
+FROM tech2 t LEFT JOIN bl ON bl.source_url = t.url""",
         "customers_without_orders": """
 SELECT c_mktsegment,
        count(*)::BIGINT AS n_customers,

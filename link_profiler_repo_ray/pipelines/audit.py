@@ -38,7 +38,7 @@ from .. import ops
 from ..stages import AIScoreStage
 from . import graph
 
-__all__ = ["ai_content_scores", "technical_audit"]
+__all__ = ["ai_content_scores", "technical_audit", "full_seo_audit"]
 
 
 def ai_content_scores(sf_dir: str) -> rd.Dataset:
@@ -120,3 +120,65 @@ def technical_audit(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     return graph.pages_dataset(sf_dir, multiplier, columns=["url", "html"]).map_batches(
         audit, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+_TECH_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("n_anchors", pa.int64()),
+        ("performance_score", pa.int64()),
+        ("accessibility_score", pa.int64()),
+        ("best_practices_score", pa.int64()),
+        ("audit_overall", pa.int64()),
+        ("audit_passed", pa.bool_()),
+    ]
+)
+
+
+def full_seo_audit(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """The ``full_seo_audit`` job type (crawl_service.py:338-385):
+    technical audit + link-health audit composed per audited URL.
+
+    Both sub-audits are the already-tested pipelines; the composition
+    is one partitioned hash join keyed by url (no broadcast — both
+    sides are page-cardinality).  ``n_broken_links`` counts each
+    page's outbound links whose target resolves 404 under the corpus
+    convention (the link_health_audit operator's check); a page is
+    ``seo_healthy`` when it passes the technical audit AND has no
+    broken outbound links."""
+    tech = technical_audit(sf_dir, multiplier)
+    edges = graph.edges_dataset(sf_dir, multiplier)
+
+    def broken(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        tdoc = pl.col("target_url").str.extract(r"/doc/(\d+)$", 1).cast(pl.Int64)
+        df = df.filter(
+            ~pl.col("link_type").is_in(["canonical", "redirect"]) & (tdoc % 17 == 0)
+        )
+        return df.select("source_url").to_arrow()
+
+    per_page_broken = ops.hash_aggregate(
+        edges.map_batches(broken, batch_format="pyarrow", zero_copy_batch=True),
+        ["source_url"],
+        combine=[pl.len().cast(pl.Int64).alias("n_broken_links")],
+        merge=[pl.col("n_broken_links").sum()],
+    )
+    joined = ops.tagged_union_join(
+        tech,
+        per_page_broken,
+        "url",
+        "source_url",
+        how="left",
+        left_schema=_TECH_SCHEMA,
+        right_schema=pa.schema([("source_url", pa.string()), ("n_broken_links", pa.int64())]),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.with_columns(
+            pl.col("n_broken_links").fill_null(0)
+        ).with_columns(
+            (pl.col("audit_passed") & (pl.col("n_broken_links") == 0)).alias("seo_healthy")
+        ).to_arrow()
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

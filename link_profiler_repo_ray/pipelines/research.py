@@ -35,6 +35,7 @@ __all__ = [
     "top_valuable_domains",
     "expired_domain_finder",
     "link_health_audit",
+    "dns_enrichment",
 ]
 
 
@@ -594,4 +595,39 @@ def top_valuable_domains(sf_dir: str, k: int = 3, multiplier: int = 1) -> rd.Dat
         pre=lambda df: df.filter(pl.col("valuable")).select(
             ["target_host", "value_score"]
         ),
+    )
+
+
+# --- M14: DNS enrichment ----------------------------------------------------
+
+def dns_enrichment(sf_dir: str, doh_url: str | None = None) -> rd.Dataset:
+    """Per-host DNS records via the DoH client / simulated fallback
+    (services/domain_service.py:264-305; functions/dnsenrich.py).
+
+    In-sandbox the simulated path runs (no network); pass ``doh_url``
+    for live deployments — the actor-pool stage and output schema are
+    identical.  Records resolve once per host per actor (T6 cache in
+    the stage)."""
+    from ..functions.dnsenrich import DnsEnrichStage
+
+    n = ops.parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    h = max(5, n // 50)
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).filter(pl.col("doc_id") < h)
+        return df.select(
+            pl.concat_str(
+                [pl.lit("h"), pl.col("doc_id").cast(pl.Utf8), pl.lit(".example.com")]
+            ).alias("host")
+        ).to_arrow()
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        hosts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.map_batches(
+        DnsEnrichStage,
+        fn_constructor_kwargs={"doh_url": doh_url},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=ops.auto_concurrency(),
     )

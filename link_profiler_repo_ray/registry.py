@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # AI content scoring (T10) + technical audit job types
         "ai_content_scores": audit.ai_content_scores,
         "technical_audit": audit.technical_audit,
+        "full_seo_audit": audit.full_seo_audit,
         # social-media / web3 / content-gap job types
         "social_engagement_rollup": social.social_engagement_rollup,
         "web3_content_index": social.web3_content_index,
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enriched_edges": research.enriched_edges,
         "edge_snapshot_merge": research.edge_snapshot_merge,
         "domain_intelligence": research.domain_intelligence,
+        "dns_enrichment": research.dns_enrichment,
         "url_priority_scores": research.url_priority_scores,
         "top_valuable_domains": research.top_valuable_domains,
         # crawl core

@@ -39,15 +39,25 @@ USER_AGENT_POOL = [
 ]
 
 
-def ua_for_host(host: str) -> str:
+# Appended to every rotated UA so the crawler stays IDENTIFIABLE even
+# when presenting a browser-shaped identity (round-3 advice: rotation
+# without any bot marker is camouflage; robots rules are still
+# evaluated against the honest crawler token either way).  Hosts that
+# key robots/serving decisions on this token see a consistent story.
+BOT_SUFFIX = " (compatible; LinkProfilerRayBot)"
+
+
+def ua_for_host(host: str, identify_bot: bool = True) -> str:
     """The pool UA this host is pinned to (stable across actors/runs:
-    keyed by the same url_hash64 the frontier shards by)."""
+    keyed by the same url_hash64 the frontier shards by), with the
+    identifiable bot suffix appended unless explicitly disabled."""
     if not host:
         return USER_AGENT
     # int() BEFORE the modulo: numpy promotes uint64 % python-int to
     # float64, which silently mangles the high bits
     idx = int(can.url_hash64([host])[0]) % len(USER_AGENT_POOL)
-    return USER_AGENT_POOL[idx]
+    ua = USER_AGENT_POOL[idx]
+    return ua + BOT_SUFFIX if identify_bot else ua
 
 
 def headers_for_host(host: str) -> list[tuple[str, str]]:

@@ -372,7 +372,11 @@ def test_ua_rotation_per_domain_consistent():
         # per-domain stability: one UA across all requests, fetch
         # actors included, and it is the host's deterministic pin
         assert page_agents == {ua_for_host(host)}
-        assert ua_for_host(host) in USER_AGENT_POOL
+        # the presented UA is browser-shaped BUT identifiably a bot
+        from link_profiler_repo_ray.state.useragent import BOT_SUFFIX
+
+        assert ua_for_host(host).endswith(BOT_SUFFIX)
+        assert ua_for_host(host, identify_bot=False) in USER_AGENT_POOL
         # robots.txt is still fetched under the honest crawler UA (the
         # identity robots rules are evaluated against)
         robots_agents = {ua for p, ua in srv.agents if p == "/robots.txt"}

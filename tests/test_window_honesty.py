@@ -31,6 +31,7 @@ SIBLINGS = {
     "cdx_seed_frontier": "cc_cdx_parse",
     "events_hopping_window": "events_by_day",
     "doc_quality": "token_stats",
+    "link_velocity": "host_graph",
 }
 
 
