@@ -98,6 +98,17 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # actor sizing that fits tiny CPU budgets (scaling's low tier can
+    # be 2-4 CPUs when the shared host is starved): frontier shards
+    # reserve 0.25 CPU each, fetchers 1.0 each — the pool must fit or
+    # actor creation deadlocks
+    if NUM_CPUS >= 8:
+        n_shards = 8
+        n_fetchers = max(2, NUM_CPUS - 5)
+    else:
+        n_shards = 4
+        n_fetchers = max(1, NUM_CPUS - 1 - (n_shards + 3) // 4)
+
     def settle():
         # fair stage boundaries: release prior queries' object-store
         # refs and flush dirty pages so writeback of one stage's output
@@ -115,8 +126,6 @@ def run_bench() -> dict:
         return out
 
     # 1. the crawl itself: frontier + politeness + fetch + parse
-    n_shards = 8
-    n_fetchers = max(2, NUM_CPUS - 5)
     # politeness budget 32/host/round: high enough that compute, not
     # the logical politeness clock, bounds throughput (the budget is a
     # config knob; order-determinism vs the oracle is pytest-verified
@@ -283,7 +292,23 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N→4N tier picked from MEASURED host capacity: the shared host's
+    # effective parallelism swings between ~8 and 32+ cores.  Asking
+    # Ray for 32 CPUs when the host physically provides 10 cannot show
+    # a 4× speedup no matter how well the engine scales — the honest
+    # comparison requires the HIGH tier to fit inside what the host
+    # actually delivers, with ~25% headroom for Ray's own overheads
+    # (hi=16 needs cal>=20, hi=32 needs cal>=40).  Override with
+    # LPR_SCALING_LO/HI.
+    cal = effective_cores()
+    if "LPR_SCALING_LO" in os.environ:
+        lo, hi = int(os.environ["LPR_SCALING_LO"]), int(os.environ["LPR_SCALING_HI"])
+    elif cal >= 40:
+        lo, hi = 8, 32
+    elif cal >= 20:
+        lo, hi = 4, 16
+    else:
+        lo, hi = 2, 8
     k_pairs = int(os.environ.get("LPR_SCALING_PAIRS", "3"))
     pairs = []
     for _ in range(k_pairs):
@@ -311,6 +336,7 @@ def run_scaling() -> dict:
         "metric": "scaling efficiency N -> 4N (paired fresh processes, same input)",
         "cpus_lo": lo,
         "cpus_hi": hi,
+        "host_effective_cores_at_start": cal,
         "pairs": [
             {
                 "eff_total": p["eff_total"],
