@@ -54,7 +54,13 @@ def entry() -> Any:
 #   link_velocity             -> host_graph (same edges exchange keyed host;
 #                                the day-trunc path stays covered in-window
 #                                by events_by_day)
+#   top_anchors_referrers     -> link_profiles (same per-target edges rollup)
+#   clean_text                -> pii_scrub (same vectorized text-map shape
+#                                over documents; both regex families also
+#                                exercised by the curate flow's oracle tests)
 _YIELD_WINDOW_SLOT = (
+    "top_anchors_referrers",
+    "clean_text",
     "link_velocity",
     "sitemap_seed_frontier",
     "wayback_domain_age",
@@ -92,6 +98,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         **{k: v for k, v in qs.items() if k in with_oracle and k in _YIELD_WINDOW_SLOT},
         **{k: v for k, v in qs.items() if k not in with_oracle},
     }
+
+
+def _prospects_cte() -> str:
+    """Shared WITH-chain for the link-building prospect queries
+    (pipelines/prospects.py): synthetic SERP + edges + the closed-form
+    domain metrics, ending in a ``pros`` CTE holding one scored,
+    filtered prospect row (plus its ``hid`` for downstream rollups)."""
+    from link_profiler_repo_ray.sources.corpus import edges_cte, hosts_cte_body
+    from link_profiler_repo_ray.sources.serpkw import serp_cte
+
+    return (
+        "WITH "
+        + serp_cte()
+        + ","
+        + hosts_cte_body()
+        + ","
+        + edges_cte()
+        + """,
+s1 AS (
+  SELECT 'https://' || source_host AS prospect_url, source_host AS host,
+         TRUE AS links_to_competitor, FALSE AS ranks_for_keyword
+  FROM edges
+  GROUP BY source_host
+  HAVING bool_or(target_host IN ('h2.example.com', 'h3.example.com'))
+     AND NOT bool_or(target_host = 'h1.example.com')),
+s2 AS (
+  SELECT DISTINCT result_url AS prospect_url, result_host AS host,
+         FALSE AS links_to_competitor, TRUE AS ranks_for_keyword
+  FROM serp
+  WHERE result_host NOT IN ('h1.example.com', 'h2.example.com', 'h3.example.com')),
+merged AS (
+  SELECT prospect_url, min(host) AS host,
+         bool_or(links_to_competitor) AS links_to_competitor,
+         bool_or(ranks_for_keyword) AS ranks_for_keyword
+  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u
+  GROUP BY prospect_url),
+withmetrics AS (
+  SELECT *,
+         ((hid * 37 + 11) % 100)::BIGINT AS authority_score,
+         ((hid * 53 + 7) % 100)::BIGINT AS trust_score,
+         ((hid * 71 + 3) % 100)::BIGINT AS spam_score,
+         ((hid * 97 + 13) % 4000)::BIGINT AS age_days
+  FROM (SELECT *, CAST(regexp_extract(host, '^h(\\d+)\\.', 1) AS BIGINT) AS hid
+        FROM merged) m),
+pros AS (
+  SELECT prospect_url, host, hid, authority_score, trust_score, spam_score, age_days,
+         links_to_competitor, ranks_for_keyword,
+         GREATEST(0.0, LEAST(100.0,
+           authority_score * 0.5 + trust_score * 0.2 - spam_score * 0.3 + 10.0
+           + CASE WHEN age_days > 1095 THEN 5.0 ELSE 0.0 END
+           + CASE WHEN ranks_for_keyword THEN 15.0 ELSE 0.0 END
+           + CASE WHEN links_to_competitor THEN 10.0 ELSE 0.0 END)) AS score,
+         'identified' AS status
+  FROM withmetrics
+  WHERE authority_score >= 20 AND spam_score <= 30)"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -263,6 +325,24 @@ SELECT 'kw' || kw_id AS seed_keyword,
        sum(CASE WHEN competition_level = 'high' THEN 1 ELSE 0 END)::BIGINT
          AS n_high_competition
 FROM sug GROUP BY kw_id""",
+        "link_prospects": _prospects_cte()
+        + """
+SELECT prospect_url, host, authority_score, trust_score, spam_score, age_days,
+       links_to_competitor, ranks_for_keyword, score, status
+FROM pros""",
+        "outreach_campaign_stats": _prospects_cte()
+        + """,
+tagged AS (
+  SELECT hid, score,
+         (hid % 3 <> 2) AS contacted,
+         ((hid % 3 <> 2) AND (hid % 2 = 1)) AS replied
+  FROM pros)
+SELECT 'camp' || (hid % 2) AS campaign_id,
+       count(*)::BIGINT AS total_prospects,
+       sum(CASE WHEN contacted THEN 1 ELSE 0 END)::BIGINT AS contacts_made,
+       sum(CASE WHEN replied THEN 1 ELSE 0 END)::BIGINT AS replies_received,
+       sum(CASE WHEN replied AND score >= 60.0 THEN 1 ELSE 0 END)::BIGINT AS links_acquired
+FROM tagged GROUP BY 1""",
         "ai_content_scores": """
 WITH f AS (
   SELECT doc_id, length(text)::BIGINT AS n_chars,

@@ -840,6 +840,14 @@ class CrawlEngine:
             else [_split_corpus_file.remote(f, nf)]
             for f in corpus_files
         ]
+        # Barrier BEFORE creating the fetcher pool: on a tiny CPU
+        # budget (scaling's 2-CPU low tier) the shard + fetcher actors
+        # can reserve every CPU, and the split TASKS the fetcher
+        # __init__ blocks on would then never be scheduled — a
+        # resource deadlock.  fetch_local=False awaits completion
+        # without pulling the (large) slice objects to the driver.
+        flat = [r for refs in split_refs for r in refs]
+        ray.wait(flat, num_returns=len(flat), fetch_local=False)
         fetcher_cls = FetchParseActor.options(
             runtime_env={"env_vars": {"POLARS_MAX_THREADS": "2"}}
         )

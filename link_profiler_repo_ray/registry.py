@@ -30,7 +30,7 @@ def _crawl_ordered(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from .pipelines import audit, curate, graph, relational, research, social, textdata
+    from .pipelines import audit, curate, graph, prospects, relational, research, social, textdata
     from .sources import cdx, serpkw, sitemap
 
     return {
@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "social_engagement_rollup": social.social_engagement_rollup,
         "web3_content_index": social.web3_content_index,
         "content_gap_topics": social.content_gap_topics,
+        # link-building prospects + outreach campaign rollups
+        "link_prospects": prospects.link_prospects,
+        "outreach_campaign_stats": prospects.outreach_campaign_stats,
         # research / auxiliary operators
         "seo_metrics": research.seo_metrics,
         "domain_value_scores": research.domain_value_scores,

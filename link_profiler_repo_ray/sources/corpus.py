@@ -283,7 +283,14 @@ def hosts_cte() -> str:
     return """
 params AS (
   SELECT count(*)::BIGINT AS n, GREATEST(5, count(*) // 50)::BIGINT AS h FROM documents
-),
+),""" + hosts_cte_body()
+
+
+def hosts_cte_body() -> str:
+    """``hosts_cte`` minus the ``params`` CTE — for composition with
+    another fragment that already defines ``params`` (with at least
+    ``n`` and ``h`` columns, e.g. ``serpkw.serp_cte``)."""
+    return """
 dochost AS (
   SELECT doc_id,
          CASE WHEN doc_id % 37 = 0 THEN 0 ELSE doc_id % (SELECT h FROM params) END AS host_id

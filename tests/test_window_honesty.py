@@ -32,6 +32,8 @@ SIBLINGS = {
     "events_hopping_window": "events_by_day",
     "doc_quality": "token_stats",
     "link_velocity": "host_graph",
+    "top_anchors_referrers": "link_profiles",
+    "clean_text": "pii_scrub",
 }
 
 
