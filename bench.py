@@ -283,29 +283,40 @@ def run_scaling() -> dict:
     """
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LPR_BENCH_CUCKOO="0")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # Physical core fencing: ray.init(num_cpus=N) only bounds Ray's
+        # LOGICAL scheduling quota — per-task Arrow/polars helper
+        # threads happily spill onto idle host cores, so an unfenced
+        # low tier over-performs its quota and deflates measured
+        # efficiency.  taskset pins the whole process tree (Ray workers
+        # inherit affinity) to exactly N cores, making T_lo/T_hi a
+        # genuine hardware-parallelism ratio.
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if os.environ.get("LPR_SCALING_TASKSET", "1") == "1" and os.path.exists(
+            "/usr/bin/taskset"
+        ):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        res = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        if res.returncode != 0 or not res.stdout.strip():
+            sys.stderr.write(
+                f"scaling inner run (ncpu={ncpu}) rc={res.returncode}:\n"
+                + res.stderr[-2000:]
+            )
+            raise RuntimeError(f"inner bench failed at ncpu={ncpu}")
+        return json.loads(res.stdout.strip().splitlines()[-1])
 
     # N→4N tier picked from MEASURED host capacity: the shared host's
     # effective parallelism swings between ~8 and 32+ cores.  Asking
-    # Ray for 32 CPUs when the host physically provides 10 cannot show
-    # a 4× speedup no matter how well the engine scales — the honest
-    # comparison requires the HIGH tier to fit inside what the host
-    # actually delivers, with ~25% headroom for Ray's own overheads
-    # (hi=16 needs cal>=20, hi=32 needs cal>=40).  Override with
-    # LPR_SCALING_LO/HI.
+    # for 32 cores when the host physically provides 10 cannot show a
+    # 4× speedup no matter how well the engine scales — the honest
+    # comparison requires the HIGH tier's core mask to fit inside what
+    # the host actually delivers (with a small margin for the driver
+    # and OS).  Override with LPR_SCALING_LO/HI.
     cal = effective_cores()
     if "LPR_SCALING_LO" in os.environ:
         lo, hi = int(os.environ["LPR_SCALING_LO"]), int(os.environ["LPR_SCALING_HI"])
-    elif cal >= 40:
+    elif cal >= 34:
         lo, hi = 8, 32
-    elif cal >= 20:
+    elif cal >= 17:
         lo, hi = 4, 16
     else:
         lo, hi = 2, 8
