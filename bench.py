@@ -325,11 +325,24 @@ def run_scaling() -> dict:
     for _ in range(k_pairs):
         r_lo = run(lo)
         r_hi = run(hi)
+        # hardware-normalized efficiency: each inner run measures the
+        # effective parallelism its core mask ACTUALLY delivered (host
+        # steal routinely eats 25-60% of the hi tier's mask on this
+        # shared box), so speedup / delivered-core-ratio isolates the
+        # engine's scaling from the host's weather.  Raw eff_* keeps
+        # the nominal N->4N denominator for comparability.
+        hw_ratio = None
+        ec_lo, ec_hi = r_lo.get("effective_cores"), r_hi.get("effective_cores")
+        if ec_lo and ec_hi:
+            hw_ratio = ec_hi / ec_lo
         pairs.append(
             {
                 "lo": r_lo,
                 "hi": r_hi,
                 "eff_total": round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3),
+                "eff_total_hw": round((r_lo["value"] / r_hi["value"]) / hw_ratio, 3)
+                if hw_ratio
+                else None,
                 "eff_crawl": round(
                     (r_lo["queries"]["crawl"] / r_hi["queries"]["crawl"]) / (hi / lo), 3
                 ),
@@ -337,9 +350,17 @@ def run_scaling() -> dict:
                     (r_lo["queries"]["crawl_bfs"] / r_hi["queries"]["crawl_bfs"]) / (hi / lo),
                     3,
                 ),
+                "eff_bfs_hw": round(
+                    (r_lo["queries"]["crawl_bfs"] / r_hi["queries"]["crawl_bfs"]) / hw_ratio,
+                    3,
+                )
+                if hw_ratio
+                else None,
             }
         )
     med = sorted(p["eff_total"] for p in pairs)[len(pairs) // 2]
+    hw_effs = sorted(p["eff_total_hw"] for p in pairs if p["eff_total_hw"])
+    med_hw = hw_effs[len(hw_effs) // 2] if hw_effs else None
     best = max(pairs, key=lambda p: p["eff_total"])
     best_lo = min((p["lo"] for p in pairs), key=lambda r: r["value"])
     best_hi = min((p["hi"] for p in pairs), key=lambda r: r["value"])
@@ -351,8 +372,10 @@ def run_scaling() -> dict:
         "pairs": [
             {
                 "eff_total": p["eff_total"],
+                "eff_total_hw": p["eff_total_hw"],
                 "eff_crawl": p["eff_crawl"],
                 "eff_bfs": p["eff_bfs"],
+                "eff_bfs_hw": p["eff_bfs_hw"],
                 "sec_lo": p["lo"]["value"],
                 "sec_hi": p["hi"]["value"],
                 "effective_cores_lo": p["lo"].get("effective_cores"),
@@ -362,6 +385,8 @@ def run_scaling() -> dict:
         ],
         "scaling_efficiency_total": best["eff_total"],
         "scaling_efficiency_total_median": med,
+        "scaling_efficiency_total_hw_median": med_hw,
+        "scaling_efficiency_total_hw_best": hw_effs[-1] if hw_effs else None,
         "scaling_efficiency_crawl": best["eff_crawl"],
         "scaling_efficiency_crawl_bfs": best["eff_bfs"],
         "sec_lo": best_lo["value"],
