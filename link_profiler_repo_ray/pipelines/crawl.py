@@ -481,12 +481,21 @@ class FetchParseActor:
         h = tbl.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
         perm = np.argsort(h, kind="stable")
         self._hash_sorted = h[perm]
-        sorted_tbl = (
-            tbl.select(["url", "warc_ts", "html", "lang"])
-            .take(pa.array(perm))
-            .combine_chunks()
+        # html must be LARGE binary (64-bit offsets) before the
+        # single-chunk reorder: a fetcher's slice of a multi-million
+        # page corpus exceeds the 2 GB an int32-offset array can hold,
+        # and take/combine_chunks dies with "offset overflow while
+        # concatenating arrays" (hit at 2M pages x 1 fetcher).  The
+        # cast is per-chunk (no concat), so it cannot itself overflow;
+        # per-batch probe outputs stay regular binary.
+        sel = tbl.select(["url", "warc_ts", "html", "lang"])
+        sel = sel.set_column(
+            sel.schema.get_field_index("html"),
+            pa.field("html", pa.large_binary()),
+            sel.column("html").cast(pa.large_binary()),
         )
-        del tbl, resolved
+        sorted_tbl = sel.take(pa.array(perm)).combine_chunks()
+        del tbl, sel, resolved
         # plasma round-trip: the sorted copy lives in shared memory,
         # not this actor's heap; the constructor-arg refs are released
         # by the engine once every actor reports ready
