@@ -59,6 +59,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -400,6 +401,12 @@ def _parse_and_emit(
             by_shard = cand.take(pa.array(order))
             bounds = np.searchsorted(sid[order], np.arange(int(ns) + 1))
             stage_refs = []
+            # candidate slices are passed INLINE (small tables), not as
+            # a shared ray.put ref: a ref owned by this (busy) fetch
+            # actor forces each staging task through owner-mediated
+            # location resolution, which stalls until this actor is
+            # next responsive — measured +8 ms on the round's settle
+            # barrier (round-4 A/B)
             for s in range(int(ns)):
                 lo, hi = int(bounds[s]), int(bounds[s + 1])
                 if hi > lo:
@@ -617,6 +624,73 @@ class FetchParseActor:
         )
         self.busy_s += _time.perf_counter() - _t0
         return out
+
+    def fetch_parse_fused(
+        self,
+        fid: int,
+        nf: int,
+        batch_size: int,
+        persist_dir: str | None,
+        shard_tag: str,
+        collect_edges: bool,
+        buffered: bool,
+        *admit_tables: pa.Table,
+    ):
+        """Fused-wave entry: the driver passes every shard's admitted
+        table as an ObjectRef argument, so this task starts the moment
+        the LAST shard finishes admission — no driver round trip
+        between the admit and fetch waves.  Row selection replicates
+        the classic path exactly: global order = concat in shard order
+        → robots-allowed only → sort by (priority, depth, host, url);
+        this actor owns rows with ``url_hash % nf == fid`` (its corpus
+        replay slice), processed in global-sorted order so the driver
+        can scatter statuses back by position alone."""
+        parts = [t for t in admit_tables if t is not None and t.num_rows]
+        metas: list[pa.Table] = []
+        edges_out: list[pa.Table] = []
+        stage_refs: list = []
+        if parts:
+            cat = pa.concat_tables(parts)
+            allowed = cat.column("allowed").to_numpy(zero_copy_only=False)
+            h = cat.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            own = np.flatnonzero(
+                allowed & ((h % np.uint64(nf)).astype(np.int64) == fid)
+            )
+            if len(own):
+                sub = cat.take(pa.array(own))
+                order = pc.sort_indices(
+                    sub,
+                    sort_keys=[
+                        ("priority", "ascending"),
+                        ("depth", "ascending"),
+                        ("host", "ascending"),
+                        ("url", "ascending"),
+                    ],
+                )
+                sub = sub.take(order)
+                tab = sub.select([f.name for f in schemas.FRONTIER]).cast(schemas.FRONTIER)
+                for start in range(0, tab.num_rows, batch_size):
+                    chunk = tab.slice(start, batch_size)
+                    m, _, e, refs = self.fetch_parse(
+                        chunk, persist_dir, shard_tag, collect_edges, buffered
+                    )
+                    metas.append(m)
+                    stage_refs.extend(refs)
+                    if e is not None and e.num_rows:
+                        edges_out.append(e)
+        meta = (
+            pa.concat_tables(metas)
+            if metas
+            else pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "status": pa.array([], pa.int16()),
+                    "latency": pa.array([], pa.float64()),
+                }
+            )
+        )
+        edges = pa.concat_tables(edges_out) if edges_out else None
+        return meta, None, edges, stage_refs
 
 
 def _route_chunks(table: pa.Table, num_shards: int, batch_size: int):
@@ -923,6 +997,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
 
     counters = {
         "t_admit": 0.0,
+        "t_admit_rpc": 0.0,
         "t_fetch": 0.0,
         "t_expand": 0.0,
         "t_order": 0.0,
@@ -1053,7 +1128,231 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         stats_prev = dict(counters)
 
     round_no = start_round
-    while True:
+
+    # --- fused-wave fast path -------------------------------------------
+    # When no driver-side decision sits between admission and fetching
+    # (no global max_pages budget to truncate, no per-round checkpoint
+    # writes, logical clock, replay transport), each round's admit→fetch
+    # dependency can resolve entirely in the Ray scheduler: the shards'
+    # admitted tables are handed to the fetch tasks as ObjectRef
+    # arguments, the politeness clock self-confirms inside admission,
+    # and ALL driver bookkeeping (counters, order log, stats) runs
+    # while the actors execute.  This removes two driver round trips +
+    # ~10 ms of driver-side polars from every round's critical path —
+    # the politeness crawl is round-latency-bound (per-round admitted
+    # size is budget-capped, so rounds scale with corpus size and the
+    # per-round floor IS the throughput ceiling; round-4 stage-timer
+    # profile).  On a multi-node cluster this is also the correct
+    # topology: admitted rows flow shard→object store→fetcher without
+    # ever crossing the driver.
+    fused = (
+        cfg.max_pages is None
+        and cfg.checkpoint_dir is None
+        and not wall_clock
+        and cfg.fetch_mode != "real"
+    )
+    if fused:
+        nf = cfg.num_fetchers
+        persist_dir = cfg.output_dir
+        buffered = persist_dir is not None
+        bs = max(512, cfg.fetch_batch_size)
+        # candidate flushes are submitted fire-and-forget right after
+        # the settle barrier (per-actor FIFO orders them before the
+        # next admit on each shard) and their discovery counters are
+        # collected here, one round later, OFF the critical path — the
+        # merge itself ran while the driver was submitting this round's
+        # waves, so admission never waits on it
+        flush_refs: list = []
+        while True:
+            _t = _time.perf_counter()
+            admit_pairs = [
+                s.admit_fused.options(num_returns=2).remote(round_no, False)
+                for s in shards
+            ]
+            table_refs = [p[0] for p in admit_pairs]
+            fetch_futs = [
+                fetchers[f].fetch_parse_fused.remote(
+                    f,
+                    nf,
+                    bs,
+                    persist_dir,
+                    f"{f:03d}",
+                    cfg.collect_edges,
+                    buffered,
+                    *table_refs,
+                )
+                for f in range(nf)
+            ]
+            # everything below up to the fetch ray.get overlaps the
+            # actors' admit+fetch execution
+            if flush_refs:
+                for n_new, n_dup, newly in ray.get(flush_refs):
+                    counters["discovered"] += n_new + n_dup
+                    counters["dedup_hits"] += n_dup
+                    counters["frontier_ops"] += n_new + n_dup
+                    seen_urls.extend(newly)
+                flush_refs = []
+            admit_meta = ray.get([p[1] for p in admit_pairs])
+            counters["t_admit_rpc"] += _time.perf_counter() - _t
+            for fs, nr, ws, n_new, n_dup, newly in admit_meta:
+                counters["discovered"] += n_new + n_dup
+                counters["dedup_hits"] += n_dup
+                counters["frontier_ops"] += n_new + n_dup
+                seen_urls.extend(newly)
+            if stats_fh is not None and pending_stats_round is not None:
+                _emit_round_stats(stats_fh, pending_stats_round, counters, stats_prev)
+                stats_prev = dict(counters)
+            pending_stats_round = None
+            admit_tables = ray.get(table_refs)
+            admitted_parts = [t for t in admit_tables if t.num_rows]
+            rest_sizes = sum(fs for fs, *_ in admit_meta)
+            if not admitted_parts:
+                ray.get(fetch_futs)  # no-op wave (empty inputs)
+                if rest_sizes == 0:
+                    break
+                nxt = min(nr for (fs, nr, *_) in admit_meta if fs > 0)
+                round_no = max(round_no + 1, nxt)
+                if round_no - start_round > 10_000_000:
+                    raise RuntimeError("crawl failed to make progress")
+                continue
+            admitted = (
+                pl.from_arrow(pa.concat_tables(admitted_parts))
+                .sort(["priority", "depth", "host", "url"])
+            )
+            counters["frontier_ops"] += admitted.height
+            denied = int((~admitted.get_column("allowed")).sum())
+            counters["robots_denied"] += denied
+            admitted = admitted.filter(pl.col("allowed")).drop("allowed")
+            counters["t_admit"] += _time.perf_counter() - _t
+            if admitted.height == 0:
+                ray.get(fetch_futs)
+                counters["rounds"] += 1
+                pending_stats_round = round_no  # an all-denied round is still a round
+                round_no += 1
+                continue
+            n_adm = admitted.height
+            owner = (
+                admitted.get_column("url_hash").to_numpy().astype(np.uint64)
+                % np.uint64(nf)
+            ).astype(np.int64)
+
+            _t = _time.perf_counter()
+            results = ray.get(fetch_futs)
+            counters["t_fetch"] += _time.perf_counter() - _t
+
+            _t = _time.perf_counter()
+            metas = [m for m, _, _, _ in results]
+            edges_list = [e for _, _, e, _ in results if e is not None and e.num_rows]
+            stage_refs = [r for _, _, _, refs in results for r in refs]
+            st_all = np.zeros(n_adm, dtype=np.int64)
+            lat_all = np.zeros(n_adm, dtype=np.float64)
+            for f in range(nf):
+                idx = np.flatnonzero(owner == f)
+                m = metas[f]
+                if m.num_rows != len(idx):  # invariant, never expected
+                    raise RuntimeError(
+                        f"fused scatter mismatch: fetcher {f} returned "
+                        f"{m.num_rows} rows for {len(idx)} admitted"
+                    )
+                if len(idx):
+                    st_all[idx] = m.column("status").to_numpy()
+                    lat_all[idx] = m.column("latency").to_numpy()
+            retryable = (st_all >= 500) | (st_all == 408)
+            counters["pages_fetched"] += int((~retryable).sum())
+            counters["fetch_misses"] += int((st_all == 404).sum())
+            counters["fetch_errors"] += int(retryable.sum())
+
+            joined = admitted.with_columns(
+                pl.Series("status", st_all, dtype=pl.Int16),
+                pl.Series("latency", lat_all, dtype=pl.Float64),
+            )
+            order_delta = pa.table(
+                {
+                    "seq": pa.array(range(seq, seq + n_adm), pa.int64()),
+                    "round": pa.array([round_no] * n_adm, pa.int32()),
+                    "url": joined.get_column("url").to_arrow(),
+                    "host": joined.get_column("host").to_arrow(),
+                    "depth": joined.get_column("depth").to_arrow(),
+                    "priority": joined.get_column("priority").to_arrow(),
+                    "status": joined.get_column("status").to_arrow(),
+                }
+            )
+            seq += n_adm
+            if cfg.resolved_collect_order():
+                order_parts.append(order_delta)
+            elif persist_dir is not None:
+                order_buf.append(order_delta)
+                order_buf_rows += n_adm
+                if order_buf_rows >= 32_768:
+                    os.makedirs(persist_dir, exist_ok=True)
+                    pq.write_table(
+                        pa.concat_tables(order_buf),
+                        os.path.join(persist_dir, f"order-{order_buf_seq:05d}.parquet"),
+                    )
+                    order_buf, order_buf_rows = [], 0
+                    order_buf_seq += 1
+
+            retry_futures = []
+            if bool(retryable.any()):
+                failed = joined.filter(
+                    (pl.col("status") >= 500) | (pl.col("status") == 408)
+                )
+                counters["dead_lettered"] += failed.filter(
+                    pl.col("retries") + 1 > cfg.max_retries
+                ).height
+                retry = (
+                    failed.filter(pl.col("retries") + 1 <= cfg.max_retries)
+                    .with_columns(
+                        pl.min_horizontal(
+                            pl.lit(schemas.PRIORITY_LOW), pl.col("priority") + 1
+                        ).cast(pl.Int8).alias("priority"),
+                        (pl.col("retries") + 1).cast(pl.Int8).alias("retries"),
+                    )
+                    .select(["url", "url_hash", "host", "priority", "depth", "retries"])
+                )
+                for sid, sub in frontier.route(retry, "host"):
+                    retry_futures.append(shards[sid].insert_retries.remote(sub.to_arrow()))
+            if cfg.breaker_enabled or cfg.politeness_mode == "adaptive":
+                breaker_dirty = breaker_dirty or bool(retryable.any())
+                if breaker_dirty or cfg.politeness_mode == "adaptive":
+                    for sid, sub in frontier.route(joined, "host"):
+                        retry_futures.append(
+                            shards[sid].record_outcomes.remote(
+                                round_no,
+                                sub.select(["host", "status", "latency"]).to_arrow(),
+                            )
+                        )
+            counters["t_order"] += _time.perf_counter() - _t
+
+            if edges_list:
+                edges_parts.extend(edges_list)
+
+            _t = _time.perf_counter()
+            ray.get(stage_refs + retry_futures)
+            counters["t_expand"] += _time.perf_counter() - _t
+            counters["rounds"] += 1
+            # all of this round's staged candidates have landed (stage
+            # barrier above); merge them into the frontiers NOW, in the
+            # shards, while the driver submits the next round — FIFO
+            # per actor pair guarantees the flush precedes next admit
+            flush_refs = [s.flush_candidates.remote() for s in shards]
+
+            will_stop = cfg.stop_after_round is not None and round_no >= cfg.stop_after_round
+            if will_stop:
+                for n_new, n_dup, newly in ray.get(flush_refs):
+                    counters["discovered"] += n_new + n_dup
+                    counters["dedup_hits"] += n_dup
+                    counters["frontier_ops"] += n_new + n_dup
+                    seen_urls.extend(newly)
+                flush_refs = []
+                if stats_fh is not None:
+                    _emit_round_stats(stats_fh, round_no, counters, stats_prev)
+                    stats_prev = dict(counters)
+                break
+            pending_stats_round = round_no
+            round_no += 1
+
+    while not fused:
         if cfg.max_pages is not None and counters["pages_fetched"] >= cfg.max_pages:
             break
         remaining = (
@@ -1067,6 +1366,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         # the shard dumps already contain the round's discoveries.
         _t = _time.perf_counter()
         admit_out = ray.get([s.admit.remote(round_no, lazy_flush) for s in shards])
+        counters["t_admit_rpc"] += _time.perf_counter() - _t
         for _, _, _, _, n_new, n_dup, newly in admit_out:
             counters["discovered"] += n_new + n_dup
             counters["dedup_hits"] += n_dup
@@ -1339,6 +1639,11 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
     shard_sizes = ray.get([s.sizes.remote() for s in shards])
     counters["seen_total"] = sum(n for _, n in shard_sizes)
     counters["frontier_remaining"] = sum(f for f, _ in shard_sizes)
+    # admit-wave attribution: the wave's wall cost per round is the MAX
+    # shard's in-actor time, so the max totals are what bound t_admit
+    shard_perf = ray.get([s.perf_stats.remote() for s in shards])
+    for k in shard_perf[0] if shard_perf else ():
+        counters[f"shard_{k}_max"] = round(max(p[k] for p in shard_perf), 3)
     if cfg.breaker_enabled:
         stats = ray.get([s.breaker_stats.remote() for s in shards])
         counters["breaker_opens"] = sum(x["opens"] for x in stats)

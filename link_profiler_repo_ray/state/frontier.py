@@ -269,6 +269,13 @@ class FrontierShard:
             self.limiter = None
         self._pending: pl.DataFrame | None = None  # admitted, awaiting confirm
         self._staged: list[pa.Table] = []  # candidate tables pushed by fetch actors
+        # in-actor seconds per admit segment (A8 fleet-stats shape; the
+        # admit wave is the crawl's per-round serial floor, so knowing
+        # which segment dominates is what makes it optimizable)
+        self.perf = {"t_flush": 0.0, "t_elig": 0.0, "t_sortcap": 0.0, "t_robots": 0.0}
+
+    def perf_stats(self) -> dict:
+        return dict(self.perf)
 
     def _delay_rounds(self, host: str) -> int:
         d = self.robots.crawl_delay_rounds(host)
@@ -298,8 +305,14 @@ class FrontierShard:
         self.frontier = pl.concat([self.frontier, rows])
         return newly
 
-    def stage_candidates(self, table: pa.Table) -> None:
+    def stage_candidates(
+        self, table: pa.Table, off: int | None = None, length: int | None = None
+    ) -> None:
         """Buffer a fetch actor's candidate table for this round.
+
+        ``(off, length)`` select this shard's rows out of a fetch
+        batch's shard-sorted candidate table, shipped once via plasma
+        and shared by every shard's staging call (zero-copy slice).
 
         Fetch actors push their per-batch (target_url, host, depth)
         candidates here directly (actor→actor) — the driver never
@@ -312,8 +325,27 @@ class FrontierShard:
         (exactly as the oracle does).  The driver guarantees the
         happens-before: it waits on the staging ObjectRefs returned by
         the fetch actors before sending the next admit/flush RPC.
+
+        Staged tables are opportunistically PRE-REDUCED here (distinct
+        target_url, min depth) while the round's other fetch chunks are
+        still executing — this actor is otherwise idle during the fetch
+        wave, and the admit-time flush (which gates the NEXT round's
+        fetch start in the fused loop) then touches an already-small
+        table.  Safe because min-depth is associative/commutative and
+        host is a pure function of target_url, so incremental reduction
+        commutes with the batch reduction the flush performs.
         """
+        if off is not None:
+            table = table.slice(off, length)
         self._staged.append(table)
+        if len(self._staged) >= 4:
+            merged = pa.concat_tables(self._staged)
+            red = (
+                pl.from_arrow(merged)
+                .group_by("target_url")
+                .agg(pl.col("host").first(), pl.col("depth").min())
+            )
+            self._staged = [red.to_arrow().cast(merged.schema)]
 
     def flush_candidates(self) -> tuple[int, int, list[str]]:
         staged = self._staged
@@ -388,8 +420,11 @@ class FrontierShard:
         """
         n_new = n_dup = 0
         newly: list[str] = []
+        _t0 = time.perf_counter()
         if flush:
             n_new, n_dup, newly = self.flush_candidates()
+        _t1 = time.perf_counter()
+        self.perf["t_flush"] += _t1 - _t0
         f = self.frontier
         if f.height == 0:
             return (
@@ -469,6 +504,8 @@ class FrontierShard:
                 )
                 if len(eligible_hosts) < len(hosts) and waiting:
                     next_round = min(waiting)
+            _t2 = time.perf_counter()
+            self.perf["t_elig"] += _t2 - _t1
             elig = f.filter(pl.col("host").is_in(eligible_hosts))
             rest = f.filter(~pl.col("host").is_in(eligible_hosts))
             elig = elig.sort(["priority", "depth", "url"]).with_columns(
@@ -477,6 +514,7 @@ class FrontierShard:
             admitted = elig.filter(pl.col("_rank") <= self.max_per_host).drop("_rank")
             overflow = elig.filter(pl.col("_rank") > self.max_per_host).drop("_rank")
             self.frontier = pl.concat([rest, overflow])
+            self.perf["t_sortcap"] += time.perf_counter() - _t2
         else:
             if blocked:
                 admitted = f.filter(~pl.col("host").is_in(blocked)).sort(
@@ -491,6 +529,7 @@ class FrontierShard:
                 next_round = round_no + 1
 
         # robots evaluated here, annotated for the driver (§3.1)
+        _t3 = time.perf_counter()
         hosts_l = admitted.get_column("host").to_list()
         urls_l = admitted.get_column("url").to_list()
         if self.robots_fetch_timeout is not None:
@@ -521,6 +560,7 @@ class FrontierShard:
         mask = self.robots.allowed_batch(hosts_l, urls_l)
         admitted = admitted.with_columns(pl.Series("allowed", np.asarray(mask, dtype=bool)))
         self._pending = admitted
+        self.perf["t_robots"] += time.perf_counter() - _t3
         return (
             admitted.to_arrow(),
             self.frontier.height,
@@ -530,6 +570,23 @@ class FrontierShard:
             n_dup,
             newly,
         )
+
+    def admit_fused(self, round_no: int, flush: bool = False):
+        """Admission for the driver's fused-wave loop (num_returns=2).
+
+        Returns the admitted table as its OWN return value so the
+        driver can hand the ObjectRef straight to the fetch actors —
+        the round's admit→fetch dependency resolves in the Ray
+        scheduler, never round-tripping through the driver.  Because
+        the fused loop runs only when there is no global ``max_pages``
+        budget (no driver-side truncation can reject rows after the
+        fact), the politeness clock is confirmed HERE, atomically with
+        admission — the separate ``confirm`` RPC disappears from the
+        round's critical path.
+        """
+        out = self.admit(round_no, flush)
+        self.confirm(round_no, None)
+        return out[0], out[1:]
 
     def confirm(self, round_no: int, rejected: pa.Table | None = None) -> None:
         """Finalize the round: reinsert budget-rejected rows, mark the
