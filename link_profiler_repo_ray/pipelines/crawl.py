@@ -514,6 +514,7 @@ class FetchParseActor:
         self._attempted: set[str] = set()
         self.collisions = 0  # 64-bit hash collisions observed in probes
         self.busy_s = 0.0  # cumulative in-actor fetch_parse seconds (A8)
+        self.fused_s = 0.0  # cumulative fetch_parse_fused wall (incl. selection)
         self.persister = _PersistBuffer()
 
     def ready(self) -> int:
@@ -523,7 +524,11 @@ class FetchParseActor:
         self.persister.flush()
 
     def perf_stats(self) -> dict:
-        return {"busy_s": self.busy_s, "collisions": self.collisions}
+        return {
+            "busy_s": self.busy_s,
+            "fused_s": self.fused_s,
+            "collisions": self.collisions,
+        }
 
     def fetch_parse(
         self,
@@ -645,6 +650,9 @@ class FetchParseActor:
         this actor owns rows with ``url_hash % nf == fid`` (its corpus
         replay slice), processed in global-sorted order so the driver
         can scatter statuses back by position alone."""
+        import time as _time
+
+        _tf0 = _time.perf_counter()
         parts = [t for t in admit_tables if t is not None and t.num_rows]
         metas: list[pa.Table] = []
         edges_out: list[pa.Table] = []
@@ -690,6 +698,7 @@ class FetchParseActor:
             )
         )
         edges = pa.concat_tables(edges_out) if edges_out else None
+        self.fused_s += _time.perf_counter() - _tf0
         return meta, None, edges, stage_refs
 
 
@@ -1635,6 +1644,8 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
     # to look at when pages/sec drops (round-3 verdict item 1)
     fetch_perf = ray.get([f.perf_stats.remote() for f in fetchers])
     counters["fetch_busy_s"] = round(sum(p["busy_s"] for p in fetch_perf), 3)
+    counters["fetch_fused_s"] = round(sum(p.get("fused_s", 0.0) for p in fetch_perf), 3)
+    counters["fetch_fused_max_s"] = round(max(p.get("fused_s", 0.0) for p in fetch_perf), 3)
     counters["hash_collisions"] = sum(p["collisions"] for p in fetch_perf)
     shard_sizes = ray.get([s.sizes.remote() for s in shards])
     counters["seen_total"] = sum(n for _, n in shard_sizes)

@@ -285,6 +285,24 @@ class FrontierShard:
 
     # --- ingest ----------------------------------------------------------
 
+    def _append_sorted(self, rows: pl.DataFrame) -> None:
+        """Append rows, restoring the frontier's SORTED invariant.
+
+        The frontier is kept globally sorted by (priority, depth, url)
+        at all times, so admission — the crawl's per-round serial floor
+        — never sorts: eligibility filtering and per-host capping are
+        order-preserving scans.  The O(F log F) work happens HERE, at
+        insertion, which the fused driver loop overlaps with its own
+        submission bookkeeping (and which amortizes per discovered row
+        instead of recurring every round over the whole frontier — at
+        10^10-URL shards a per-round full sort was the scale defect).
+        """
+        if rows.height == 0:
+            return
+        self.frontier = pl.concat([self.frontier, rows]).sort(
+            ["priority", "depth", "url"]
+        )
+
     def insert_seeds(self, table: pa.Table) -> list[str]:
         """Seed rows (url, url_hash, host, priority); dedups via seen."""
         df = pl.from_arrow(table)
@@ -302,7 +320,7 @@ class FrontierShard:
             pl.lit(0).cast(pl.Int16).alias("depth"),
             pl.lit(0).cast(pl.Int8).alias("retries"),
         )
-        self.frontier = pl.concat([self.frontier, rows])
+        self._append_sorted(rows)
         return newly
 
     def stage_candidates(
@@ -388,12 +406,12 @@ class FrontierShard:
             )
         )
         if fresh.height:
-            self.frontier = pl.concat([self.frontier, fresh])
+            self._append_sorted(fresh)
         return n_new, n_dup, newly_urls
 
     def insert_retries(self, table: pa.Table) -> None:
         df = pl.from_arrow(table).select(list(_FRONTIER_POLARS_SCHEMA))
-        self.frontier = pl.concat([self.frontier, df.cast(_FRONTIER_POLARS_SCHEMA)])
+        self._append_sorted(df.cast(_FRONTIER_POLARS_SCHEMA))
 
     # --- admission -------------------------------------------------------
 
@@ -506,25 +524,33 @@ class FrontierShard:
                     next_round = min(waiting)
             _t2 = time.perf_counter()
             self.perf["t_elig"] += _t2 - _t1
-            elig = f.filter(pl.col("host").is_in(eligible_hosts))
-            rest = f.filter(~pl.col("host").is_in(eligible_hosts))
-            elig = elig.sort(["priority", "depth", "url"]).with_columns(
+            # the frontier is sorted by (priority, depth, url) as an
+            # invariant (_append_sorted), so eligibility filtering and
+            # the per-host cap are order-preserving scans — no sort on
+            # the admission critical path.  The remainder (ineligible ∪
+            # overflow) is one anti-filter of the sorted frame, which
+            # keeps the invariant.
+            f2 = f.with_row_index("_i")
+            elig = f2.filter(pl.col("host").is_in(eligible_hosts))
+            adm = elig.with_columns(
                 pl.col("url").cum_count().over("host").alias("_rank")
-            )
-            admitted = elig.filter(pl.col("_rank") <= self.max_per_host).drop("_rank")
-            overflow = elig.filter(pl.col("_rank") > self.max_per_host).drop("_rank")
-            self.frontier = pl.concat([rest, overflow])
+            ).filter(pl.col("_rank") <= self.max_per_host)
+            keep = np.ones(f.height, dtype=bool)
+            keep[adm.get_column("_i").to_numpy()] = False
+            admitted = adm.drop(["_rank", "_i"])
+            self.frontier = f.filter(pl.Series(keep))
             self.perf["t_sortcap"] += time.perf_counter() - _t2
         else:
+            # BFS mode rides the same sorted invariant: the whole
+            # frontier (minus breaker-blocked hosts) IS the admitted
+            # set, already in (priority, depth, url) order
             if blocked:
-                admitted = f.filter(~pl.col("host").is_in(blocked)).sort(
-                    ["priority", "depth", "url"]
-                )
+                admitted = f.filter(~pl.col("host").is_in(blocked))
                 self.frontier = f.filter(pl.col("host").is_in(blocked))
                 next_round = breaker_next if breaker_next is not None else round_no + 1
                 next_round = max(next_round, round_no + 1)
             else:
-                admitted = f.sort(["priority", "depth", "url"])
+                admitted = f
                 self.frontier = _empty_frontier_df()
                 next_round = round_no + 1
 
@@ -601,7 +627,7 @@ class FrontierShard:
                 _FRONTIER_POLARS_SCHEMA
             )
             rejected_urls = set(rej.get_column("url").to_list())
-            self.frontier = pl.concat([self.frontier, rej])
+            self._append_sorted(rej)
         if self.politeness and pending.height:
             fetched = pending.filter(pl.col("allowed"))
             if rejected_urls:
@@ -710,7 +736,13 @@ class FrontierShard:
         breaker: pa.Table | None = None,
         limiter: pa.Table | None = None,
     ) -> None:
-        self.frontier = pl.from_arrow(frontier).cast(_FRONTIER_POLARS_SCHEMA)
+        # restore + re-establish the sorted invariant (checkpoints may
+        # predate it or carry a different on-disk order)
+        self.frontier = (
+            pl.from_arrow(frontier)
+            .cast(_FRONTIER_POLARS_SCHEMA)
+            .sort(["priority", "depth", "url"])
+        )
         self.seen.load(seen_arr)
         c = pl.from_arrow(clock)
         self.last_crawl_round = dict(
