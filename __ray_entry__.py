@@ -683,9 +683,33 @@ WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token F
 freq AS (SELECT token, count(*)::BIGINT AS doc_freq FROM toks GROUP BY token)
 SELECT token, doc_freq FROM freq ORDER BY doc_freq DESC, token LIMIT 20""",
         "media_features": """
-SELECT doc_id, n_chars AS n_bytes,
-       (64 + n_chars % 64)::INTEGER AS width,
-       (64 + (n_chars // 2) % 64)::INTEGER AS height
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                       WHEN 2 THEN 'pgm' ELSE 'wav' END AS kind,
+       CAST(CASE doc_id % 4
+         WHEN 0 THEN 54 + (16 + doc_id % 24) * (((3 * (16 + doc_id % 32) + 3) // 4) * 4)
+         WHEN 1 THEN 9 + length(CAST(8 + doc_id % 16 AS VARCHAR))
+                      + length(CAST(8 + doc_id % 13 AS VARCHAR))
+                      + 3 * (8 + doc_id % 16) * (8 + doc_id % 13)
+         WHEN 2 THEN 9 + length(CAST(8 + doc_id % 24 AS VARCHAR))
+                      + length(CAST(8 + doc_id % 8 AS VARCHAR))
+                      + (8 + doc_id % 24) * (8 + doc_id % 8)
+         ELSE 44 + 2 * (256 + doc_id % 256) END AS BIGINT) AS n_bytes,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 32
+                            WHEN 1 THEN 8 + doc_id % 16
+                            WHEN 2 THEN 8 + doc_id % 24 END AS INTEGER) AS width,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 24
+                            WHEN 1 THEN 8 + doc_id % 13
+                            WHEN 2 THEN 8 + doc_id % 8 END AS INTEGER) AS height,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+       CAST(CASE doc_id % 4
+         WHEN 0 THEN (doc_id % 200) + (16 + doc_id % 32 - 1) / 2.0
+         WHEN 1 THEN ((7 * doc_id) % 200) + (8 + doc_id % 13 - 1) / 2.0
+         WHEN 2 THEN ((11 * doc_id) % 200) + (8 + doc_id % 24 - 1) / 2.0
+         END AS DOUBLE) AS mean_value,
+       CAST(CASE doc_id % 4 WHEN 3 THEN 8000 END AS INTEGER) AS sample_rate,
+       CAST(CASE doc_id % 4 WHEN 3 THEN (256 + doc_id % 256) / 8.0 END AS DOUBLE) AS duration_ms,
+       CAST(CASE doc_id % 4 WHEN 3 THEN 100.0 * (1 + doc_id % 100) END AS DOUBLE) AS rms
 FROM documents""",
         "q1_lineitem": """
 SELECT l_returnflag, l_linestatus,

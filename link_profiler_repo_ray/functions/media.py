@@ -1,0 +1,216 @@
+"""Pure-numpy media codecs for the multimodal pipeline (T9).
+
+The container has no PIL/ffmpeg, but the *uncompressed* container
+formats are simple enough to parse for real: BMP (BITMAPINFOHEADER,
+24 bpp), binary PPM/PGM (P6/P5), and RIFF/WAVE PCM16.  The encoders
+below emit spec-conformant files and the decoders parse actual bytes —
+headers, row padding, bottom-up pixel order, RIFF chunk walking — so
+the decode stage in ``pipelines/textdata.py`` is no longer a stub for
+these formats (compressed formats like JPEG/PNG/MP3 still need a real
+codec library; ``sniff_kind`` returns ``"unknown"`` for them and the
+stage degrades to byte-length-only features).
+
+Reference parity: the reference's OCR/media processor
+(``services/ocr_service.py``) is a thin wrapper around external codec
+binaries; the Ray analogue keeps the same actor-pool shape with the
+codec swapped for these pure-numpy parsers.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# --- encoders -------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, base: int) -> bytes:
+    """24 bpp bottom-up BMP; pixel value = base + x on all 3 channels.
+
+    The horizontal gradient makes the decoded mean depend on every
+    pixel (mean = base + (width-1)/2), so a correct answer proves the
+    pixel array was actually decoded, not inferred from the header.
+    ``base + width`` must stay <= 256.
+    """
+    if base + width > 256:
+        raise ValueError("gradient would wrap uint8")
+    stride = ((width * 3 + 3) // 4) * 4
+    img_size = stride * height
+    file_size = 54 + img_size
+    hdr = bytearray()
+    hdr += b"BM"
+    hdr += file_size.to_bytes(4, "little")
+    hdr += b"\x00\x00\x00\x00"
+    hdr += (54).to_bytes(4, "little")  # pixel data offset
+    hdr += (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+    hdr += width.to_bytes(4, "little", signed=True)
+    hdr += height.to_bytes(4, "little", signed=True)  # >0: bottom-up
+    hdr += (1).to_bytes(2, "little")  # planes
+    hdr += (24).to_bytes(2, "little")  # bpp
+    hdr += (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+    hdr += img_size.to_bytes(4, "little")
+    hdr += b"\x00" * 16  # ppm resolutions + palette counts
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    grad = (base + np.arange(width, dtype=np.uint8)).repeat(3)
+    rows[:, : width * 3] = grad[None, :]
+    return bytes(hdr) + rows.tobytes()
+
+
+def encode_ppm(width: int, height: int, base: int) -> bytes:
+    """Binary PPM (P6); pixel value = base + y on all 3 channels."""
+    if base + height > 256:
+        raise ValueError("gradient would wrap uint8")
+    col = (base + np.arange(height, dtype=np.uint8))[:, None, None]
+    px = np.broadcast_to(col, (height, width, 3))
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def encode_pgm(width: int, height: int, base: int) -> bytes:
+    """Binary PGM (P5); pixel value = base + x."""
+    if base + width > 256:
+        raise ValueError("gradient would wrap uint8")
+    row = (base + np.arange(width, dtype=np.uint8))[None, :]
+    px = np.broadcast_to(row, (height, width))
+    return f"P5\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def encode_wav(n_samples: int, rate: int, amp: int) -> bytes:
+    """Mono PCM16 RIFF/WAVE; samples alternate +amp/-amp (RMS = amp)."""
+    x = np.empty(n_samples, dtype=np.int16)
+    x[0::2] = amp
+    x[1::2] = -amp
+    data = x.tobytes()
+    hdr = bytearray()
+    hdr += b"RIFF"
+    hdr += (36 + len(data)).to_bytes(4, "little")
+    hdr += b"WAVE"
+    hdr += b"fmt "
+    hdr += (16).to_bytes(4, "little")
+    hdr += (1).to_bytes(2, "little")  # PCM
+    hdr += (1).to_bytes(2, "little")  # mono
+    hdr += rate.to_bytes(4, "little")
+    hdr += (rate * 2).to_bytes(4, "little")  # byte rate
+    hdr += (2).to_bytes(2, "little")  # block align
+    hdr += (16).to_bytes(2, "little")  # bits/sample
+    hdr += b"data"
+    hdr += len(data).to_bytes(4, "little")
+    return bytes(hdr) + data
+
+
+# --- decoders -------------------------------------------------------------
+
+
+def sniff_kind(b: bytes) -> str:
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:2] == b"P5":
+        return "pgm"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def decode_bmp(b: bytes) -> dict:
+    """Parse a 24 bpp uncompressed BMP (the overwhelmingly common disk
+    layout); other depths/compressions raise — swap in a codec library
+    for those."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(b[10:14], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    arr = np.frombuffer(b, np.uint8, count=h * stride, offset=data_off)
+    px = arr.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
+    if height > 0:
+        px = px[::-1]  # bottom-up rows
+    return {"kind": "bmp", "width": width, "height": h, "channels": 3,
+            "mean_value": float(px.mean())}
+
+
+def _pnm_header(b: bytes, magic: bytes, n_fields: int) -> tuple[list[int], int]:
+    """Tokenize a PNM header: magic, then ints separated by whitespace,
+    with ``#`` comments running to end-of-line."""
+    if b[:2] != magic:
+        raise ValueError("bad PNM magic")
+    vals: list[int] = []
+    i = 2
+    while len(vals) < n_fields:
+        c = b[i : i + 1]
+        if c == b"#":
+            while b[i : i + 1] not in (b"\n", b""):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while b[j : j + 1].isdigit():
+                j += 1
+            if j == i:
+                raise ValueError("malformed PNM header")
+            vals.append(int(b[i:j]))
+            i = j
+    return vals, i + 1  # exactly one whitespace byte after maxval
+
+
+def decode_ppm(b: bytes) -> dict:
+    (w, h, maxval), off = _pnm_header(b, b"P6", 3)
+    px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=off).reshape(h, w, 3)
+    return {"kind": "ppm", "width": w, "height": h, "channels": 3,
+            "mean_value": float(px.mean())}
+
+
+def decode_pgm(b: bytes) -> dict:
+    (w, h, maxval), off = _pnm_header(b, b"P5", 3)
+    px = np.frombuffer(b, np.uint8, count=w * h, offset=off).reshape(h, w)
+    return {"kind": "pgm", "width": w, "height": h, "channels": 1,
+            "mean_value": float(px.mean())}
+
+
+def decode_wav(b: bytes) -> dict:
+    """Walk RIFF chunks (odd-size pad bytes included) to fmt + data."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    i = 12
+    rate = channels = bits = None
+    samples = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(b[body : body + 2], "little")
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAVE format tag {fmt_tag}")
+            channels = int.from_bytes(b[body + 2 : body + 4], "little")
+            rate = int.from_bytes(b[body + 4 : body + 8], "little")
+            bits = int.from_bytes(b[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            if bits != 16:
+                raise ValueError(f"unsupported bit depth {bits}")
+            samples = np.frombuffer(b, np.int16, count=size // 2, offset=body)
+        i = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(samples) // channels
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    return {"kind": "wav", "sample_rate": rate, "channels": channels,
+            "duration_ms": n * 1000.0 / rate, "rms": rms}
+
+
+_DECODERS = {"bmp": decode_bmp, "ppm": decode_ppm, "pgm": decode_pgm, "wav": decode_wav}
+
+
+def decode_media(b: bytes) -> dict:
+    """Sniff + decode; unknown formats degrade to byte-length features
+    (the slot where a JPEG/PNG/MP3 codec library would plug in)."""
+    kind = sniff_kind(b)
+    fn = _DECODERS.get(kind)
+    if fn is None:
+        return {"kind": "unknown"}
+    return fn(b)

@@ -822,56 +822,86 @@ def knn_ivf(
     return hash_group_apply(partials, ["query_id"], merge)
 
 
-# --- multimodal plumbing (decode stubbed) --------------------------------
+# --- multimodal: real decode for uncompressed formats (T9) ----------------
 
 class MediaDecodeStage:
     """Actor-pool media feature extraction over an opaque binary column.
 
-    The image/audio decode libraries are not in this container, so the
-    decode itself is a deterministic fake (dimensions derived from the
-    byte length); the Ray-side plumbing — binary batches in, typed
-    metadata out, actor-pool construction, small batch sizes for large
-    payloads — is real and tested.  Swap ``_decode`` for PIL/ffmpeg in
-    production.
+    Decode is REAL for the self-describing uncompressed formats —
+    BMP 24 bpp, binary PPM/PGM, RIFF/WAVE PCM16 — via the pure-numpy
+    parsers in :mod:`..functions.media` (header parse, row padding,
+    bottom-up pixel order, RIFF chunk walk, per-pixel/per-sample
+    statistics).  Compressed formats (JPEG/PNG/MP3) need a codec
+    library this container doesn't have; they sniff to ``"unknown"``
+    and degrade to byte-length-only features — that is the swap-in
+    point for PIL/ffmpeg in production (reference:
+    ``services/ocr_service.py``'s external-binary wrapper, same
+    actor-pool shape).
     """
 
     def __init__(self):
-        self.decoder = self._decode
+        from ..functions.media import decode_media
 
-    @staticmethod
-    def _decode(payload: bytes) -> tuple[int, int]:
-        n = len(payload)
-        return 64 + n % 64, 64 + (n // 2) % 64
+        self.decode = decode_media  # bind once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        dims = [self.decoder(p or b"") for p in payloads]
+        feats = [self.decode(p or b"") for p in payloads]
+
+        def col(key, typ):
+            return pa.array([f.get(key) for f in feats], typ)
+
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
+                "kind": col("kind", pa.string()),
                 "n_bytes": pa.array([len(p or b"") for p in payloads], pa.int64()),
-                "width": pa.array([d[0] for d in dims], pa.int32()),
-                "height": pa.array([d[1] for d in dims], pa.int32()),
+                "width": col("width", pa.int32()),
+                "height": col("height", pa.int32()),
+                "channels": col("channels", pa.int32()),
+                "mean_value": col("mean_value", pa.float64()),
+                "sample_rate": col("sample_rate", pa.int32()),
+                "duration_ms": col("duration_ms", pa.float64()),
+                "rms": col("rms", pa.float64()),
             }
         )
+
+
+def synth_media_payloads(batch: pa.Table) -> pa.Table:
+    """Deterministic media corpus: doc_id -> a real encoded file.
+
+    Every parameter is a closed form of doc_id (so the DuckDB oracle
+    can state the expected features), but the payload is a genuine
+    BMP/PPM/PGM/WAV file and the features only come back right if the
+    decode stage actually parses it: the images carry a gradient
+    (mean depends on every pixel), the audio a ±amp square wave
+    (RMS depends on every sample).
+    """
+    from ..functions.media import encode_bmp, encode_pgm, encode_ppm, encode_wav
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for d in ids:
+        k = d % 4
+        if k == 0:
+            w = 16 + d % 32
+            payloads.append(encode_bmp(w, 16 + d % 24, d % 200))
+        elif k == 1:
+            payloads.append(encode_ppm(8 + d % 16, 8 + d % 13, (7 * d) % 200))
+        elif k == 2:
+            payloads.append(encode_pgm(8 + d % 24, 8 + d % 8, (11 * d) % 200))
+        else:
+            payloads.append(encode_wav(256 + d % 256, 8000, 100 * (1 + d % 100)))
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+    )
 
 
 def media_features(sf_dir: str) -> rd.Dataset:
-    """documents.text re-encoded as a binary payload column -> features."""
-
-    def to_binary(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "payload": pa.array(
-                    [t.encode("utf-8") for t in batch.column("text").to_pylist()], pa.binary()
-                ),
-            }
-        )
-
+    """documents -> synthesized real media payloads -> decoded features."""
     return (
-        documents_dataset(sf_dir, ["doc_id", "text"])
-        .map_batches(to_binary, batch_format="pyarrow", zero_copy_batch=True)
+        documents_dataset(sf_dir, ["doc_id"])
+        .map_batches(synth_media_payloads, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
                      concurrency=auto_concurrency(), batch_size=256)
     )

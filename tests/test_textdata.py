@@ -92,7 +92,19 @@ class TestTextAnalysis:
         assert len(out) == 500
         assert set(out["lang_pred"]).issubset({"en", "es", "fr", "de", "zh", "und"})
 
-    def test_media_features_dims(self):
-        out = textdata.media_features(SF).to_pandas()
-        assert ((out["width"] >= 64) & (out["width"] < 128)).all()
+    def test_media_features_real_decode(self):
+        out = textdata.media_features(SF).to_pandas().set_index("doc_id").sort_index()
         assert (out["n_bytes"] > 0).all()
+        # features must equal the closed forms the encoders were fed —
+        # which only happens if the decode stage really parsed the files
+        for d, row in out.iterrows():
+            k = d % 4
+            if k == 0:
+                assert row["kind"] == "bmp"
+                w = 16 + d % 32
+                assert row["width"] == w and row["height"] == 16 + d % 24
+                assert row["mean_value"] == (d % 200) + (w - 1) / 2.0
+            elif k == 3:
+                assert row["kind"] == "wav"
+                assert row["rms"] == 100.0 * (1 + d % 100)
+                assert row["duration_ms"] == (256 + d % 256) / 8.0
