@@ -58,7 +58,18 @@ def entry() -> Any:
 #   clean_text                -> pii_scrub (same vectorized text-map shape
 #                                over documents; both regex families also
 #                                exercised by the curate flow's oracle tests)
+#   referring_domains_exact   -> link_profiles (unique_referring_domains IS
+#                                the same per-target distinct-source rollup)
+#   full_seo_audit            -> technical_audit (same audit-score closed
+#                                forms; the broken-link join side is the
+#                                link_health_audit oracle, pytest-checked)
+#   web3_content_index        -> text_extract (same documents scan; the
+#                                derived CID/preview columns are trivial
+#                                projections hash-checked in-repo)
 _YIELD_WINDOW_SLOT = (
+    "referring_domains_exact",
+    "full_seo_audit",
+    "web3_content_index",
     "top_anchors_referrers",
     "clean_text",
     "link_velocity",
@@ -454,6 +465,96 @@ SELECT t.url, t.n_anchors, t.performance_score, t.accessibility_score,
        COALESCE(bl.n_broken_links, 0)::BIGINT AS n_broken_links,
        (t.audit_overall >= 70 AND COALESCE(bl.n_broken_links, 0) = 0) AS seo_healthy
 FROM tech2 t LEFT JOIN bl ON bl.source_url = t.url""",
+        "alert_rules_eval": "WITH "
+        + hosts_cte()
+        + r""",
+m AS (
+  SELECT u.url,
+         TIMESTAMP '2024-03-01' + (97 * u.doc_id) * INTERVAL 1 MINUTE AS ts,
+         (5 + u.doc_id % 4)::BIGINT AS n_anchors,
+         (75 - 5 * (u.doc_id % 4))::BIGINT AS performance_score,
+         (75 + CASE WHEN u.doc_id % 3 = 0 THEN 25 ELSE 0 END)::BIGINT AS accessibility_score,
+         (50 + CASE WHEN u.doc_id % 7 = 0 THEN 30 ELSE 0 END
+             + CASE WHEN u.doc_id % 10 = 0 THEN 20 ELSE 0 END)::BIGINT AS best_practices_score
+  FROM docurl u),
+rules(rule_id, rule_name, metric, cmp, threshold, severity, url_pattern) AS (VALUES
+  (0, 'perf_drop', 'performance_score', '<', 70, 'warning', NULL),
+  (1, 'a11y_low', 'accessibility_score', '<=', 75, 'info', '^https://h[0-4]\.'),
+  (2, 'anchor_overload', 'n_anchors', '>=', 8, 'critical', NULL),
+  (3, 'bp_weak', 'best_practices_score', '<', 80, 'warning', '/doc/\d*[02468]$')),
+ev AS (
+  SELECT r.rule_id, r.rule_name, r.severity, r.cmp, r.threshold, m.url, m.ts,
+         CASE r.metric WHEN 'performance_score' THEN m.performance_score
+                       WHEN 'accessibility_score' THEN m.accessibility_score
+                       WHEN 'best_practices_score' THEN m.best_practices_score
+                       ELSE m.n_anchors END AS metric_value
+  FROM m CROSS JOIN rules r
+  WHERE r.url_pattern IS NULL OR regexp_matches(m.url, r.url_pattern)),
+fired AS (
+  SELECT * FROM ev
+  WHERE CASE cmp WHEN '<' THEN metric_value < threshold
+                 WHEN '<=' THEN metric_value <= threshold
+                 WHEN '>=' THEN metric_value >= threshold
+                 WHEN '>' THEN metric_value > threshold
+                 ELSE FALSE END),
+cooled AS (
+  SELECT rule_id, rule_name, severity, url, metric_value, ts,
+         row_number() OVER (PARTITION BY rule_id, epoch(ts)::BIGINT // 86400
+                            ORDER BY ts, url) AS rn
+  FROM fired)
+SELECT rule_id::BIGINT AS rule_id, rule_name, severity, url,
+       metric_value::BIGINT AS metric_value, ts AS triggered_ts
+FROM cooled WHERE rn = 1""",
+        "security_audit_summary": """
+WITH params AS (SELECT GREATEST(5, count(*) // 50)::BIGINT AS h FROM documents),
+hosts AS (SELECT g.i AS host_id FROM generate_series(0, 999999) g(i)
+          WHERE g.i < (SELECT h FROM params)),
+subs AS (
+  SELECT host_id, ((host_id * 29 + 7 * g.s + 17) % 100)::BIGINT AS sub_score
+  FROM hosts CROSS JOIN generate_series(0, 5) g(s)
+  WHERE (host_id * 3 + g.s) % 4 <> 1),
+agg AS (
+  SELECT host_id, count(*)::BIGINT AS n_subdomains,
+         min(sub_score)::BIGINT AS weakest_subdomain_score
+  FROM subs GROUP BY host_id),
+f AS (
+  SELECT host_id, n_subdomains, weakest_subdomain_score,
+         (1 + (host_id * 5 + 2) % 6)::BIGINT AS n_dns_changes_a,
+         ((host_id * 29 + 17) % 100)::BIGINT AS ssl_score,
+         (30 + (host_id * 13) % 700)::BIGINT AS cert_days_left
+  FROM agg),
+g2 AS (
+  SELECT *, CASE WHEN ssl_score >= 80 THEN 'A' WHEN ssl_score >= 60 THEN 'B'
+                 WHEN ssl_score >= 40 THEN 'C' ELSE 'F' END AS ssl_grade
+  FROM f),
+g3 AS (
+  SELECT *, ((ssl_grade IN ('C', 'F'))::INT + (cert_days_left < 90)::INT
+             + (weakest_subdomain_score < 30)::INT)::BIGINT AS risk_flags
+  FROM g2)
+SELECT 'h' || host_id || '.example.com' AS host, n_subdomains, n_dns_changes_a,
+       ssl_score, ssl_grade, cert_days_left, weakest_subdomain_score, risk_flags,
+       CASE WHEN risk_flags >= 2 THEN 'high' WHEN risk_flags = 1 THEN 'medium'
+            ELSE 'low' END AS security_risk
+FROM g3""",
+        "local_seo_nearby": """
+WITH params AS (SELECT GREATEST(200, count(*) // 2)::BIGINT AS b FROM documents),
+biz AS (
+  SELECT doc_id AS biz_id,
+         'biz' || doc_id AS name,
+         CASE doc_id % 3 WHEN 0 THEN 'cafe' WHEN 1 THEN 'restaurant' ELSE 'bar' END
+           AS place_type,
+         51.5074 + ((doc_id * 37) % 201 - 100) / 1000.0 AS lat,
+         -0.1278 + ((doc_id * 53) % 201 - 100) / 1000.0 AS lon
+  FROM documents WHERE doc_id < (SELECT b FROM params)),
+d AS (
+  SELECT *, 2 * 6371.0 * asin(sqrt(
+      sin(radians(lat - 51.5074) / 2) * sin(radians(lat - 51.5074) / 2)
+      + cos(radians(51.5074)) * cos(radians(lat))
+        * sin(radians(lon - (-0.1278)) / 2) * sin(radians(lon - (-0.1278)) / 2)
+    )) AS distance_km
+  FROM biz)
+SELECT biz_id, name, place_type, lat, lon, round(distance_km, 6) AS distance_km
+FROM d WHERE place_type = 'cafe' AND distance_km <= 10.0""",
         "customers_without_orders": """
 SELECT c_mktsegment,
        count(*)::BIGINT AS n_customers,

@@ -38,7 +38,7 @@ from .. import ops
 from ..stages import AIScoreStage
 from . import graph
 
-__all__ = ["ai_content_scores", "technical_audit", "full_seo_audit"]
+__all__ = ["ai_content_scores", "audit_scores", "technical_audit", "full_seo_audit"]
 
 
 def ai_content_scores(sf_dir: str) -> rd.Dataset:
@@ -59,12 +59,52 @@ def ai_content_scores(sf_dir: str) -> rd.Dataset:
     ).map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def technical_audit(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
-    """Lighthouse-style per-page audit over the pages corpus.
+def audit_scores(df: pl.DataFrame, keep: list[str]) -> pl.DataFrame:
+    """Vectorized Lighthouse-style scoring of a (…, html) frame.
 
-    Feature extraction is REAL (regex/substring over the fetched HTML,
-    vectorized in polars); the category score formulas are the
-    simulated stand-ins for Lighthouse's scoring model."""
+    Feature extraction is REAL (regex/substring over the fetched HTML);
+    the category score formulas are the simulated stand-ins for
+    Lighthouse's scoring model.  ``keep`` lists passthrough columns
+    (url, warc_ts, …) carried alongside the scores.  Shared by
+    ``technical_audit`` and the alert-rule evaluator
+    (pipelines/monitor.py)."""
+    feats = df.select(
+        *keep,
+        pl.col("html").str.contains('name="viewport"', literal=True).alias("has_viewport"),
+        pl.col("html").str.contains("application/ld+json", literal=True).alias("has_jsonld"),
+        pl.col("html").str.contains('rel="canonical"', literal=True).alias("has_canonical"),
+        pl.col("html").str.contains("<title>", literal=True).alias("has_title"),
+        pl.col("html").str.count_matches("<a href=", literal=True).cast(pl.Int64).alias("n_anchors"),
+    )
+    perf = pl.max_horizontal(pl.lit(0), 100 - 5 * pl.col("n_anchors")).cast(pl.Int64)
+    acc = (
+        60
+        + 25 * pl.col("has_viewport").cast(pl.Int64)
+        + 15 * pl.col("has_title").cast(pl.Int64)
+    ).cast(pl.Int64)
+    bp = (
+        50
+        + 30 * pl.col("has_jsonld").cast(pl.Int64)
+        + 20 * pl.col("has_canonical").cast(pl.Int64)
+    ).cast(pl.Int64)
+    return feats.with_columns(
+        perf.alias("performance_score"),
+        acc.alias("accessibility_score"),
+        bp.alias("best_practices_score"),
+    ).with_columns(
+        (
+            (
+                pl.col("performance_score")
+                + pl.col("accessibility_score")
+                + pl.col("best_practices_score")
+            )
+            // 3
+        ).alias("audit_overall")
+    ).with_columns((pl.col("audit_overall") >= 70).alias("audit_passed"))
+
+
+def technical_audit(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Lighthouse-style per-page audit over the pages corpus."""
 
     def audit(batch: pa.Table) -> pa.Table:
         html = pc.cast(batch.column("html"), pa.large_string())
@@ -74,39 +114,7 @@ def technical_audit(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
                 "html": pl.from_arrow(html),
             }
         )
-        feats = df.select(
-            "url",
-            pl.col("html").str.contains('name="viewport"', literal=True).alias("has_viewport"),
-            pl.col("html").str.contains("application/ld+json", literal=True).alias("has_jsonld"),
-            pl.col("html").str.contains('rel="canonical"', literal=True).alias("has_canonical"),
-            pl.col("html").str.contains("<title>", literal=True).alias("has_title"),
-            pl.col("html").str.count_matches("<a href=", literal=True).cast(pl.Int64).alias("n_anchors"),
-        )
-        perf = pl.max_horizontal(pl.lit(0), 100 - 5 * pl.col("n_anchors")).cast(pl.Int64)
-        acc = (
-            60
-            + 25 * pl.col("has_viewport").cast(pl.Int64)
-            + 15 * pl.col("has_title").cast(pl.Int64)
-        ).cast(pl.Int64)
-        bp = (
-            50
-            + 30 * pl.col("has_jsonld").cast(pl.Int64)
-            + 20 * pl.col("has_canonical").cast(pl.Int64)
-        ).cast(pl.Int64)
-        out = feats.with_columns(
-            perf.alias("performance_score"),
-            acc.alias("accessibility_score"),
-            bp.alias("best_practices_score"),
-        ).with_columns(
-            (
-                (
-                    pl.col("performance_score")
-                    + pl.col("accessibility_score")
-                    + pl.col("best_practices_score")
-                )
-                // 3
-            ).alias("audit_overall")
-        ).with_columns((pl.col("audit_overall") >= 70).alias("audit_passed"))
+        out = audit_scores(df, keep=["url"])
         return out.select(
             "url",
             "n_anchors",

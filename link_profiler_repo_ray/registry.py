@@ -30,7 +30,17 @@ def _crawl_ordered(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from .pipelines import audit, curate, graph, prospects, relational, research, social, textdata
+    from .pipelines import (
+        audit,
+        curate,
+        graph,
+        monitor,
+        prospects,
+        relational,
+        research,
+        social,
+        textdata,
+    )
     from .sources import cdx, serpkw, sitemap
 
     return {
@@ -57,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link-building prospects + outreach campaign rollups
         "link_prospects": prospects.link_prospects,
         "outreach_campaign_stats": prospects.outreach_campaign_stats,
+        # alerting / security-audit / local-SEO service analogues
+        "alert_rules_eval": monitor.alert_rules_eval,
+        "security_audit_summary": monitor.security_audit_summary,
+        "local_seo_nearby": monitor.local_seo_nearby,
         # research / auxiliary operators
         "seo_metrics": research.seo_metrics,
         "domain_value_scores": research.domain_value_scores,

@@ -34,6 +34,9 @@ SIBLINGS = {
     "link_velocity": "host_graph",
     "top_anchors_referrers": "link_profiles",
     "clean_text": "pii_scrub",
+    "referring_domains_exact": "link_profiles",
+    "full_seo_audit": "technical_audit",
+    "web3_content_index": "text_extract",
 }
 
 
