@@ -134,6 +134,21 @@ def read_parquet(paths, *, columns: list[str] | None = None, **kwargs) -> rd.Dat
 _PART_COL = "__part"
 
 
+def int_range(n: int, column: str) -> rd.Dataset:
+    """Distributed ``[0, n)`` int64 column named ``column``.
+
+    Use instead of materializing an arange block on the driver with
+    ``rd.from_arrow``: ``rd.range`` partitions the span into blocks,
+    so a 10^7-row fan-out source (e.g. one probe seed per host)
+    scales across the cluster instead of living in one driver block.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({column: batch.column("id")})
+
+    return rd.range(n).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def cluster_cpus() -> int:
     """Total CPUs of the Ray cluster (fallback: host CPU count)."""
     try:

@@ -177,9 +177,7 @@ def security_audit_summary(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
 
     n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
     n_hosts = corpus_mod.n_hosts(n_docs)
-    hosts = rd.from_arrow(
-        pl.DataFrame({"host_id": pl.arange(0, n_hosts, eager=True).cast(pl.Int64)}).to_arrow()
-    )
+    hosts = ops.int_range(n_hosts, "host_id")
 
     def probe(batch: pa.Table) -> pa.Table:
         # fan out one probe row per present subdomain slot; in a real

@@ -437,9 +437,7 @@ def domain_intelligence(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
 
     n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
     n_hosts = corpus_mod.n_hosts(n_docs)
-    hosts = rd.from_arrow(
-        pl.DataFrame({"host_id": pl.arange(0, n_hosts, eager=True).cast(pl.Int64)}).to_arrow()
-    )
+    hosts = ops.int_range(n_hosts, "host_id")
 
     def expand(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
