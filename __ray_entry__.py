@@ -539,13 +539,13 @@ FROM g3""",
         "local_seo_nearby": """
 WITH params AS (SELECT GREATEST(200, count(*) // 2)::BIGINT AS b FROM documents),
 biz AS (
-  SELECT doc_id AS biz_id,
-         'biz' || doc_id AS name,
-         CASE doc_id % 3 WHEN 0 THEN 'cafe' WHEN 1 THEN 'restaurant' ELSE 'bar' END
+  SELECT g.i AS biz_id,
+         'biz' || g.i AS name,
+         CASE g.i % 3 WHEN 0 THEN 'cafe' WHEN 1 THEN 'restaurant' ELSE 'bar' END
            AS place_type,
-         51.5074 + ((doc_id * 37) % 201 - 100) / 1000.0 AS lat,
-         -0.1278 + ((doc_id * 53) % 201 - 100) / 1000.0 AS lon
-  FROM documents WHERE doc_id < (SELECT b FROM params)),
+         51.5074 + ((g.i * 37) % 201 - 100) / 1000.0 AS lat,
+         -0.1278 + ((g.i * 53) % 201 - 100) / 1000.0 AS lon
+  FROM generate_series(0, 999999) g(i) WHERE g.i < (SELECT b FROM params)),
 d AS (
   SELECT *, 2 * 6371.0 * asin(sqrt(
       sin(radians(lat - 51.5074) / 2) * sin(radians(lat - 51.5074) / 2)

@@ -35,7 +35,7 @@ pipeline analogue (round-4 coverage sweep).
   both bind the platform libm), so the driver's value-hash comparison
   holds without tolerance.
 
-Closed forms (N docs, H = max(5, N // 50) hosts, B = max(50, N // 10)
+Closed forms (N docs, H = max(5, N // 50) hosts, B = max(200, N // 2)
 businesses):
 - alert stream: ts = warc_ts(d) = 2024-03-01 + 97·d min; metrics are
   the audit_scores() closed forms (n_anchors = 5 + d % 4, etc.);
@@ -270,14 +270,17 @@ def local_seo_nearby(
     DuckDB oracle reproduces every double bit-exactly.  Scale shape:
     pure vectorized map + filter, no exchange — the place table
     partitions freely."""
-    import os
+    from ..sources import corpus as corpus_mod
 
-    n_docs = ops.parquet_num_rows(os.path.join(sf_dir, "documents.parquet")) * multiplier
+    n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
     n_biz = max(200, n_docs // 2)
+    amenity_residue = _AMENITIES.index(amenity)
 
     def nearby(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch).filter(pl.col("doc_id") < n_biz)
-        b = df.get_column("doc_id").to_numpy()
+        # only one residue class can survive the amenity filter — drop
+        # the other two thirds before paying for the trig
+        df = pl.from_arrow(batch).filter(pl.col("biz_id") % 3 == amenity_residue)
+        b = df.get_column("biz_id").to_numpy()
         lat = _CENTER_LAT + ((b * 37) % 201 - 100) / 1000.0
         lon = _CENTER_LON + ((b * 53) % 201 - 100) / 1000.0
         dlat = np.radians(lat - _CENTER_LAT)
@@ -292,21 +295,17 @@ def local_seo_nearby(
         dist = 2 * 6371.0 * np.arcsin(np.sqrt(a))
         out = pl.DataFrame(
             {
-                "biz_id": df.get_column("doc_id"),
+                "biz_id": df.get_column("biz_id"),
                 "lat": lat,
                 "lon": lon,
                 "distance_km": dist,
             }
         ).with_columns(
             pl.concat_str([pl.lit("biz"), pl.col("biz_id").cast(pl.Utf8)]).alias("name"),
-            (pl.col("biz_id") % 3)
-            .replace_strict(
-                {i: s for i, s in enumerate(_AMENITIES)}, return_dtype=pl.Utf8
-            )
-            .alias("place_type"),
+            pl.lit(amenity).alias("place_type"),
         )
         return (
-            out.filter((pl.col("place_type") == amenity) & (pl.col("distance_km") <= radius_km))
+            out.filter(pl.col("distance_km") <= radius_km)
             .select(
                 "biz_id",
                 "name",
@@ -318,8 +317,8 @@ def local_seo_nearby(
             .to_arrow()
         )
 
-    docs = ops.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
-    out = docs.map_batches(nearby, batch_format="pyarrow", zero_copy_batch=True)
+    biz = ops.int_range(n_biz, "biz_id")
+    out = biz.map_batches(nearby, batch_format="pyarrow", zero_copy_batch=True)
     return ops.ensure_schema(
         out,
         pa.schema(
