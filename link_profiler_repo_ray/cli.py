@@ -57,6 +57,11 @@ def main(argv=None) -> int:
             help="CrawlConfig.scale(): no driver collection, cuckoo seen "
                  "backend — the 100-TB defaults (requires --output or --checkpoint)",
         )
+        c.add_argument(
+            "--alerting", action="store_true",
+            help="evaluate alert rules per page update in the fetch actors "
+                 "(alert_service.py shape); raw alerts persist to <out>/alerts/",
+        )
 
     st = sub.add_parser("stats", help="print a crawl run's per-round metrics stream (A8)")
     st.add_argument("--dir", required=True, help="crawl output/checkpoint dir holding stats.jsonl")
@@ -158,6 +163,7 @@ def main(argv=None) -> int:
                 breaker_enabled=not args.no_breaker,
                 fetch_mode=args.fetch_mode,
                 seeds=seeds,
+                alerting=args.alerting,
             )
             if args.seen_backend is not None:
                 kwargs["seen_backend"] = args.seen_backend

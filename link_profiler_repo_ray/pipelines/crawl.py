@@ -109,6 +109,12 @@ class CrawlConfig:
     ai_scoring: bool = False  # T10: per-page AI content scoring in the fetch actors
     #                           (stages.AIScoreStage — the reference scores pages via
     #                           ai_service inside its crawl loop, crawl_service.py:560-575)
+    alerting: bool = False  # alert-rule evaluation on every page update inside the
+    #                         fetch actors (stages.AlertStage — the reference's
+    #                         AlertService.evaluate_job_update runs per crawl update,
+    #                         alert_service.py:67-129); raw fired alerts persist to
+    #                         <out>/alerts/, cooldown applied at dispatch via
+    #                         pipelines.monitor.apply_cooldown
     collect_order: bool | None = None  # keep order deltas in driver RAM; None → collect_edges
     stats: bool = True  # A8: append per-round metrics to <lineage dir>/stats.jsonl
     seen_backend: str = "exact"  # "exact" (oracle-matched) | "cuckoo" (2 B/key)
@@ -210,8 +216,13 @@ def _split_corpus_file(path: str, num_shards: int) -> list[pa.Table]:
     return [t.filter(pa.array(shard_ids == s)) for s in range(num_shards)]
 
 
-def _write_page_edge_parts(persist_dir: str, tag: str, pages: pa.Table, edges: pa.Table) -> None:
-    for sub, table in (("pages", pages), ("edges", edges)):
+def _write_page_edge_parts(
+    persist_dir: str, tag: str, pages: pa.Table, edges: pa.Table, alerts: pa.Table | None = None
+) -> None:
+    subs = [("pages", pages), ("edges", edges)]
+    if alerts is not None and alerts.num_rows:
+        subs.append(("alerts", alerts))
+    for sub, table in subs:
         d = os.path.join(persist_dir, sub)
         os.makedirs(d, exist_ok=True)
         part = os.path.join(d, f"part-{tag}.parquet")
@@ -235,16 +246,26 @@ class _PersistBuffer:
         self.tag: str | None = None
         self._pages: list[pa.Table] = []
         self._edges: list[pa.Table] = []
+        self._alerts: list[pa.Table] = []
         self._rows = 0
         self._seq = 0
 
-    def add(self, persist_dir: str, tag: str, pages: pa.Table, edges: pa.Table) -> None:
+    def add(
+        self,
+        persist_dir: str,
+        tag: str,
+        pages: pa.Table,
+        edges: pa.Table,
+        alerts: pa.Table | None = None,
+    ) -> None:
         if persist_dir != self.dir:
             self.flush()
             self.dir = persist_dir
         self.tag = tag
         self._pages.append(pages)
         self._edges.append(edges)
+        if alerts is not None:
+            self._alerts.append(alerts)
         self._rows += pages.num_rows
         if self._rows >= self.threshold:
             self.flush()
@@ -257,9 +278,10 @@ class _PersistBuffer:
             f"{self.tag}-{self._seq:05d}",
             pa.concat_tables(self._pages),
             pa.concat_tables(self._edges),
+            pa.concat_tables(self._alerts) if self._alerts else None,
         )
         self._seq += 1
-        self._pages, self._edges, self._rows = [], [], 0
+        self._pages, self._edges, self._alerts, self._rows = [], [], [], 0
 
 
 def _parse_and_emit(
@@ -276,6 +298,7 @@ def _parse_and_emit(
     persister=None,
     latencies=None,
     ai_stage=None,
+    alert_stage=None,
 ):
     """Shared fetch-result pipeline: byte-identical text extraction,
     quality/SEO scoring, page+edge Parquet persistence by the actor,
@@ -363,11 +386,20 @@ def _parse_and_emit(
         for col in ("ai_quality_score", "ai_classification", "ai_sentiment", "ai_topic"):
             pages = pages.append_column(col, scored.column(col))
 
+    alerts = None
+    if alert_stage is not None:
+        # alert-rule evaluation on every page update, as the
+        # reference's AlertService does per job update
+        # (alert_service.py:67-129); RAW fired alerts persist beside
+        # pages/edges — the global cooldown dedup is a dispatch-time
+        # reduce (pipelines.monitor.apply_cooldown)
+        alerts = alert_stage(pages)
+
     if persist_dir is not None:
         if persister is not None:
-            persister.add(persist_dir, shard_tag, pages, edges)
+            persister.add(persist_dir, shard_tag, pages, edges, alerts)
         else:
-            _write_page_edge_parts(persist_dir, shard_tag, pages, edges)
+            _write_page_edge_parts(persist_dir, shard_tag, pages, edges, alerts)
 
     meta = pa.table(
         {
@@ -449,11 +481,14 @@ class FetchParseActor:
         frontier_shards: list | None = None,
         flaky_persistent: bool = False,
         ai_scoring: bool = False,
+        alerting: bool = False,
     ):
-        from ..stages import AIScoreStage
+        from ..stages import AIScoreStage, AlertStage
 
-        # T10 model "load" — once per actor, never per batch
+        # T10 model "load" — once per actor, never per batch; same for
+        # the alert-rule table (alert_service.py loads rules at startup)
         self.ai_stage = AIScoreStage() if ai_scoring else None
+        self.alert_stage = AlertStage() if alerting else None
         # nested ObjectRefs are not auto-resolved in collections; a
         # num_returns=1 split task returns a LIST of tables per ref
         # (round-1 advice: num_fetchers=1 crashed here) — flatten both.
@@ -626,6 +661,7 @@ class FetchParseActor:
             persist_dir, shard_tag, collect_edges, self.frontier_shards,
             persister=self.persister if buffered else None,
             ai_stage=self.ai_stage,
+            alert_stage=self.alert_stage,
         )
         self.busy_s += _time.perf_counter() - _t0
         return out
@@ -920,6 +956,7 @@ class CrawlEngine:
                     ua_rotation=self.cfg.ua_rotation,
                     proxies=self.cfg.proxies,
                     ai_scoring=self.cfg.ai_scoring,
+                    alerting=self.cfg.alerting,
                 )
                 for _ in range(nf)
             ]
@@ -950,6 +987,7 @@ class CrawlEngine:
                 self.frontier.shards,
                 self.cfg.flaky_persistent,
                 self.cfg.ai_scoring,
+                self.cfg.alerting,
             )
             for s in range(nf)
         ]

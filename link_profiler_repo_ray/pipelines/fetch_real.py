@@ -67,6 +67,7 @@ class RealFetchActor:
         ua_rotation: bool = False,
         proxies: list | None = None,
         ai_scoring: bool = False,
+        alerting: bool = False,
     ):
         import urllib.request
         from concurrent.futures import ThreadPoolExecutor
@@ -105,6 +106,15 @@ class RealFetchActor:
             self.ai_stage = AIScoreStage()
         else:
             self.ai_stage = None
+        # alert rules loaded once per actor (alert_service.py startup);
+        # live fetches have no warc_ts, so triggered_ts is null — the
+        # dispatch-time cooldown then keys on the null bucket per rule
+        if alerting:
+            from ..stages import AlertStage
+
+            self.alert_stage = AlertStage()
+        else:
+            self.alert_stage = None
         self.pool = ThreadPoolExecutor(max_workers=max_parallel)
         from .crawl import _PersistBuffer
 
@@ -211,6 +221,7 @@ class RealFetchActor:
             persister=self.persister if buffered else None,
             latencies=lats,
             ai_stage=self.ai_stage,
+            alert_stage=self.alert_stage,
         )
         self.busy_s += _time.perf_counter() - _t0
         return out

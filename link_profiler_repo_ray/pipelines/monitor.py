@@ -66,6 +66,7 @@ from .audit import audit_scores
 __all__ = [
     "ALERT_RULES",
     "alert_rules_eval",
+    "apply_cooldown",
     "security_audit_summary",
     "local_seo_nearby",
 ]
@@ -104,6 +105,43 @@ _CMP = {
 }
 
 
+def apply_cooldown(
+    alerts: rd.Dataset,
+    cooldown_s: int = ALERT_COOLDOWN_S,
+    schema: pa.Schema = _ALERT_SCHEMA,
+) -> rd.Dataset:
+    """Global cooldown suppression over a raw fired-alert stream: keep
+    the EARLIEST alert per (rule_id, cooldown bucket) — the distributed
+    reading of the reference's ``last_evaluation_times`` dict
+    (alert_service.py:143-147).  Works on any dataset with rule_id /
+    triggered_ts (+ tie-break url) columns, e.g. the crawl loop's
+    persisted ``alerts/`` output (stages.AlertStage).  Only
+    (rule, bucket)-deduped rows cross the exchange."""
+    bucket = (
+        pl.col("triggered_ts").dt.epoch(time_unit="s") // cooldown_s
+    ).alias("__bucket")
+
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        # per-block combiner: keep the earliest alert per (rule, bucket)
+        return (
+            df.with_columns(bucket)
+            .sort(["triggered_ts", "url"])
+            .group_by(["rule_id", "__bucket"], maintain_order=True)
+            .first()
+        )
+
+    def first_per_cooldown(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.sort(["triggered_ts", "url"])
+            .group_by(["rule_id", "__bucket"], maintain_order=True)
+            .first()
+            .drop("__bucket")
+        )
+
+    out = hash_group_apply(alerts, ["rule_id", "__bucket"], first_per_cooldown, pre=pre)
+    return ops.ensure_schema(out, schema)
+
+
 def alert_rules_eval(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     """Evaluate the active alert rules against the per-page audit
     metric stream; one alert per (rule, cooldown bucket), earliest
@@ -140,30 +178,7 @@ def alert_rules_eval(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     alerts = graph.pages_dataset(
         sf_dir, multiplier, columns=["url", "warc_ts", "html"]
     ).map_batches(evaluate, batch_format="pyarrow", zero_copy_batch=True)
-
-    bucket = (
-        pl.col("triggered_ts").dt.epoch(time_unit="s") // ALERT_COOLDOWN_S
-    ).alias("__bucket")
-
-    def pre(df: pl.DataFrame) -> pl.DataFrame:
-        # per-block combiner: keep the earliest alert per (rule, bucket)
-        return (
-            df.with_columns(bucket)
-            .sort(["triggered_ts", "url"])
-            .group_by(["rule_id", "__bucket"], maintain_order=True)
-            .first()
-        )
-
-    def first_per_cooldown(df: pl.DataFrame) -> pl.DataFrame:
-        return (
-            df.sort(["triggered_ts", "url"])
-            .group_by(["rule_id", "__bucket"], maintain_order=True)
-            .first()
-            .drop("__bucket")
-        )
-
-    out = hash_group_apply(alerts, ["rule_id", "__bucket"], first_per_cooldown, pre=pre)
-    return ops.ensure_schema(out, _ALERT_SCHEMA)
+    return apply_cooldown(alerts)
 
 
 _SUBDOMAIN_SLOTS = 6  # www api mail cdn blog shop

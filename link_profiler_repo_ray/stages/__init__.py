@@ -5,6 +5,9 @@ from .stages import (
     SeoStage,
     QualityStage,
     AIScoreStage,
+    AlertStage,
+    CRAWL_ALERT_RULES,
+    ALERT_SCHEMA,
     CorpusReplayFetcher,
 )
 
@@ -15,5 +18,8 @@ __all__ = [
     "SeoStage",
     "QualityStage",
     "AIScoreStage",
+    "AlertStage",
+    "CRAWL_ALERT_RULES",
+    "ALERT_SCHEMA",
     "CorpusReplayFetcher",
 ]

@@ -231,6 +231,82 @@ class AIScoreStage:
         return df.with_columns(self.score_exprs()).to_arrow()
 
 
+# Active alert rules evaluated inside the crawl loop — the reference's
+# ``AlertService.evaluate_job_update`` walks these per job/page update
+# (services/alert_service.py:67-129); thresholds are tuned to the
+# corpus metric distributions so every rule discriminates (fires on a
+# minority of pages, not none / not all).
+# (rule_id, name, metric, comparison_operator, threshold, severity,
+#  target_url_pattern | None)
+CRAWL_ALERT_RULES = (
+    (0, "fetch_error", "status", ">=", 400, "critical", None),
+    (1, "low_quality", "quality_score", "<", 25.0, "warning", None),
+    (2, "thin_content", "word_count", "<", 40, "info", None),
+    (3, "low_seo", "seo_score", "<", 18.5, "warning", r"^https://h[0-4]\."),
+)
+
+ALERT_SCHEMA = pa.schema(
+    [
+        ("rule_id", pa.int64()),
+        ("rule_name", pa.string()),
+        ("severity", pa.string()),
+        ("url", pa.string()),
+        ("metric_value", pa.float64()),
+        ("triggered_ts", pa.timestamp("us")),
+    ]
+)
+
+
+class AlertStage:
+    """Alert-rule evaluation over per-page crawl metrics (the crawl-loop
+    integration of services/alert_service.py:67-129: the reference
+    evaluates active rules on every job update during a crawl).
+
+    Rules live in the actor (``__init__``, once); evaluation is one
+    vectorized polars pass per rule over the Arrow batch.  Emits RAW
+    fired alerts — the cooldown suppression is a global first-per-
+    (rule, bucket) reduce, applied at dispatch time by
+    ``pipelines.monitor.apply_cooldown`` (inside one fetch actor there
+    is no global view of the cooldown clock, same as one reference
+    satellite).  NULL metrics (e.g. seo_score on a non-200 page) never
+    fire, matching the reference's ``metric_value is not None`` gate.
+    """
+
+    def __init__(self, rules=CRAWL_ALERT_RULES, ts_col: str = "warc_ts"):
+        self.rules = rules
+        self.ts_col = ts_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        cmp = {
+            "<": lambda c, t: c < t,
+            "<=": lambda c, t: c <= t,
+            ">": lambda c, t: c > t,
+            ">=": lambda c, t: c >= t,
+            "==": lambda c, t: c == t,
+            "!=": lambda c, t: c != t,
+        }
+        cols = {"url", self.ts_col} | {r[2] for r in self.rules}
+        df = pl.from_arrow(batch.select([c for c in batch.schema.names if c in cols]))
+        fired = []
+        for rule_id, name, metric, op, threshold, severity, pattern in self.rules:
+            hit = cmp[op](pl.col(metric), threshold)
+            if pattern is not None:
+                hit = hit & pl.col("url").str.contains(pattern)
+            fired.append(
+                df.filter(hit).select(
+                    pl.lit(rule_id, dtype=pl.Int64).alias("rule_id"),
+                    pl.lit(name).alias("rule_name"),
+                    pl.lit(severity).alias("severity"),
+                    pl.col("url"),
+                    pl.col(metric).cast(pl.Float64).alias("metric_value"),
+                    pl.col(self.ts_col).alias("triggered_ts"),
+                )
+            )
+        return pl.concat(fired).to_arrow().cast(ALERT_SCHEMA)
+
+
 class CorpusReplayFetcher:
     """S1 substitute: fetch = lookup into the synthetic corpus (J3).
 
