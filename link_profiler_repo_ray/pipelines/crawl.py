@@ -387,12 +387,14 @@ def _parse_and_emit(
             pages = pages.append_column(col, scored.column(col))
 
     alerts = None
-    if alert_stage is not None:
+    if alert_stage is not None and persist_dir is not None:
         # alert-rule evaluation on every page update, as the
         # reference's AlertService does per job update
         # (alert_service.py:67-129); RAW fired alerts persist beside
         # pages/edges — the global cooldown dedup is a dispatch-time
-        # reduce (pipelines.monitor.apply_cooldown)
+        # reduce (pipelines.monitor.apply_cooldown).  Skipped without a
+        # persistence target: alerts that land nowhere would be pure
+        # wasted evaluation.
         alerts = alert_stage(pages)
 
     if persist_dir is not None:
@@ -799,7 +801,7 @@ class _Checkpointer:
             pq.write_table(order_delta, os.path.join(d, "order.parquet"))
             return
         lineage = {"round": r, "inputs": [], "outputs": []}
-        for sub in ("pages", "edges"):
+        for sub in ("pages", "edges", "alerts"):
             for pth in sorted(glob.glob(os.path.join(d, sub, "*.parquet"))):
                 lineage["outputs"].append({"table": sub, "path": pth})
         dumps = ray.get([s.dump.remote() for s in frontier.shards])

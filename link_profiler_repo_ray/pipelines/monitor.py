@@ -60,6 +60,7 @@ import ray.data as rd
 
 from .. import ops
 from ..ops import hash_aggregate, hash_group_apply
+from ..stages import CMP_OPS
 from . import graph
 from .audit import audit_scores
 
@@ -95,48 +96,56 @@ _ALERT_SCHEMA = pa.schema(
     ]
 )
 
-_CMP = {
-    "<": lambda c, t: c < t,
-    "<=": lambda c, t: c <= t,
-    ">": lambda c, t: c > t,
-    ">=": lambda c, t: c >= t,
-    "==": lambda c, t: c == t,
-    "!=": lambda c, t: c != t,
-}
 
 
 def apply_cooldown(
     alerts: rd.Dataset,
     cooldown_s: int = ALERT_COOLDOWN_S,
-    schema: pa.Schema = _ALERT_SCHEMA,
+    schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Global cooldown suppression over a raw fired-alert stream: keep
     the EARLIEST alert per (rule_id, cooldown bucket) — the distributed
     reading of the reference's ``last_evaluation_times`` dict
     (alert_service.py:143-147).  Works on any dataset with rule_id /
     triggered_ts (+ tie-break url) columns, e.g. the crawl loop's
-    persisted ``alerts/`` output (stages.AlertStage).  Only
-    (rule, bucket)-deduped rows cross the exchange."""
+    persisted ``alerts/`` output (stages.AlertStage); the default
+    ``schema`` is that stage's float64-metric layout — pass
+    ``_ALERT_SCHEMA``-style overrides for other layouts.  Only
+    (rule, bucket)-deduped rows cross the exchange.
+
+    Alerts with a NULL triggered_ts (live fetches / replay misses have
+    no capture timestamp) pass through UNSUPPRESSED: without a clock
+    the cooldown window cannot be evaluated, and collapsing them into
+    one null bucket would silently drop distinct critical alerts."""
+    if schema is None:
+        from ..stages import ALERT_SCHEMA
+
+        schema = ALERT_SCHEMA
     bucket = (
         pl.col("triggered_ts").dt.epoch(time_unit="s") // cooldown_s
     ).alias("__bucket")
 
-    def pre(df: pl.DataFrame) -> pl.DataFrame:
-        # per-block combiner: keep the earliest alert per (rule, bucket)
-        return (
-            df.with_columns(bucket)
-            .sort(["triggered_ts", "url"])
-            .group_by(["rule_id", "__bucket"], maintain_order=True)
-            .first()
-        )
-
-    def first_per_cooldown(df: pl.DataFrame) -> pl.DataFrame:
+    def dedup(df: pl.DataFrame) -> pl.DataFrame:
         return (
             df.sort(["triggered_ts", "url"])
             .group_by(["rule_id", "__bucket"], maintain_order=True)
             .first()
-            .drop("__bucket")
         )
+
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        # per-block combiner: earliest per (rule, bucket).  Null-ts rows
+        # get a per-URL negative bucket: same-URL duplicates still
+        # collapse, distinct URLs stay distinct (cooldown needs a clock)
+        df = df.with_columns(bucket).with_columns(
+            pl.when(pl.col("__bucket").is_null())
+            .then(-1 - (pl.col("url").hash(seed=1) % (1 << 62)).cast(pl.Int64))
+            .otherwise(pl.col("__bucket"))
+            .alias("__bucket")
+        )
+        return dedup(df)
+
+    def first_per_cooldown(df: pl.DataFrame) -> pl.DataFrame:
+        return dedup(df).drop("__bucket")
 
     out = hash_group_apply(alerts, ["rule_id", "__bucket"], first_per_cooldown, pre=pre)
     return ops.ensure_schema(out, schema)
@@ -160,7 +169,7 @@ def alert_rules_eval(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
         m = audit_scores(df, keep=["url", "ts"])
         fired = []
         for rule_id, name, metric, cmp, threshold, severity, pattern in ALERT_RULES:
-            hit = _CMP[cmp](pl.col(metric), threshold)
+            hit = CMP_OPS[cmp](pl.col(metric), threshold)
             if pattern is not None:
                 hit = hit & pl.col("url").str.contains(pattern)
             fired.append(
@@ -178,7 +187,7 @@ def alert_rules_eval(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     alerts = graph.pages_dataset(
         sf_dir, multiplier, columns=["url", "warc_ts", "html"]
     ).map_batches(evaluate, batch_format="pyarrow", zero_copy_batch=True)
-    return apply_cooldown(alerts)
+    return apply_cooldown(alerts, schema=_ALERT_SCHEMA)
 
 
 _SUBDOMAIN_SLOTS = 6  # www api mail cdn blog shop

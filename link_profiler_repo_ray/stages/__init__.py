@@ -8,6 +8,7 @@ from .stages import (
     AlertStage,
     CRAWL_ALERT_RULES,
     ALERT_SCHEMA,
+    CMP_OPS,
     CorpusReplayFetcher,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "AlertStage",
     "CRAWL_ALERT_RULES",
     "ALERT_SCHEMA",
+    "CMP_OPS",
     "CorpusReplayFetcher",
 ]

@@ -256,6 +256,18 @@ ALERT_SCHEMA = pa.schema(
     ]
 )
 
+# comparison-operator table shared by every alert evaluator
+# (alert_service.py:225-241's _check_threshold_condition) — one source
+# of truth so the crawl-loop and audit-stream evaluators can't diverge
+CMP_OPS = {
+    "<": lambda c, t: c < t,
+    "<=": lambda c, t: c <= t,
+    ">": lambda c, t: c > t,
+    ">=": lambda c, t: c >= t,
+    "==": lambda c, t: c == t,
+    "!=": lambda c, t: c != t,
+}
+
 
 class AlertStage:
     """Alert-rule evaluation over per-page crawl metrics (the crawl-loop
@@ -279,19 +291,11 @@ class AlertStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        cmp = {
-            "<": lambda c, t: c < t,
-            "<=": lambda c, t: c <= t,
-            ">": lambda c, t: c > t,
-            ">=": lambda c, t: c >= t,
-            "==": lambda c, t: c == t,
-            "!=": lambda c, t: c != t,
-        }
         cols = {"url", self.ts_col} | {r[2] for r in self.rules}
         df = pl.from_arrow(batch.select([c for c in batch.schema.names if c in cols]))
         fired = []
         for rule_id, name, metric, op, threshold, severity, pattern in self.rules:
-            hit = cmp[op](pl.col(metric), threshold)
+            hit = CMP_OPS[op](pl.col(metric), threshold)
             if pattern is not None:
                 hit = hit & pl.col("url").str.contains(pattern)
             fired.append(
