@@ -84,6 +84,7 @@ def test_real_fetch_crawl(site, tmp_path):
         real_max_file_size_mb=4096 / (1024 * 1024),  # 4 KiB cap → /big.html dropped
         real_timeout_s=5.0,
         output_dir=str(tmp_path / "out"),
+        alerting=True,
     )
     res = run_crawl(SF, cfg)
 
@@ -132,6 +133,14 @@ def test_real_fetch_crawl(site, tmp_path):
     )
     texts = dict(zip(pages.column("url").to_pylist(), pages.column("text").to_pylist()))
     assert texts[base + "/b.html"] == "terminal page."
+
+    # alert rules evaluated on the live path too: the 404 fires the
+    # critical fetch_error rule, with a null triggered_ts (live fetches
+    # carry no capture timestamp)
+    alerts = pl.read_parquet(str(tmp_path / "out" / "alerts" / "*.parquet"))
+    crit = alerts.filter(pl.col("rule_name") == "fetch_error")
+    assert base + "/missing.html" in crit.get_column("url").to_list()
+    assert crit.get_column("triggered_ts").is_null().all()
 
 
 @pytest.mark.usefixtures("ray_session")
