@@ -565,6 +565,7 @@ class FetchParseActor:
             "busy_s": self.busy_s,
             "fused_s": self.fused_s,
             "collisions": self.collisions,
+            "alerts_fired": self.alert_stage.fired_total if self.alert_stage else 0,
         }
 
     def fetch_parse(
@@ -1687,6 +1688,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
     counters["fetch_fused_s"] = round(sum(p.get("fused_s", 0.0) for p in fetch_perf), 3)
     counters["fetch_fused_max_s"] = round(max(p.get("fused_s", 0.0) for p in fetch_perf), 3)
     counters["hash_collisions"] = sum(p["collisions"] for p in fetch_perf)
+    counters["alerts_fired"] = sum(p.get("alerts_fired", 0) for p in fetch_perf)
     shard_sizes = ray.get([s.sizes.remote() for s in shards])
     counters["seen_total"] = sum(n for _, n in shard_sizes)
     counters["frontier_remaining"] = sum(f for f, _ in shard_sizes)

@@ -129,7 +129,11 @@ class RealFetchActor:
         self.persister.flush()
 
     def perf_stats(self) -> dict:
-        return {"busy_s": self.busy_s, "collisions": 0}
+        return {
+            "busy_s": self.busy_s,
+            "collisions": 0,
+            "alerts_fired": self.alert_stage.fired_total if self.alert_stage else 0,
+        }
 
     def proxy_stats(self) -> dict:
         return self.proxy_pool.stats() if self.proxy_pool is not None else {}

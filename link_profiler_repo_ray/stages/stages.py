@@ -287,6 +287,7 @@ class AlertStage:
     def __init__(self, rules=CRAWL_ALERT_RULES, ts_col: str = "warc_ts"):
         self.rules = rules
         self.ts_col = ts_col
+        self.fired_total = 0  # A8 counter, surfaced via perf_stats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -308,7 +309,9 @@ class AlertStage:
                     pl.col(self.ts_col).alias("triggered_ts"),
                 )
             )
-        return pl.concat(fired).to_arrow().cast(ALERT_SCHEMA)
+        out = pl.concat(fired).to_arrow().cast(ALERT_SCHEMA)
+        self.fired_total += out.num_rows
+        return out
 
 
 class CorpusReplayFetcher:
