@@ -66,7 +66,11 @@ def entry() -> Any:
 #   web3_content_index        -> text_extract (same documents scan; the
 #                                derived CID/preview columns are trivial
 #                                projections hash-checked in-repo)
+#   embedding_centroids       -> embedding_topk (same pruned embeddings
+#                                scan; per-label mean vs per-query top-k
+#                                over the identical vector column)
 _YIELD_WINDOW_SLOT = (
+    "embedding_centroids",
     "referring_domains_exact",
     "full_seo_audit",
     "web3_content_index",
@@ -894,6 +898,16 @@ SELECT doc_id,
            '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
          '\b(spark|stream)\b', '[TERM]', 'g') AS text_scrubbed
 FROM documents""",
+        "dataset_split": """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100
+           AS bucket
+  FROM documents)
+SELECT doc_id, bucket::BIGINT AS bucket,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b""",
         "domain_balanced_sample": """
 SELECT doc_id, source, n_chars FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5""",

@@ -60,6 +60,7 @@ __all__ = [
     "quality_funnel",
     "contamination_ngrams",
     "sequence_packing",
+    "dataset_split",
 ]
 
 
@@ -1528,4 +1529,48 @@ def sequence_packing(sf_dir: str, budget: int = 512) -> rd.Dataset:
         ),
         ["source"],
         pack,
+    )
+
+
+# --- deterministic train/val/test split ----------------------------------
+
+def dataset_split(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Deterministic hash-based train/val/test assignment (80/10/10).
+
+    A training-data pipeline needs every job, language, and engine to
+    agree which documents are held out — so the split key must be a
+    PORTABLE hash, not an engine-local one (polars/xxhash seeds differ
+    between processes and libraries).  md5 of the decimal doc_id is
+    reproducible everywhere: bucket = first 4 hex chars mod 100
+    (0..65535 → ~0.1% deviation from uniform), train < 80 ≤ val < 90
+    ≤ test.  The per-row md5 is a Python loop by necessity, but it
+    runs inside map_batches on a single-column pruned scan (~1 µs/row)
+    — the scan's IO dominates at scale, and hash portability (the SQL
+    oracle recomputes the identical bucket with DuckDB's md5()) is the
+    requirement, not hash speed.  Reference has no analogue; this is
+    part of the training-data extension family (SURVEY §2 extensions).
+    """
+    import hashlib
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        bucket = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % 100 for d in ids
+        ]
+        df = pl.DataFrame(
+            {"doc_id": pl.from_arrow(batch.column("doc_id")), "bucket": bucket}
+        )
+        return df.select(
+            "doc_id",
+            pl.col("bucket").cast(pl.Int64),
+            pl.when(pl.col("bucket") < 80)
+            .then(pl.lit("train"))
+            .when(pl.col("bucket") < 90)
+            .then(pl.lit("val"))
+            .otherwise(pl.lit("test"))
+            .alias("split"),
+        ).to_arrow()
+
+    return documents_dataset(sf_dir, columns=["doc_id"]).map_batches(
+        split, batch_format="pyarrow", zero_copy_batch=True
     )

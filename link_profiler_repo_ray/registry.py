@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_funnel": textdata.quality_funnel,
         "contamination_ngrams": textdata.contamination_ngrams,
         "sequence_packing": textdata.sequence_packing,
+        "dataset_split": textdata.dataset_split,
         "curated_documents": curate.curated_documents,
         # relational breadth
         "q1_lineitem": relational.q1_lineitem,

@@ -37,6 +37,7 @@ SIBLINGS = {
     "referring_domains_exact": "link_profiles",
     "full_seo_audit": "technical_audit",
     "web3_content_index": "text_extract",
+    "embedding_centroids": "embedding_topk",
 }
 
 
