@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         social,
         textdata,
     )
-    from .sources import cdx, serpkw, sitemap
+    from .sources import cdx, serpkw, sitemap, warc
 
     return {
         # CDX index sources (S4/S5)
@@ -52,6 +52,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sitemap sources
         "sitemap_parse": sitemap.sitemap_parse,
         "sitemap_seed_frontier": sitemap.sitemap_seed_frontier,
+        # WARC sink + CDX index builder (S4 writer side; offsets/digests
+        # are real file facts, so correctness is pytest-pinned by
+        # seek-reads rather than a SQL oracle)
+        "cdx_index_build": warc.cdx_index_build,
         # SERP analysis + keyword research job types
         "serp_rank_latest": serpkw.serp_rank_latest,
         "keyword_gap": serpkw.keyword_gap,

@@ -41,9 +41,47 @@ from datetime import datetime
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["write_warc", "pages_from_warc"]
+__all__ = [
+    "write_warc",
+    "write_warc_indexed",
+    "pages_from_warc",
+    "pages_from_cdx_index",
+    "surt_key",
+]
 
 _CRLF = b"\r\n"
+
+
+def surt_key(url: str) -> str:
+    """SURT urlkey (the CDX sort key): host labels reversed and
+    comma-joined, ``)/`` then the path — e.g.
+    ``https://h3.example.com/doc/5`` → ``com,example,h3)/doc/5``
+    (common_crawl_client.py's index rows carry exactly this form)."""
+    rest = url.split("://", 1)[-1]
+    host, slash, path = rest.partition("/")
+    host = host.lower().split(":", 1)[0]
+    return ",".join(reversed(host.split("."))) + ")/" + path
+
+
+def _record_bytes(url: str, ts, html, lang) -> bytes:
+    payload = bytes(html or b"")
+    # WARC/1.1-style fractional seconds: the schema is timestamp(us)
+    # and the round trip must be exact
+    date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    hdr = (
+        b"WARC/1.1" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"WARC-Date: " + date.encode() + _CRLF
+        + (
+            b"WARC-Identified-Content-Language: " + lang.encode() + _CRLF
+            if lang
+            else b""
+        )
+        + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+        + _CRLF
+    )
+    return hdr + payload + _CRLF + _CRLF
 
 
 def write_warc(pages: rd.Dataset, out_dir: str) -> str:
@@ -56,31 +94,15 @@ def write_warc(pages: rd.Dataset, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
 
     def to_records(batch: pa.Table) -> pa.Table:
-        out = []
-        for url, ts, html, lang in zip(
-            batch.column("url").to_pylist(),
-            batch.column("warc_ts").to_pylist(),
-            batch.column("html").to_pylist(),
-            batch.column("lang").to_pylist(),
-        ):
-            payload = bytes(html or b"")
-            # WARC/1.1-style fractional seconds: the schema is
-            # timestamp(us) and the round trip must be exact
-            date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
-            hdr = (
-                b"WARC/1.1" + _CRLF
-                + b"WARC-Type: response" + _CRLF
-                + b"WARC-Target-URI: " + url.encode() + _CRLF
-                + b"WARC-Date: " + date.encode() + _CRLF
-                + (
-                    b"WARC-Identified-Content-Language: " + lang.encode() + _CRLF
-                    if lang
-                    else b""
-                )
-                + b"Content-Length: " + str(len(payload)).encode() + _CRLF
-                + _CRLF
+        out = [
+            _record_bytes(url, ts, html, lang)
+            for url, ts, html, lang in zip(
+                batch.column("url").to_pylist(),
+                batch.column("warc_ts").to_pylist(),
+                batch.column("html").to_pylist(),
+                batch.column("lang").to_pylist(),
             )
-            out.append(hdr + payload + _CRLF + _CRLF)
+        ]
         return pa.table({"record": pa.array(out, pa.binary())})
 
     records = pages.map_batches(to_records, batch_format="pyarrow", zero_copy_batch=True)
@@ -201,3 +223,132 @@ def pages_from_warc(warc_dir: str, extract_text: bool = True) -> rd.Dataset:
     return ds.map_batches(
         parse_file, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
     )
+
+
+# --- CDX index: the sidecar that makes WARC shards seekable --------------
+
+CDX_SCHEMA = pa.schema(
+    [
+        ("urlkey", pa.string()),
+        ("timestamp", pa.string()),   # YYYYMMDDHHMMSS, the CDX wire form
+        ("url", pa.string()),
+        ("mime", pa.string()),
+        ("status", pa.int64()),
+        ("digest", pa.string()),      # sha1 hex of the payload bytes
+        ("length", pa.int64()),       # full record length in the shard
+        ("offset", pa.int64()),       # record start offset in the shard
+        ("filename", pa.string()),
+    ]
+)
+
+
+def write_warc_indexed(pages: rd.Dataset, out_dir: str) -> rd.Dataset:
+    """WARC shards + the CDX index that makes them random-access.
+
+    Common Crawl distributes WARC segments WITH a CDX index (urlkey →
+    filename/offset/length) because WARC itself is not splittable or
+    seekable; the reference's CDX reader (common_crawl_client.py)
+    consumes exactly these rows.  This writer emits one ``.warc`` shard
+    per output task and returns the index Dataset sorted by
+    (urlkey, timestamp) — the CDX sort order binary search depends on.
+    Offsets are recorded while the shard bytes are joined, so a reader
+    can ``seek(offset); read(length)`` one record without touching the
+    rest of the file (pytest-pinned in tests/test_warc_index.py).
+    """
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        if not urls:
+            return CDX_SCHEMA.empty_table()
+        # deterministic shard name: content-derived, stable across runs
+        name = f"part-{hashlib.md5((urls[0] + str(len(urls))).encode()).hexdigest()[:12]}.warc"
+        path = os.path.join(out_dir, name)
+        rows = {k: [] for k in CDX_SCHEMA.names}
+        parts, off = [], 0
+        for url, ts, html, lang in zip(urls, tss, htmls, langs):
+            rec = _record_bytes(url, ts, html, lang)
+            payload = bytes(html or b"")
+            rows["urlkey"].append(surt_key(url))
+            rows["timestamp"].append(
+                (ts or datetime(1970, 1, 1)).strftime("%Y%m%d%H%M%S")
+            )
+            rows["url"].append(url)
+            rows["mime"].append("text/html")
+            rows["status"].append(200)
+            rows["digest"].append(hashlib.sha1(payload).hexdigest())
+            rows["length"].append(len(rec))
+            rows["offset"].append(off)
+            rows["filename"].append(path)
+            parts.append(rec)
+            off += len(rec)
+        with open(path + ".tmp", "wb") as fh:
+            fh.write(b"".join(parts))
+        os.replace(path + ".tmp", path)
+        return pa.Table.from_pydict(rows, schema=CDX_SCHEMA)
+
+    index = pages.map_batches(write_shard, batch_format="pyarrow", zero_copy_batch=True)
+    # CDX order: the exchange here is the index rows only (tiny), never
+    # the page payloads
+    return index.sort(["urlkey", "timestamp"])
+
+
+def pages_from_cdx_index(index: pa.Table | rd.Dataset, extract_text: bool = True) -> rd.Dataset:
+    """Random-access WARC reads driven by CDX index rows.
+
+    Each task seeks straight to its records' offsets — the whole point
+    of the index: fetching one URL out of a multi-GB shard costs one
+    seek + ``length`` bytes, not a full-file scan.  Rows are grouped
+    per shard inside the batch so each file opens once."""
+    from ..functions.htmlx import extract_text as _extract
+
+    if isinstance(index, pa.Table):
+        index = rd.from_arrow(index)
+
+    def read_records(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["filename", "offset", "length"]))
+        cols: dict[str, list] = {"url": [], "warc_ts": [], "html": [], "lang": []}
+        for (fname,), grp in df.group_by("filename", maintain_order=True):
+            with open(fname, "rb") as fh:
+                for off, ln in zip(grp["offset"], grp["length"]):
+                    fh.seek(off)
+                    rec = _parse_warc_bytes(fh.read(ln))
+                    for k in cols:
+                        cols[k].extend(rec[k])
+        out = {
+            "url": pa.array(cols["url"], pa.string()),
+            "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(cols["html"], pa.binary()),
+            "lang": pa.array(cols["lang"], pa.string()),
+        }
+        if extract_text:
+            out["text"] = pa.array(
+                [_extract(bytes(h).decode("utf-8", errors="replace")) for h in cols["html"]],
+                pa.large_string(),
+            )
+        return pa.table(out)
+
+    return index.map_batches(read_records, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cdx_index_build(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Registry entry: pages corpus → WARC shards + sorted CDX index.
+
+    The WARC output is cached per (sf_dir, multiplier) under /tmp so
+    repeated queries reuse the shards; the returned Dataset is the
+    index (one row per page, CDX sort order)."""
+    import hashlib
+
+    from ..pipelines import graph
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{multiplier}".encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp/lpr_warc_cdx", key)
+    pages = graph.pages_dataset(sf_dir, multiplier)
+    return write_warc_indexed(pages, out_dir)
