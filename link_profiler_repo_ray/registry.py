@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpora / recall assertions (round-3 verdict item 7)
         "embedding_near_dups": textdata.embedding_near_dups_bucketed,
         "embedding_near_dups_exact": textdata.embedding_near_dups,
+        "embedding_quantize": textdata.embedding_quantize,
         "vocab_top_tokens": textdata.vocab_top_tokens,
         # corpus-curation ops (round 3)
         "clean_text": textdata.clean_text,

@@ -38,6 +38,7 @@ SIBLINGS = {
     "full_seo_audit": "technical_audit",
     "web3_content_index": "text_extract",
     "embedding_centroids": "embedding_topk",
+    "embedding_quantize": "embedding_topk",
 }
 
 
