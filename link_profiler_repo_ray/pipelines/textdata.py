@@ -1535,7 +1535,7 @@ def sequence_packing(sf_dir: str, budget: int = 512) -> rd.Dataset:
 
 # --- deterministic train/val/test split ----------------------------------
 
-def dataset_split(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+def dataset_split(sf_dir: str) -> rd.Dataset:
     """Deterministic hash-based train/val/test assignment (80/10/10).
 
     A training-data pipeline needs every job, language, and engine to
@@ -1595,10 +1595,17 @@ def embedding_quantize(sf_dir: str) -> rd.Dataset:
     (vec_id, dim, code)."""
     import ray as _ray
 
-    dims = None
+    _PARTIAL_SCHEMA = pa.schema(
+        [("dim", pa.int64()), ("mn", pa.float64()), ("mx", pa.float64())]
+    )
+    _CODE_SCHEMA = pa.schema(
+        [("vec_id", pa.int64()), ("dim", pa.int64()), ("code", pa.int64())]
+    )
 
     def partial_minmax(batch: pa.Table) -> pa.Table:
         emb = _embedding_matrix(batch.column("embedding"))
+        if emb.shape[0] == 0:
+            return _PARTIAL_SCHEMA.empty_table()
         d = emb.shape[1]
         return pa.table(
             {
@@ -1626,7 +1633,9 @@ def embedding_quantize(sf_dir: str) -> rd.Dataset:
 
     def encode(batch: pa.Table) -> pa.Table:
         mn_, scale_, varying = _ray.get(ref)
-        emb = _embedding_matrix(batch.column("embedding")).astype(np.float64)
+        emb = _embedding_matrix(batch.column("embedding"))  # already float64
+        if emb.shape[0] == 0:
+            return _CODE_SCHEMA.empty_table()
         code = np.floor((emb - mn_) / scale_ + 0.5).astype(np.int64)
         code[:, ~varying] = 0  # constant dims quantize to 0 (oracle CASE)
         n, d = code.shape

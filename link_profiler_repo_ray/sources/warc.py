@@ -260,15 +260,14 @@ def write_warc_indexed(pages: rd.Dataset, out_dir: str) -> rd.Dataset:
     os.makedirs(out_dir, exist_ok=True)
 
     def write_shard(batch: pa.Table) -> pa.Table:
+        import uuid
+
         urls = batch.column("url").to_pylist()
         tss = batch.column("warc_ts").to_pylist()
         htmls = batch.column("html").to_pylist()
         langs = batch.column("lang").to_pylist()
         if not urls:
             return CDX_SCHEMA.empty_table()
-        # deterministic shard name: content-derived, stable across runs
-        name = f"part-{hashlib.md5((urls[0] + str(len(urls))).encode()).hexdigest()[:12]}.warc"
-        path = os.path.join(out_dir, name)
         rows = {k: [] for k in CDX_SCHEMA.names}
         parts, off = [], 0
         for url, ts, html, lang in zip(urls, tss, htmls, langs):
@@ -284,12 +283,21 @@ def write_warc_indexed(pages: rd.Dataset, out_dir: str) -> rd.Dataset:
             rows["digest"].append(hashlib.sha1(payload).hexdigest())
             rows["length"].append(len(rec))
             rows["offset"].append(off)
-            rows["filename"].append(path)
             parts.append(rec)
             off += len(rec)
-        with open(path + ".tmp", "wb") as fh:
-            fh.write(b"".join(parts))
-        os.replace(path + ".tmp", path)
+        blob = b"".join(parts)
+        # shard name = hash of the FULL shard bytes: deterministic per
+        # content, collision-free across differing batches (a name from
+        # just the first URL + row count collides for recaptured URLs
+        # and would clobber another shard), and idempotent — a re-run
+        # producing identical bytes rewrites the same file harmlessly
+        path = os.path.join(out_dir, f"part-{hashlib.md5(blob).hexdigest()[:16]}.warc")
+        rows["filename"] = [path] * len(urls)
+        if not os.path.exists(path):  # content-addressed: skip rewrite
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"  # private tmp per writer
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, path)
         return pa.Table.from_pydict(rows, schema=CDX_SCHEMA)
 
     index = pages.map_batches(write_shard, batch_format="pyarrow", zero_copy_batch=True)
@@ -304,14 +312,16 @@ def pages_from_cdx_index(index: pa.Table | rd.Dataset, extract_text: bool = True
     Each task seeks straight to its records' offsets — the whole point
     of the index: fetching one URL out of a multi-GB shard costs one
     seek + ``length`` bytes, not a full-file scan.  Rows are grouped
-    per shard inside the batch so each file opens once."""
-    from ..functions.htmlx import extract_text as _extract
-
+    per shard inside the batch so each file opens once.  Output schema
+    is identical to ``pages_from_warc`` (text None-filled when
+    ``extract_text=False``) so the two readers are interchangeable."""
     if isinstance(index, pa.Table):
         index = rd.from_arrow(index)
 
     def read_records(batch: pa.Table) -> pa.Table:
         import polars as pl
+
+        from ..functions.htmlx import extract_text_batch
 
         df = pl.from_arrow(batch.select(["filename", "offset", "length"]))
         cols: dict[str, list] = {"url": [], "warc_ts": [], "html": [], "lang": []}
@@ -322,18 +332,22 @@ def pages_from_cdx_index(index: pa.Table | rd.Dataset, extract_text: bool = True
                     rec = _parse_warc_bytes(fh.read(ln))
                     for k in cols:
                         cols[k].extend(rec[k])
-        out = {
-            "url": pa.array(cols["url"], pa.string()),
-            "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
-            "html": pa.array(cols["html"], pa.binary()),
-            "lang": pa.array(cols["lang"], pa.string()),
-        }
-        if extract_text:
-            out["text"] = pa.array(
-                [_extract(bytes(h).decode("utf-8", errors="replace")) for h in cols["html"]],
-                pa.large_string(),
+        texts = (
+            extract_text_batch(
+                [(h or b"").decode("utf-8", errors="replace") for h in cols["html"]]
             )
-        return pa.table(out)
+            if extract_text
+            else [None] * len(cols["url"])
+        )
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+                "html": pa.array(cols["html"], pa.binary()),
+                "text": pa.array(texts, pa.large_string()),
+                "lang": pa.array(cols["lang"], pa.string()),
+            }
+        )
 
     return index.map_batches(read_records, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -341,9 +355,11 @@ def pages_from_cdx_index(index: pa.Table | rd.Dataset, extract_text: bool = True
 def cdx_index_build(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     """Registry entry: pages corpus → WARC shards + sorted CDX index.
 
-    The WARC output is cached per (sf_dir, multiplier) under /tmp so
-    repeated queries reuse the shards; the returned Dataset is the
-    index (one row per page, CDX sort order)."""
+    Shards land under a per-(sf_dir, multiplier) /tmp dir with
+    content-addressed names, so a repeated build skips every existing
+    shard's payload write (the expensive part) and only recomputes the
+    cheap index rows; the returned Dataset is the index (one row per
+    page, CDX sort order)."""
     import hashlib
 
     from ..pipelines import graph
