@@ -111,3 +111,47 @@ def test_offsets_are_real_file_positions(built):
     assert rec.startswith(b"WARC/1.1\r\n")
     assert rec.endswith(b"\r\n\r\n")
     assert ("WARC-Target-URI: " + row["url"]).encode() in rec
+
+def test_shard_names_content_addressed(built, tmp_path):
+    """Two batches sharing first-URL AND row count must land in distinct
+    shards (a name derived from just those two collided and clobbered),
+    and rebuilding identical content is idempotent: no new files, no
+    payload rewrite (mtimes untouched)."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from link_profiler_repo_ray.sources.warc import write_warc_indexed
+
+    out = str(tmp_path / "shards")
+    ts0 = dt.datetime(2025, 1, 1)
+
+    def capture(body: str, ts) -> pa.Table:
+        return pa.table(
+            {
+                "url": pa.array(["http://a.example/", "http://b.example/"]),
+                "warc_ts": pa.array([ts, ts], pa.timestamp("us")),
+                "html": pa.array([body.encode(), b"<html>b</html>"], pa.binary()),
+                "lang": pa.array(["en", "en"]),
+            }
+        )
+
+    t1 = capture("<html>v1</html>", ts0)
+    t2 = capture("<html>v2-recaptured</html>", ts0.replace(year=2026))
+    idx1 = _collect(write_warc_indexed(rd.from_arrow(t1), out))
+    idx2 = _collect(write_warc_indexed(rd.from_arrow(t2), out))
+    f1, f2 = set(idx1.column("filename").to_pylist()), set(idx2.column("filename").to_pylist())
+    assert f1.isdisjoint(f2)  # same first URL + count, different shards
+    # every index row still dereferences to its own digest-true bytes
+    for idx in (idx1, idx2):
+        for row in idx.to_pylist():
+            with open(row["filename"], "rb") as fh:
+                fh.seek(row["offset"])
+                rec = fh.read(row["length"])
+            assert ("WARC-Target-URI: " + row["url"]).encode() in rec
+    # idempotent rebuild: same names, zero rewrites, no tmp litter
+    before = {f: os.stat(f).st_mtime_ns for f in f1 | f2}
+    idx1b = _collect(write_warc_indexed(rd.from_arrow(t1), out))
+    assert set(idx1b.column("filename").to_pylist()) == f1
+    assert {f: os.stat(f).st_mtime_ns for f in f1 | f2} == before
+    assert [p for p in os.listdir(out) if ".tmp" in p] == []
