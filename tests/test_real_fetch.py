@@ -485,3 +485,53 @@ def test_real_fetch_proxy_rotation_and_demotion(site):
         ray.kill(actor)
     finally:
         prox.shutdown()
+
+
+def test_proxy_pool_single_probe_after_cooldown():
+    """A cooled-down ban admits exactly ONE probe (FAILED → TESTING):
+    concurrent get_next callers must not all pile onto the still-
+    unverified exit, and a failed probe re-bans for a full cooldown."""
+    from link_profiler_repo_ray.state.proxies import ProxyPool
+
+    now = [0.0]
+    pool = ProxyPool(["bad", "good"], max_failures=2, retry_after_s=50.0, clock=lambda: now[0])
+    pool.mark_bad("bad")
+    pool.mark_bad("bad")  # banned until t=50
+    now[0] = 51.0
+    handed = [pool.get_next() for _ in range(6)]
+    assert handed.count("bad") == 1  # one probe, not a wave
+    assert handed.count("good") == 5
+    pool.mark_bad("bad")  # probe failed: banned again until t=101
+    now[0] = 100.0
+    assert [pool.get_next() for _ in range(3)] == ["good"] * 3
+    now[0] = 101.5
+    assert pool.get_next() == "bad"  # next cooldown grants the next probe
+
+
+def test_proxy_pool_thread_safety():
+    """16 threads hammering one pool (the RealFetchActor shape) must
+    not lose health increments or corrupt rotation state."""
+    import threading
+
+    from link_profiler_repo_ray.state.proxies import ProxyPool
+
+    pool = ProxyPool([f"p{i}" for i in range(4)], max_failures=10**9)
+    per_thread, n_threads = 500, 16
+
+    def worker():
+        for _ in range(per_thread):
+            p = pool.get_next()
+            pool.mark_bad(p)
+            pool.mark_good(p)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    st = pool.stats()
+    total = n_threads * per_thread
+    assert sum(s["ok"] for s in st.values()) == total
+    assert sum(s["fail"] for s in st.values()) == total
+    # unbanned round-robin spreads load exactly evenly in aggregate
+    assert all(s["ok"] == total // 4 for s in st.values())
