@@ -1018,6 +1018,19 @@ _STATS_COUNTER_KEYS = (
 _STATS_TIMER_KEYS = ("t_admit", "t_fetch", "t_order", "t_expand", "t_checkpoint")
 
 
+def _absorb_discoveries(counters: dict, seen_urls: list, trailers) -> None:
+    """Fold shard flush/admit discovery trailers — (n_new, n_dup,
+    newly_seen_urls) triples — into the run's counters.  Every path
+    that drains staged candidates (eager flush, lazy admit trailer,
+    stop-round drain, end-of-run drain) accounts through HERE so a new
+    discovery counter can't silently miss one of them."""
+    for n_new, n_dup, newly in trailers:
+        counters["discovered"] += n_new + n_dup
+        counters["dedup_hits"] += n_dup
+        counters["frontier_ops"] += n_new + n_dup
+        seen_urls.extend(newly)
+
+
 def _emit_round_stats(fh, round_no: int, counters: dict, prev: dict) -> None:
     """A8 live-metrics channel: ONE O(counters) JSON row per executed
     round, appended to the run's lineage dir (the Ray-side analogue of
@@ -1236,19 +1249,11 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             # everything below up to the fetch ray.get overlaps the
             # actors' admit+fetch execution
             if flush_refs:
-                for n_new, n_dup, newly in ray.get(flush_refs):
-                    counters["discovered"] += n_new + n_dup
-                    counters["dedup_hits"] += n_dup
-                    counters["frontier_ops"] += n_new + n_dup
-                    seen_urls.extend(newly)
+                _absorb_discoveries(counters, seen_urls, ray.get(flush_refs))
                 flush_refs = []
             admit_meta = ray.get([p[1] for p in admit_pairs])
             counters["t_admit_rpc"] += _time.perf_counter() - _t
-            for fs, nr, ws, n_new, n_dup, newly in admit_meta:
-                counters["discovered"] += n_new + n_dup
-                counters["dedup_hits"] += n_dup
-                counters["frontier_ops"] += n_new + n_dup
-                seen_urls.extend(newly)
+            _absorb_discoveries(counters, seen_urls, (m[3:] for m in admit_meta))
             if stats_fh is not None and pending_stats_round is not None:
                 _emit_round_stats(stats_fh, pending_stats_round, counters, stats_prev)
                 stats_prev = dict(counters)
@@ -1389,11 +1394,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
 
             will_stop = cfg.stop_after_round is not None and round_no >= cfg.stop_after_round
             if will_stop:
-                for n_new, n_dup, newly in ray.get(flush_refs):
-                    counters["discovered"] += n_new + n_dup
-                    counters["dedup_hits"] += n_dup
-                    counters["frontier_ops"] += n_new + n_dup
-                    seen_urls.extend(newly)
+                _absorb_discoveries(counters, seen_urls, ray.get(flush_refs))
                 flush_refs = []
                 if stats_fh is not None:
                     _emit_round_stats(stats_fh, round_no, counters, stats_prev)
@@ -1417,11 +1418,7 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         _t = _time.perf_counter()
         admit_out = ray.get([s.admit.remote(round_no, lazy_flush) for s in shards])
         counters["t_admit_rpc"] += _time.perf_counter() - _t
-        for _, _, _, _, n_new, n_dup, newly in admit_out:
-            counters["discovered"] += n_new + n_dup
-            counters["dedup_hits"] += n_dup
-            counters["frontier_ops"] += n_new + n_dup
-            seen_urls.extend(newly)
+        _absorb_discoveries(counters, seen_urls, (m[4:] for m in admit_out))
         # a round's stats row is emitted HERE, one admit later, because
         # lazy mode attributes its discovery/dedup counters to the
         # flush trailer of this admit — the row is complete only now
@@ -1611,13 +1608,9 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
         if not lazy_flush:
             # checkpoint mode: eager flush so this round's shard dumps
             # (write_round below) already contain its discoveries
-            for n_new, n_dup, newly in ray.get(
-                [s.flush_candidates.remote() for s in shards]
-            ):
-                counters["discovered"] += n_new + n_dup
-                counters["dedup_hits"] += n_dup
-                counters["frontier_ops"] += n_new + n_dup
-                seen_urls.extend(newly)
+            _absorb_discoveries(
+                counters, seen_urls, ray.get([s.flush_candidates.remote() for s in shards])
+            )
         counters["t_expand"] += _time.perf_counter() - _t
         counters["rounds"] += 1
 
@@ -1644,13 +1637,9 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
             # NOW so the final stats row (and the run totals) include
             # them — the next admit that would have flushed them never
             # happens
-            for n_new, n_dup, newly in ray.get(
-                [s.flush_candidates.remote() for s in shards]
-            ):
-                counters["discovered"] += n_new + n_dup
-                counters["dedup_hits"] += n_dup
-                counters["frontier_ops"] += n_new + n_dup
-                seen_urls.extend(newly)
+            _absorb_discoveries(
+                counters, seen_urls, ray.get([s.flush_candidates.remote() for s in shards])
+            )
         if will_stop:
             if stats_fh is not None:
                 _emit_round_stats(stats_fh, round_no, counters, stats_prev)
@@ -1662,11 +1651,9 @@ def _run_prepared(engine: CrawlEngine) -> CrawlResult:
     # drain candidates staged by the final fetched round (lazy mode
     # exits before the next admit could flush them in some paths;
     # eager mode already flushed — this is then a no-op)
-    for n_new, n_dup, newly in ray.get([s.flush_candidates.remote() for s in shards]):
-        counters["discovered"] += n_new + n_dup
-        counters["dedup_hits"] += n_dup
-        counters["frontier_ops"] += n_new + n_dup
-        seen_urls.extend(newly)
+    _absorb_discoveries(
+        counters, seen_urls, ray.get([s.flush_candidates.remote() for s in shards])
+    )
     if stats_fh is not None:
         if pending_stats_round is not None:
             _emit_round_stats(stats_fh, pending_stats_round, counters, stats_prev)

@@ -60,7 +60,6 @@ import ray.data as rd
 
 from .. import ops
 from ..ops import hash_aggregate, hash_group_apply
-from ..stages import CMP_OPS
 from . import graph
 from .audit import audit_scores
 
@@ -157,6 +156,14 @@ def alert_rules_eval(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     update wins — the distributed reading of the reference's
     ``last_evaluation_times`` cooldown dict."""
 
+    from ..stages import AlertStage
+
+    # ONE rule evaluator for both integrations: the audit-stream path
+    # computes the metric columns from HTML, then delegates the rule
+    # loop to the same parameterized stage the crawl loop runs — two
+    # hand-rolled copies of the filter/select would drift.
+    stage = AlertStage(rules=ALERT_RULES, ts_col="ts")
+
     def evaluate(batch: pa.Table) -> pa.Table:
         html = pc.cast(batch.column("html"), pa.large_string())
         df = pl.DataFrame(
@@ -167,22 +174,9 @@ def alert_rules_eval(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
             }
         )
         m = audit_scores(df, keep=["url", "ts"])
-        fired = []
-        for rule_id, name, metric, cmp, threshold, severity, pattern in ALERT_RULES:
-            hit = CMP_OPS[cmp](pl.col(metric), threshold)
-            if pattern is not None:
-                hit = hit & pl.col("url").str.contains(pattern)
-            fired.append(
-                m.filter(hit).select(
-                    pl.lit(rule_id, dtype=pl.Int64).alias("rule_id"),
-                    pl.lit(name).alias("rule_name"),
-                    pl.lit(severity).alias("severity"),
-                    pl.col("url"),
-                    pl.col(metric).cast(pl.Int64).alias("metric_value"),
-                    pl.col("ts").alias("triggered_ts"),
-                )
-            )
-        return pl.concat(fired).to_arrow()
+        # audit metrics are integers; the stage's float64 metric_value
+        # casts back to the oracle's int64 exactly
+        return stage(m.to_arrow()).cast(_ALERT_SCHEMA)
 
     alerts = graph.pages_dataset(
         sf_dir, multiplier, columns=["url", "warc_ts", "html"]

@@ -597,11 +597,28 @@ def _load_queries(sf_dir: str, n_queries: int):
 
     Reads only as many ROW GROUPS as cover ``n_queries`` rows instead
     of the whole embeddings file on the driver (round-3 verdict item
-    4); assumes the file is vec_id-sorted, which the input-hint layout
-    guarantees (and the sort below re-asserts within the prefix)."""
+    4).  The prefix read is only correct if the file is globally
+    vec_id-sorted (the input-hint layout), so that assumption is
+    CHECKED against the row-group min/max statistics — metadata only,
+    no extra I/O — and violated files fail loudly instead of silently
+    answering for the wrong query set."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    meta = pf.metadata
+    vec_idx = meta.schema.names.index("vec_id")
+    prev_max = None
+    for g in range(meta.num_row_groups):
+        st = meta.row_group(g).column(vec_idx).statistics
+        if st is None or not st.has_min_max:
+            break  # no stats to check against; fall through to data read
+        if prev_max is not None and st.min < prev_max:
+            raise ValueError(
+                "embeddings.parquet is not vec_id-sorted across row groups "
+                f"(group {g} min {st.min} < previous max {prev_max}); the "
+                "query-prefix read requires the input-hint sorted layout"
+            )
+        prev_max = st.max
     parts, rows = [], 0
     for g in range(pf.num_row_groups):
         parts.append(pf.read_row_group(g, columns=["vec_id", "embedding"]))

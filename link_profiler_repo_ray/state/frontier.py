@@ -323,14 +323,14 @@ class FrontierShard:
         self._append_sorted(rows)
         return newly
 
-    def stage_candidates(
-        self, table: pa.Table, off: int | None = None, length: int | None = None
-    ) -> None:
+    def stage_candidates(self, table: pa.Table) -> None:
         """Buffer a fetch actor's candidate table for this round.
 
-        ``(off, length)`` select this shard's rows out of a fetch
-        batch's shard-sorted candidate table, shipped once via plasma
-        and shared by every shard's staging call (zero-copy slice).
+        The caller passes this shard's rows pre-sliced out of its
+        shard-sorted candidate batch, inline rather than as a shared
+        plasma ref: a ref owned by the (busy) fetch actor stalls each
+        staging call on owner-mediated location resolution
+        (pipelines/crawl.py:437-443 measured +8 ms per settle barrier).
 
         Fetch actors push their per-batch (target_url, host, depth)
         candidates here directly (actor→actor) — the driver never
@@ -353,8 +353,6 @@ class FrontierShard:
         host is a pure function of target_url, so incremental reduction
         commutes with the batch reduction the flush performs.
         """
-        if off is not None:
-            table = table.slice(off, length)
         self._staged.append(table)
         if len(self._staged) >= 4:
             merged = pa.concat_tables(self._staged)

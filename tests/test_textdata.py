@@ -108,3 +108,29 @@ class TestTextAnalysis:
                 assert row["kind"] == "wav"
                 assert row["rms"] == 100.0 * (1 + d % 100)
                 assert row["duration_ms"] == (256 + d % 256) / 8.0
+
+
+def test_load_queries_rejects_unsorted_embeddings(tmp_path):
+    """The driver-side query-prefix read must fail loudly on a file
+    that is not vec_id-sorted across row groups (silent wrong query
+    sets would diverge from the oracle without any error)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from link_profiler_repo_ray.pipelines.textdata import _load_queries
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([100, 101, 0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 4, pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"), row_group_size=2)
+    with _pt.raises(ValueError, match="not vec_id-sorted"):
+        _load_queries(str(tmp_path), 2)
+    # and the sorted layout still reads the true smallest vec_ids
+    srt = t.sort_by("vec_id")
+    pq.write_table(srt, str(tmp_path / "embeddings.parquet"), row_group_size=2)
+    ids, q = _load_queries(str(tmp_path), 2)
+    assert ids == [0, 1] and q.shape == (2, 2)
