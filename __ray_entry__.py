@@ -72,7 +72,13 @@ def entry() -> Any:
 #   embedding_quantize        -> embedding_topk (same embeddings scan;
 #                                codes additionally recall-checked vs the
 #                                float top-k in tests/test_quantize.py)
+#   repetition_metrics        -> token_stats (same pruned documents scan
+#                                + word split) and contamination_ngrams
+#                                (same n-gram construction); also
+#                                planted-repetition pytest in
+#                                tests/test_repetition.py
 _YIELD_WINDOW_SLOT = (
+    "repetition_metrics",
     "embedding_centroids",
     "embedding_quantize",
     "referring_domains_exact",
@@ -758,6 +764,39 @@ SELECT doc_id, n_chars, n_tokens,
        n_stop / n_tokens AS stopword_ratio
 FROM t""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "repetition_metrics": """
+WITH w AS (
+  SELECT doc_id, length(text)::BIGINT AS tlen, string_split(text, ' ') AS ws FROM documents),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))) AS g
+  FROM w),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS g
+  FROM w),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))) AS g
+  FROM w),
+t2 AS (SELECT doc_id, max(cnt * glen)::BIGINT AS cov FROM (
+         SELECT doc_id, count(*)::BIGINT AS cnt, length(g)::BIGINT AS glen
+         FROM g2 GROUP BY doc_id, g) GROUP BY doc_id),
+t3 AS (SELECT doc_id, max(cnt * glen)::BIGINT AS cov FROM (
+         SELECT doc_id, count(*)::BIGINT AS cnt, length(g)::BIGINT AS glen
+         FROM g3 GROUP BY doc_id, g) GROUP BY doc_id),
+d5 AS (SELECT doc_id, sum(cnt * glen)::BIGINT AS cov FROM (
+         SELECT doc_id, count(*)::BIGINT AS cnt, length(g)::BIGINT AS glen
+         FROM g5 GROUP BY doc_id, g) WHERE cnt >= 2 GROUP BY doc_id),
+f AS (
+  SELECT w.doc_id,
+         COALESCE(t2.cov, 0)::DOUBLE / w.tlen AS top2gram_frac,
+         COALESCE(t3.cov, 0)::DOUBLE / w.tlen AS top3gram_frac,
+         COALESCE(d5.cov, 0)::DOUBLE / w.tlen AS dup5gram_frac
+  FROM w LEFT JOIN t2 ON t2.doc_id = w.doc_id
+         LEFT JOIN t3 ON t3.doc_id = w.doc_id
+         LEFT JOIN d5 ON d5.doc_id = w.doc_id)
+SELECT doc_id, top2gram_frac, top3gram_frac, dup5gram_frac,
+       (top2gram_frac > 0.20 OR top3gram_frac > 0.18 OR dup5gram_frac > 0.15)
+         AS repetition_flagged
+FROM f""",
         "word_jaccard_pairs": """
 WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id),

@@ -62,6 +62,7 @@ __all__ = [
     "sequence_packing",
     "dataset_split",
     "embedding_quantize",
+    "repetition_metrics",
 ]
 
 
@@ -169,6 +170,96 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
                 "stopword_ratio": pa.array([r["stopword_ratio"] for r in rows], pa.float64()),
             }
         )
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def repetition_metrics(sf_dir: str) -> rd.Dataset:
+    """Gopher-style per-document n-gram repetition metrics (Rae et al.
+    2021, "Scaling Language Models", table A1 repetition filters).
+
+    Per doc, over the single-space word split:
+      * ``top2gram_frac`` / ``top3gram_frac`` — the largest character
+        coverage of any single n-gram: max over n-grams of
+        ``count * len(ngram)`` divided by ``len(text)`` (Gopher's
+        "fraction of characters in the most frequent n-gram", made
+        tie-deterministic by maximizing coverage rather than count).
+      * ``dup5gram_frac`` — characters claimed by duplicated 5-grams:
+        sum over distinct 5-grams occurring >= 2 times of
+        ``count * len(ngram)``, divided by ``len(text)`` (overlaps
+        double-count, as in the paper; can exceed 1 on degenerate
+        text — that is the filter firing, not an error).
+      * ``repetition_flagged`` — Gopher thresholds: top-2-gram > 0.20,
+        top-3-gram > 0.18, dup-5-gram > 0.15.
+
+    Entirely per-document, so each batch is independent: explode the
+    word lists once, derive all three gram columns with vectorized
+    window shifts, and aggregate inside the batch — no shuffle, no
+    state, linear in corpus size.  Every fraction is a single
+    int->double division of exact integer counts, so the DuckDB oracle
+    reproduces the doubles bit-identically.
+    """
+
+    def run(batch: pa.Table) -> pa.Table:
+        base = pl.from_arrow(batch).select(
+            "doc_id",
+            pl.col("text").str.len_chars().cast(pl.Int64).alias("tlen"),
+            pl.col("text").str.split(" ").alias("ws"),
+        )
+        ex = base.select("doc_id", "ws").explode("ws").rename({"ws": "w"})
+        nxt = [pl.col("w").shift(-i).over("doc_id") for i in range(5)]
+        sep = pl.lit(" ")
+        ex = ex.with_columns(
+            g2=nxt[0] + sep + nxt[1],
+            g3=nxt[0] + sep + nxt[1] + sep + nxt[2],
+            g5=nxt[0] + sep + nxt[1] + sep + nxt[2] + sep + nxt[3] + sep + nxt[4],
+        )
+
+        def counts(col: str) -> pl.DataFrame:
+            return (
+                ex.drop_nulls(col)
+                .group_by("doc_id", col)
+                .len("cnt")
+                .with_columns(
+                    cov=pl.col("cnt").cast(pl.Int64)
+                    * pl.col(col).str.len_chars().cast(pl.Int64)
+                )
+            )
+
+        t2 = counts("g2").group_by("doc_id").agg(pl.col("cov").max().alias("cov2"))
+        t3 = counts("g3").group_by("doc_id").agg(pl.col("cov").max().alias("cov3"))
+        d5 = (
+            counts("g5")
+            .filter(pl.col("cnt") >= 2)
+            .group_by("doc_id")
+            .agg(pl.col("cov").sum().alias("cov5"))
+        )
+        out = (
+            base.select("doc_id", "tlen")
+            .join(t2, on="doc_id", how="left")
+            .join(t3, on="doc_id", how="left")
+            .join(d5, on="doc_id", how="left")
+            .with_columns(
+                top2gram_frac=pl.col("cov2").fill_null(0).cast(pl.Float64) / pl.col("tlen"),
+                top3gram_frac=pl.col("cov3").fill_null(0).cast(pl.Float64) / pl.col("tlen"),
+                dup5gram_frac=pl.col("cov5").fill_null(0).cast(pl.Float64) / pl.col("tlen"),
+            )
+            .with_columns(
+                repetition_flagged=(pl.col("top2gram_frac") > 0.20)
+                | (pl.col("top3gram_frac") > 0.18)
+                | (pl.col("dup5gram_frac") > 0.15)
+            )
+            .select(
+                "doc_id",
+                "top2gram_frac",
+                "top3gram_frac",
+                "dup5gram_frac",
+                "repetition_flagged",
+            )
+        )
+        return out.to_arrow()
 
     return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True

@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": textdata.token_stats,
         "token_stats_bpe": textdata.token_stats_bpe,
         "doc_quality": textdata.doc_quality,
+        "repetition_metrics": textdata.repetition_metrics,
         "lang_id": textdata.lang_id_docs,
         "fingerprints": textdata.fingerprints,
         "dedup_exact": textdata.dedup_exact,

@@ -1,0 +1,112 @@
+"""repetition_metrics (Gopher-style n-gram repetition filters) on
+planted repetitive docs — exercises the duplicated-5-gram path the
+random-word-salad test corpus never triggers, against a brute-force
+Python oracle, plus the DuckDB oracle on the same planted table."""
+
+import sys
+from collections import Counter
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from link_profiler_repo_ray.pipelines.textdata import repetition_metrics
+
+DOCS = [
+    # heavy bigram repetition -> top2 fires
+    (0, "a b a b a b a b"),
+    # all-unique words -> small fracs, not flagged
+    (1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19"),
+    # an exact repeated 5-gram -> dup5 fires
+    (2, "x y z u v x y z u v"),
+    # single word -> no n-grams at all, all fracs 0.0
+    (3, "solo"),
+    # repeated trigram phrase inside filler -> top3 elevated
+    (4, "one two three filler1 one two three filler2 one two three end"),
+]
+
+
+def brute(text: str):
+    ws = text.split(" ")
+    tlen = len(text)
+
+    def grams(n):
+        return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+    def topcov(n):
+        c = Counter(grams(n))
+        return max((cnt * len(g) for g, cnt in c.items()), default=0)
+
+    dup5 = sum(cnt * len(g) for g, cnt in Counter(grams(5)).items() if cnt >= 2)
+    t2, t3, d5 = topcov(2) / tlen, topcov(3) / tlen, dup5 / tlen
+    return t2, t3, d5, (t2 > 0.20 or t3 > 0.18 or d5 > 0.15)
+
+
+@pytest.fixture(scope="module")
+def planted_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("planted_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in DOCS], pa.int64()),
+            "text": pa.array([t for _, t in DOCS], pa.string()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_planted_repetition_vs_brute_force(ray_session, planted_sf):
+    got = (
+        repetition_metrics(planted_sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        [
+            {
+                "doc_id": i,
+                "top2gram_frac": b[0],
+                "top3gram_frac": b[1],
+                "dup5gram_frac": b[2],
+                "repetition_flagged": b[3],
+            }
+            for (i, t) in DOCS
+            for b in [brute(t)]
+        ]
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+    # the planted table exercises every branch
+    assert got.loc[0, "repetition_flagged"]  # bigram spam
+    assert not got.loc[1, "repetition_flagged"]
+    assert got.loc[2, "dup5gram_frac"] > 0.15  # duplicated 5-gram
+    assert got.loc[3, ["top2gram_frac", "top3gram_frac", "dup5gram_frac"]].eq(0.0).all()
+    assert got.loc[4, "top3gram_frac"] > got.loc[1, "top3gram_frac"]
+
+
+def test_planted_repetition_vs_duckdb(ray_session, planted_sf):
+    import __ray_entry__ as entry
+
+    got = (
+        repetition_metrics(planted_sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{planted_sf}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(entry.oracle_sql()["repetition_metrics"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], oracle[sorted(oracle.columns)], check_dtype=False, check_exact=True
+    )

@@ -39,6 +39,7 @@ SIBLINGS = {
     "web3_content_index": "text_extract",
     "embedding_centroids": "embedding_topk",
     "embedding_quantize": "embedding_topk",
+    "repetition_metrics": "token_stats",
 }
 
 
