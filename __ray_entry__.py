@@ -77,8 +77,13 @@ def entry() -> Any:
 #                                (same n-gram construction); also
 #                                planted-repetition pytest in
 #                                tests/test_repetition.py
+#   unigram_logprob           -> token_stats (same scan/split) +
+#                                vocab_top_tokens (same token exchange);
+#                                also planted-LM pytest in
+#                                tests/test_repetition.py
 _YIELD_WINDOW_SLOT = (
     "repetition_metrics",
+    "unigram_logprob",
     "embedding_centroids",
     "embedding_quantize",
     "referring_domains_exact",
@@ -797,6 +802,18 @@ SELECT doc_id, top2gram_frac, top3gram_frac, dup5gram_frac,
        (top2gram_frac > 0.20 OR top3gram_frac > 0.18 OR dup5gram_frac > 0.15)
          AS repetition_flagged
 FROM f""",
+        "unigram_logprob": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w),
+tot AS (SELECT sum(cnt)::BIGINT AS n FROM freq),
+lp AS (SELECT w, CAST(floor(ln(cnt::DOUBLE / (SELECT n FROM tot)) * 1000000 + 0.5) AS BIGINT)
+         AS term
+       FROM freq),
+dc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, w),
+s AS (SELECT doc_id, sum(c * term)::BIGINT AS logprob_micro, sum(c)::BIGINT AS n_tokens
+      FROM dc JOIN lp USING (w) GROUP BY doc_id)
+SELECT doc_id, n_tokens, logprob_micro, logprob_micro::DOUBLE / n_tokens AS mean_logprob_micro
+FROM s""",
         "word_jaccard_pairs": """
 WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id),

@@ -63,6 +63,7 @@ __all__ = [
     "dataset_split",
     "embedding_quantize",
     "repetition_metrics",
+    "unigram_logprob",
 ]
 
 
@@ -263,6 +264,88 @@ def repetition_metrics(sf_dir: str) -> rd.Dataset:
 
     return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def unigram_logprob(sf_dir: str) -> rd.Dataset:
+    """CCNet-style unigram-LM document quality scoring (the shape of
+    Wenzek et al. 2020's LM-perplexity filter, with the corpus's own
+    unigram model standing in for the pretrained KenLM).
+
+    Pass 1 builds the LM: per-block token term-frequencies (vectorized
+    polars explode + group_by) hash-aggregated by token — the exchange
+    moves only (token, count).  Per-token log-probs are quantized to
+    integer micro-nats, ``floor(ln(tf/N) * 1e6 + 0.5)`` (the repo's
+    cents convention applied to log space), so every per-document sum
+    is an exact integer — order-free, hence bit-identical to the
+    DuckDB oracle.  The quantization itself runs driver-side over the
+    vocabulary with ``math.log`` (libm, exactly DuckDB's ``ln``; the
+    vocabulary — never the corpus — is the acknowledged driver-side
+    bound, like the k-means sample in :func:`_kmeans_centroids`).
+
+    Pass 2 re-scans documents and scores each against the broadcast
+    vocab (``ray.put`` once, zero-copy plasma read per task):
+    ``logprob_micro = sum(count * term)`` over the doc's tokens, plus
+    ``mean_logprob_micro`` as one int->double division.  At a 10^8-row
+    vocabulary, swap the broadcast for a token-partitioned
+    ``tagged_union_join`` and add a min-count floor mapping the tail
+    to an OOV term.
+    """
+    import math
+
+    def tf_stage(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .group_by("w")
+            .len("cnt")
+            .with_columns(pl.col("cnt").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    freq = hash_aggregate(
+        documents_dataset(sf_dir, ["text"]).map_batches(
+            tf_stage, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["w"],
+        combine=[pl.col("cnt").sum()],
+        merge=[pl.col("cnt").sum()],
+    )
+    vocab = pa.concat_tables(ray.get(freq.to_arrow_refs()))
+    tokens = vocab.column("w").to_pylist()
+    counts = vocab.column("cnt").to_pylist()
+    total = sum(counts)
+    terms = [math.floor(math.log(c / float(total)) * 1_000_000 + 0.5) for c in counts]
+    ref = ray.put(
+        pl.DataFrame({"w": tokens, "term": pl.Series(terms, dtype=pl.Int64)})
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        vf = ray.get(ref)
+        out = (
+            pl.from_arrow(batch)
+            .select("doc_id", pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .group_by("doc_id", "w")
+            .len("c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .join(vf, on="w", how="inner")
+            .group_by("doc_id")
+            .agg(
+                (pl.col("c") * pl.col("term")).sum().alias("logprob_micro"),
+                pl.col("c").sum().alias("n_tokens"),
+            )
+            .with_columns(
+                mean_logprob_micro=pl.col("logprob_micro").cast(pl.Float64)
+                / pl.col("n_tokens")
+            )
+            .select("doc_id", "n_tokens", "logprob_micro", "mean_logprob_micro")
+        )
+        return out.to_arrow()
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_bpe": textdata.token_stats_bpe,
         "doc_quality": textdata.doc_quality,
         "repetition_metrics": textdata.repetition_metrics,
+        "unigram_logprob": textdata.unigram_logprob,
         "lang_id": textdata.lang_id_docs,
         "fingerprints": textdata.fingerprints,
         "dedup_exact": textdata.dedup_exact,

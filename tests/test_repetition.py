@@ -110,3 +110,37 @@ def test_planted_repetition_vs_duckdb(ray_session, planted_sf):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], oracle[sorted(oracle.columns)], check_dtype=False, check_exact=True
     )
+
+
+def test_unigram_logprob_planted(ray_session, tmp_path):
+    """Docs made of corpus-common words must out-score docs of rare
+    words under the corpus's own unigram LM; values match a brute-force
+    Python recomputation exactly (integer micro-nats are order-free)."""
+    import math
+    from collections import Counter
+
+    from link_profiler_repo_ray.pipelines.textdata import unigram_logprob
+
+    texts = ["the cat sat"] * 8 + ["zyx qwv jkp"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = (
+        unigram_logprob(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    freq = Counter(w for t in texts for w in t.split(" "))
+    total = sum(freq.values())
+    term = {w: math.floor(math.log(c / float(total)) * 1_000_000 + 0.5) for w, c in freq.items()}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        assert got.loc[i, "logprob_micro"] == sum(term[w] for w in ws)
+        assert got.loc[i, "n_tokens"] == len(ws)
+    # common-word docs strictly out-score the rare-word doc
+    assert got.loc[0, "mean_logprob_micro"] > got.loc[8, "mean_logprob_micro"]

@@ -40,6 +40,7 @@ SIBLINGS = {
     "embedding_centroids": "embedding_topk",
     "embedding_quantize": "embedding_topk",
     "repetition_metrics": "token_stats",
+    "unigram_logprob": "token_stats",
 }
 
 
