@@ -81,9 +81,13 @@ def entry() -> Any:
 #                                vocab_top_tokens (same token exchange);
 #                                also planted-LM pytest in
 #                                tests/test_repetition.py
+#   exact_substring_dups      -> contamination_ngrams (same shingle
+#                                exchange); also planted-duplication
+#                                pytest in tests/test_repetition.py
 _YIELD_WINDOW_SLOT = (
     "repetition_metrics",
     "unigram_logprob",
+    "exact_substring_dups",
     "embedding_centroids",
     "embedding_quantize",
     "referring_domains_exact",
@@ -814,6 +818,19 @@ s AS (SELECT doc_id, sum(c * term)::BIGINT AS logprob_micro, sum(c)::BIGINT AS n
       FROM dc JOIN lp USING (w) GROUP BY doc_id)
 SELECT doc_id, n_tokens, logprob_micro, logprob_micro::DOUBLE / n_tokens AS mean_logprob_micro
 FROM s""",
+        "exact_substring_dups": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (SELECT doc_id, GREATEST(len(ws) - 5, 0)::BIGINT AS n_windows FROM w),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 4), i -> array_to_string(ws[i:i+5], ' '))) AS ngram
+  FROM w),
+c AS (SELECT doc_id, ngram, count(*)::BIGINT AS cnt FROM g GROUP BY doc_id, ngram),
+nd AS (SELECT ngram FROM c GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_dup FROM c JOIN nd USING (ngram) GROUP BY c.doc_id)
+SELECT b.doc_id, b.n_windows, COALESCE(d.n_dup, 0)::BIGINT AS n_dup_windows,
+       CASE WHEN b.n_windows = 0 THEN 0.0
+            ELSE COALESCE(d.n_dup, 0)::DOUBLE / b.n_windows END AS dup_window_frac
+FROM base b LEFT JOIN d ON d.doc_id = b.doc_id""",
         "word_jaccard_pairs": """
 WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id),

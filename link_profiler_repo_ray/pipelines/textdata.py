@@ -64,6 +64,7 @@ __all__ = [
     "embedding_quantize",
     "repetition_metrics",
     "unigram_logprob",
+    "exact_substring_dups",
 ]
 
 
@@ -347,6 +348,114 @@ def unigram_logprob(sf_dir: str) -> rd.Dataset:
     return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def exact_substring_dups(sf_dir: str, n: int = 6) -> rd.Dataset:
+    """Cross-document exact-substring duplication (the per-document
+    accounting of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better": how much of each document is text that
+    occurs verbatim elsewhere in the corpus — there via suffix arrays
+    over 50-token spans, here over exact word ``n``-gram windows).
+
+    Per document: ``n_windows`` (all ``n``-token windows),
+    ``n_dup_windows`` (windows whose exact ``n``-gram also occurs in
+    at least one OTHER document), and their single-division fraction.
+
+    Three exchanges, none carrying document text beyond the n-grams:
+    (1) partition (doc_id, ngram, position-count) rows by ngram string
+    and keep rows whose ngram spans >= 2 distinct docs; (2) sum kept
+    position-counts per doc; (3) one partitioned doc_id join against
+    the per-doc window totals.  Shingling is the same vectorized
+    explode + shifted-concat as :func:`contamination_ngrams`, and the
+    same 100-TB note applies: swap the ngram string key for a 64-bit
+    hash to make exchange keys 8 bytes.
+    """
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ex = (
+            df.select("doc_id", pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .with_columns(
+                pl.concat_str(
+                    [pl.col("w")] + [pl.col("w").shift(-k).over("doc_id") for k in range(1, n)],
+                    separator=" ",
+                    ignore_nulls=False,
+                ).alias("ngram")
+            )
+            .drop_nulls("ngram")
+            # one row per (doc, ngram) with its window-position count;
+            # each document lives wholly in one batch, so these rows
+            # never need a cross-block re-merge
+            .group_by("doc_id", "ngram")
+            .len("cnt")
+            .with_columns(pl.col("cnt").cast(pl.Int64))
+        )
+        return ex.to_arrow()
+
+    def keep_cross_doc(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.with_columns(pl.col("doc_id").n_unique().over("ngram").alias("nd"))
+            .filter(pl.col("nd") >= 2)
+            .select("doc_id", "cnt")
+        )
+
+    dup_counts = ops.ensure_schema(
+        hash_aggregate(
+            hash_group_apply(
+                documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+                    shingle, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["ngram"],
+                keep_cross_doc,
+            ),
+            ["doc_id"],
+            combine=[pl.col("cnt").sum().alias("n_dup_windows")],
+            merge=[pl.col("n_dup_windows").sum()],
+        ),
+        pa.schema([("doc_id", pa.int64()), ("n_dup_windows", pa.int64())]),
+    )
+
+    def windows(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(
+                "doc_id",
+                (pl.col("text").str.split(" ").list.len().cast(pl.Int64) - (n - 1))
+                .clip(lower_bound=0)
+                .alias("n_windows"),
+            )
+            .to_arrow()
+        )
+
+    base = documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        windows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    joined = tagged_union_join(
+        base,
+        dup_counts,
+        "doc_id",
+        "doc_id",
+        how="left",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("n_windows", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_dup_windows", pa.int64())]),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .with_columns(pl.col("n_dup_windows").fill_null(0))
+            .with_columns(
+                dup_window_frac=pl.when(pl.col("n_windows") == 0)
+                .then(pl.lit(0.0))
+                .otherwise(pl.col("n_dup_windows").cast(pl.Float64) / pl.col("n_windows"))
+            )
+            .select("doc_id", "n_windows", "n_dup_windows", "dup_window_frac")
+            .to_arrow()
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class _LangIdStage:

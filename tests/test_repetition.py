@@ -144,3 +144,57 @@ def test_unigram_logprob_planted(ray_session, tmp_path):
         assert got.loc[i, "n_tokens"] == len(ws)
     # common-word docs strictly out-score the rare-word doc
     assert got.loc[0, "mean_logprob_micro"] > got.loc[8, "mean_logprob_micro"]
+
+
+def test_exact_substring_dups_planted(ray_session, tmp_path):
+    """Docs sharing a verbatim 6+-word phrase are charged for exactly
+    the shared windows; within-doc-only repetition does not count."""
+    from link_profiler_repo_ray.pipelines.textdata import exact_substring_dups
+
+    shared = "alpha beta gamma delta epsilon zeta"  # exactly one 6-gram
+    texts = [
+        f"{shared} tail0 tail1",  # windows over 8 words: 3; dup: 1 (the shared one)
+        f"head0 {shared}",  # windows over 7 words: 2; dup: 1
+        "u0 u1 u2 u3 u4 u5 u6",  # unique: 2 windows, 0 dup
+        "r s r s r s r s r s r s",  # within-doc repeats only: 7 windows...
+        "short doc",  # < 6 words: 0 windows
+    ]
+    # doc 3: "r s" x6 -> 12 words, 7 windows, grams "r s r s r s" (x4)
+    # and "s r s r s r" (x3) — repeated WITHIN the doc but in no other
+    # doc, so none count as cross-doc dups
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = (
+        exact_substring_dups(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_windows"].tolist() == [3, 2, 2, 7, 0]
+    assert got["n_dup_windows"].tolist() == [1, 1, 0, 0, 0]
+    assert got["dup_window_frac"].tolist() == [1 / 3, 1 / 2, 0.0, 0.0, 0.0]
+
+    # and the DuckDB oracle agrees on the planted table
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(entry.oracle_sql()["exact_substring_dups"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)],
+        oracle[sorted(oracle.columns)],
+        check_dtype=False,
+        check_exact=True,
+    )

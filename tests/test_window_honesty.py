@@ -41,6 +41,7 @@ SIBLINGS = {
     "embedding_quantize": "embedding_topk",
     "repetition_metrics": "token_stats",
     "unigram_logprob": "token_stats",
+    "exact_substring_dups": "contamination_ngrams",
 }
 
 
