@@ -84,7 +84,13 @@ def entry() -> Any:
 #   exact_substring_dups      -> contamination_ngrams (same shingle
 #                                exchange); also planted-duplication
 #                                pytest in tests/test_repetition.py
+#   media_features_png        -> media_features (same synth->decode
+#                                actor-pool stage); the PNG codec is
+#                                additionally pinned by
+#                                tests/test_media_codecs.py incl.
+#                                Average/Paeth rows + CRC guard
 _YIELD_WINDOW_SLOT = (
+    "media_features_png",
     "repetition_metrics",
     "unigram_logprob",
     "exact_substring_dups",
@@ -831,6 +837,14 @@ SELECT b.doc_id, b.n_windows, COALESCE(d.n_dup, 0)::BIGINT AS n_dup_windows,
        CASE WHEN b.n_windows = 0 THEN 0.0
             ELSE COALESCE(d.n_dup, 0)::DOUBLE / b.n_windows END AS dup_window_frac
 FROM base b LEFT JOIN d ON d.doc_id = b.doc_id""",
+        "media_features_png": """
+SELECT doc_id,
+       'png' AS kind,
+       CAST(16 + doc_id % 32 AS INTEGER) AS width,
+       CAST(8 + doc_id % 16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(((13 * doc_id) % 200) + (16 + doc_id % 32 - 1) / 2.0 AS DOUBLE) AS mean_value
+FROM documents""",
         "word_jaccard_pairs": """
 WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY doc_id),

@@ -2,13 +2,17 @@
 
 The container has no PIL/ffmpeg, but the *uncompressed* container
 formats are simple enough to parse for real: BMP (BITMAPINFOHEADER,
-24 bpp), binary PPM/PGM (P6/P5), and RIFF/WAVE PCM16.  The encoders
-below emit spec-conformant files and the decoders parse actual bytes —
-headers, row padding, bottom-up pixel order, RIFF chunk walking — so
-the decode stage in ``pipelines/textdata.py`` is no longer a stub for
-these formats (compressed formats like JPEG/PNG/MP3 still need a real
-codec library; ``sniff_kind`` returns ``"unknown"`` for them and the
-stage degrades to byte-length-only features).
+24 bpp), binary PPM/PGM (P6/P5), and RIFF/WAVE PCM16 — plus one
+genuinely COMPRESSED format, PNG (8-bit gray/RGB, non-interlaced),
+whose DEFLATE stream stdlib ``zlib`` handles and whose per-row
+filters (None/Sub/Up/Average/Paeth) are unfiltered here for real.
+The encoders below emit spec-conformant files and the decoders parse
+actual bytes — headers, row padding, bottom-up pixel order, RIFF
+chunk walking, CRC-verified PNG chunk walking — so the decode stage
+in ``pipelines/textdata.py`` is no longer a stub for these formats
+(JPEG/MP3/video still need a real codec library; ``sniff_kind``
+returns ``"unknown"`` for them and the stage degrades to
+byte-length-only features).
 
 Reference parity: the reference's OCR/media processor
 (``services/ocr_service.py``) is a thin wrapper around external codec
@@ -95,6 +99,58 @@ def encode_wav(n_samples: int, rate: int, amp: int) -> bytes:
     return bytes(hdr) + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(width: int, height: int, base: int) -> bytes:
+    """8-bit RGB PNG; pixel value = base + x on all 3 channels
+    (mean = base + (width-1)/2, same gradient convention as BMP).
+
+    Rows cycle filter types — None on row 0, Sub on odd rows, Up on
+    even rows — so a correct decoded mean proves real DEFLATE
+    decompression AND real per-row unfiltering, not a header read.
+    """
+    import zlib
+
+    if base + width > 256:
+        raise ValueError("gradient would wrap uint8")
+    row = (base + np.arange(width, dtype=np.uint8)).repeat(3)
+    lines = bytearray()
+    for y in range(height):
+        if y == 0:
+            lines.append(0)  # None
+            lines += row.tobytes()
+        elif y % 2 == 1:
+            left = np.concatenate([np.zeros(3, np.uint8), row[:-3]])
+            lines.append(1)  # Sub (uint8 subtraction wraps mod 256)
+            lines += (row - left).tobytes()
+        else:
+            lines.append(2)  # Up: previous row is identical -> zeros
+            lines += np.zeros(width * 3, np.uint8).tobytes()
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 # --- decoders -------------------------------------------------------------
 
 
@@ -107,6 +163,8 @@ def sniff_kind(b: bytes) -> str:
         return "pgm"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:8] == _PNG_SIG:
+        return "png"
     return "unknown"
 
 
@@ -203,12 +261,93 @@ def decode_wav(b: bytes) -> dict:
             "duration_ms": n * 1000.0 / rate, "rms": rms}
 
 
-_DECODERS = {"bmp": decode_bmp, "ppm": decode_ppm, "pgm": decode_pgm, "wav": decode_wav}
+def decode_png(b: bytes) -> dict:
+    """Real PNG decode via stdlib zlib: CRC-verified chunk walk,
+    DEFLATE-decompress the IDAT stream, then reconstruct every
+    scanline through its declared filter (None/Sub/Up/Average/Paeth).
+    Supports the dominant archive layout — 8-bit depth, grayscale or
+    truecolor, non-interlaced; other layouts raise (the codec-library
+    swap-in point).  Sub is a per-channel cumulative sum (vectorized);
+    Average/Paeth are inherently left-to-right sequential and fall
+    back to a per-byte loop only on rows that declare them."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = 8
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    while i + 12 <= len(b):
+        size = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + size]
+        crc = int.from_bytes(b[i + 8 + size : i + 12 + size], "big")
+        if (zlib.crc32(typ + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + size
+    if w is None:
+        raise ValueError("missing IHDR")
+    if depth != 8 or ctype not in (0, 2) or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, color={ctype}, interlace={interlace})")
+    ch = 3 if ctype == 2 else 1
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        if ft == 0:  # None
+            rec = line.copy()
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-ch]
+            rec = (
+                np.cumsum(line.reshape(-1, ch).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256
+        elif ft == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    return {"kind": "png", "width": w, "height": h, "channels": ch,
+            "mean_value": float(px.mean())}
+
+
+_DECODERS = {"bmp": decode_bmp, "ppm": decode_ppm, "pgm": decode_pgm, "wav": decode_wav,
+             "png": decode_png}
 
 
 def decode_media(b: bytes) -> dict:
     """Sniff + decode; unknown formats degrade to byte-length features
-    (the slot where a JPEG/PNG/MP3 codec library would plug in)."""
+    (the slot where a JPEG/MP3/video codec library would plug in)."""
     kind = sniff_kind(b)
     fn = _DECODERS.get(kind)
     if fn is None:

@@ -65,6 +65,7 @@ __all__ = [
     "repetition_metrics",
     "unigram_logprob",
     "exact_substring_dups",
+    "media_features_png",
 ]
 
 
@@ -1206,6 +1207,36 @@ def media_features(sf_dir: str) -> rd.Dataset:
         .map_batches(synth_media_payloads, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
                      concurrency=auto_concurrency(), batch_size=256)
+    )
+
+
+def synth_png_payloads(batch: pa.Table) -> pa.Table:
+    """doc_id -> a real zlib-compressed PNG (RGB gradient, rows cycling
+    None/Sub/Up filters).  Width/height/gradient base are closed forms
+    of doc_id so the DuckDB oracle can state the decoded features; the
+    features only come back right if the decode stage actually
+    DEFLATE-decompresses and unfilters every scanline."""
+    from ..functions.media import encode_png
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = [encode_png(16 + d % 32, 8 + d % 16, (13 * d) % 200) for d in ids]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def media_features_png(sf_dir: str) -> rd.Dataset:
+    """The compressed-format leg of T9: real PNG decode (stdlib zlib
+    DEFLATE + per-row unfilter) through the same actor-pool decode
+    stage as :func:`media_features`.  ``n_bytes`` is dropped from the
+    output — compressed size has no closed form, everything else is
+    oracle-stated exactly."""
+    return (
+        documents_dataset(sf_dir, ["doc_id"])
+        .map_batches(synth_png_payloads, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=auto_concurrency(), batch_size=256)
+        .select_columns(["doc_id", "kind", "width", "height", "channels", "mean_value"])
     )
 
 

@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": textdata.embedding_centroids,
         "knn_ivf": textdata.knn_ivf,
         "media_features": textdata.media_features,
+        "media_features_png": textdata.media_features_png,
         # the scale path (IVF cell blocking, no full-matrix broadcast)
         # IS the default; the exact broadcast variant stays for small
         # corpora / recall assertions (round-3 verdict item 7)

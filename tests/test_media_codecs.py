@@ -85,6 +85,104 @@ class TestWav:
             media.decode_wav(bytes(b))
 
 
+class TestPng:
+    def test_roundtrip_gradient(self):
+        b = media.encode_png(20, 9, 100)
+        assert media.sniff_kind(b) == "png"
+        d = media.decode_png(b)
+        assert d == {
+            "kind": "png",
+            "width": 20,
+            "height": 9,
+            "channels": 3,
+            "mean_value": 100 + 19 / 2,
+        }
+
+    def test_exactness_against_closed_form(self):
+        for d in range(0, 64):
+            png = media.encode_png(16 + d % 32, 8 + d % 16, (13 * d) % 200)
+            got = media.decode_png(png)
+            assert got["mean_value"] == ((13 * d) % 200) + (16 + d % 32 - 1) / 2.0
+            assert (got["width"], got["height"], got["channels"]) == (
+                16 + d % 32,
+                8 + d % 16,
+                3,
+            )
+
+    def test_average_and_paeth_filters(self):
+        # hand-filter a grayscale image through all five filter types
+        # and require the decoder to reconstruct the exact pixels
+        import zlib
+
+        w = 7
+        rows = np.array(
+            [
+                [10, 20, 30, 40, 50, 60, 70],
+                [13, 23, 33, 43, 53, 63, 73],
+                [15, 26, 37, 48, 59, 70, 81],
+                [200, 10, 250, 3, 90, 130, 255],
+                [1, 255, 128, 0, 7, 99, 201],
+            ],
+            dtype=np.uint8,
+        )
+        filters = [0, 2, 3, 4, 1]  # None, Up, Average, Paeth, Sub
+        lines = bytearray()
+        prev = np.zeros(w, np.int64)
+        for y, ft in enumerate(filters):
+            r = rows[y].astype(np.int64)
+            f = np.empty(w, np.int64)
+            for x in range(w):
+                a = r[x - 1] if x else 0
+                c = prev[x - 1] if x else 0
+                up = prev[x]
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = up
+                elif ft == 3:
+                    pred = (a + up) >> 1
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                f[x] = (r[x] - pred) % 256
+            lines.append(ft)
+            lines += f.astype(np.uint8).tobytes()
+            prev = r
+        ihdr = w.to_bytes(4, "big") + len(rows).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+        png = (
+            media._PNG_SIG
+            + media._png_chunk(b"IHDR", ihdr)
+            + media._png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + media._png_chunk(b"IEND", b"")
+        )
+        d = media.decode_png(png)
+        assert d["channels"] == 1
+        assert d["mean_value"] == float(rows.astype(np.float64).mean())
+
+    def test_crc_corruption_detected(self):
+        b = bytearray(media.encode_png(12, 5, 30))
+        b[50] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            media.decode_png(bytes(b))
+
+    def test_rejects_unsupported_layouts(self):
+        import zlib
+
+        # 16-bit depth
+        ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+        png = (
+            media._PNG_SIG
+            + media._png_chunk(b"IHDR", ihdr)
+            + media._png_chunk(b"IDAT", zlib.compress(b"\x00" * 36))
+            + media._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            media.decode_png(png)
+
+
 class TestSniff:
     def test_kinds(self):
         assert media.sniff_kind(media.encode_bmp(4, 4, 0)) == "bmp"

@@ -42,6 +42,7 @@ SIBLINGS = {
     "repetition_metrics": "token_stats",
     "unigram_logprob": "token_stats",
     "exact_substring_dups": "contamination_ngrams",
+    "media_features_png": "media_features",
 }
 
 
