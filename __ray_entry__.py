@@ -89,7 +89,14 @@ def entry() -> Any:
 #                                additionally pinned by
 #                                tests/test_media_codecs.py incl.
 #                                Average/Paeth rows + CRC guard
+#   events_range_join         -> events_asof_join (the sibling custom
+#                                join over the same events parse; the
+#                                bucket exchange is tagged_union_join,
+#                                in-window via revenue_by_nation's join
+#                                family) + events_by_day (same
+#                                ts/value_cents decode)
 _YIELD_WINDOW_SLOT = (
+    "events_range_join",
     "media_features_png",
     "repetition_metrics",
     "unigram_logprob",
@@ -976,6 +983,19 @@ WITH s AS (
 p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
 SELECT p.event_id, p.user_id, p.ts, s.signup_event_id, s.ts AS signup_ts
 FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""",
+        "events_range_join": """
+WITH n AS (SELECT count(*)::BIGINT AS c FROM events),
+g AS (SELECT unnest(generate_series(0, c // 40 + 2)) AS w_id FROM n),
+w AS (
+  SELECT w_id,
+         TIMESTAMP '2024-01-01' + to_hours(4 * w_id) AS start_ts,
+         TIMESTAMP '2024-01-01' + to_hours(4 * w_id) + to_hours(1 + w_id % 6) AS end_ts
+  FROM g)
+SELECT w.w_id::BIGINT AS w_id, (w.w_id % 3)::BIGINT AS category,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_value_cents
+FROM w JOIN events e ON e.ts >= w.start_ts AND e.ts < w.end_ts
+GROUP BY 1, 2""",
         "clean_text": r"""
 WITH w AS (
   SELECT doc_id,

@@ -32,6 +32,7 @@ __all__ = [
     "events_hopping_window",
     "sessionize",
     "events_asof_join",
+    "events_range_join",
 ]
 
 
@@ -368,3 +369,122 @@ def events_asof_join(sf_dir: str) -> rd.Dataset:
 
     tagged = ev.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return hash_group_apply(tagged, ["user_id"], asof)
+
+
+_RJ_HOUR_US = 3_600_000_000
+_RJ_BUCKET_US = 4 * _RJ_HOUR_US
+# 2024-01-01T00:00:00 in µs since epoch, tz-free (events ts are naive,
+# and polars Datetime("us") -> Int64 is wall-clock µs since epoch)
+_RJ_BASE_US = 1_704_067_200_000_000
+
+
+def events_range_join(sf_dir: str) -> rd.Dataset:
+    """Distributed range (interval) join — the second custom-operator
+    class Ray Data lacks natively (alongside :func:`events_asof_join`,
+    per the custom-operator mandate): each event matches EVERY promo
+    window whose half-open interval contains its timestamp, then
+    per-window rollups (windows overlap, so an event can hit several —
+    a genuine interval join, not bucketable as a plain equality key).
+
+    Windows are a closed-form fan-out table (no driver block —
+    ``ops.int_range``): ``w_id`` in ``[0, n_events//40 + 3)``, start =
+    2024-01-01 + 4h·w_id, duration = (1 + w_id%6) hours, category =
+    w_id % 3.  The DuckDB oracle restates them with
+    ``generate_series``.
+
+    Partitioning: time is cut into fixed 4h buckets (the window
+    stride).  A window longer than one bucket is REPLICATED to each
+    bucket it overlaps (≤2 copies here; ⌈dur/stride⌉ in general); an
+    event lives in exactly ONE bucket, so every containment match is
+    produced exactly once — no dedup pass.  One equality exchange on
+    ``bucket`` (``tagged_union_join``) carrying only (bucket, ts_us,
+    value_cents) event rows, a vectorized containment filter +
+    per-block partial aggregate, then a thin (w_id → sums) merge
+    exchange.  All comparisons are int64 microseconds; money is
+    integer cents — nothing float crosses an exchange.
+
+    At 100 TB the only knob is the bucket width: pick it near the
+    median window span so replication stays O(1) copies per window
+    while hot buckets stay splittable by raising ``num_partitions``.
+    """
+    n_events = _read(sf_dir, "events", ["event_id"]).count()
+    n_windows = n_events // 40 + 3
+
+    def mk_windows(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch)
+            .with_columns(
+                start_us=_RJ_BASE_US + pl.col("w_id") * _RJ_BUCKET_US,
+                dur_us=(1 + pl.col("w_id") % 6) * _RJ_HOUR_US,
+                category=pl.col("w_id") % 3,
+            )
+            .with_columns(end_us=pl.col("start_us") + pl.col("dur_us"))
+        )
+        # replicate to each overlapped bucket: copy k valid iff the
+        # window extends past the k-th bucket boundary (end exclusive)
+        copies = (
+            df.join(pl.DataFrame({"k": pl.Series([0, 1], dtype=pl.Int64)}), how="cross")
+            .filter(pl.col("k") * _RJ_BUCKET_US < pl.col("dur_us"))
+            .with_columns(bucket=pl.col("w_id") + pl.col("k"))
+        )
+        return copies.select("bucket", "w_id", "category", "start_us", "end_us").to_arrow()
+
+    windows = ops.int_range(n_windows, "w_id").map_batches(
+        mk_windows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def ev_tag(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .with_columns(
+                ts_us=pl.col("ts").cast(pl.Int64),
+                value_cents=_cents("value"),
+            )
+            .with_columns(bucket=(pl.col("ts_us") - _RJ_BASE_US) // _RJ_BUCKET_US)
+            .select("bucket", "ts_us", "value_cents")
+            .to_arrow()
+        )
+
+    ev = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        ev_tag, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    joined = tagged_union_join(
+        ev,
+        windows,
+        "bucket",
+        "bucket",
+        how="inner",
+        left_schema=pa.schema(
+            [("bucket", pa.int64()), ("ts_us", pa.int64()), ("value_cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [
+                ("bucket", pa.int64()),
+                ("w_id", pa.int64()),
+                ("category", pa.int64()),
+                ("start_us", pa.int64()),
+                ("end_us", pa.int64()),
+            ]
+        ),
+    )
+
+    def contain(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .filter(
+                (pl.col("ts_us") >= pl.col("start_us")) & (pl.col("ts_us") < pl.col("end_us"))
+            )
+            .select("w_id", "category", "value_cents")
+            .to_arrow()
+        )
+
+    return hash_aggregate(
+        joined.map_batches(contain, batch_format="pyarrow", zero_copy_batch=True),
+        ["w_id", "category"],
+        combine=[
+            pl.len().cast(pl.Int64).alias("n_events"),
+            pl.col("value_cents").sum().alias("sum_value_cents"),
+        ],
+        merge=[pl.col("n_events").sum(), pl.col("sum_value_cents").sum()],
+    )

@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": relational.events_hopping_window,
         "sessionize": relational.sessionize,
         "events_asof_join": relational.events_asof_join,
+        "events_range_join": relational.events_range_join,
     }
 
 
