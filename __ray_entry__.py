@@ -89,6 +89,10 @@ def entry() -> Any:
 #                                additionally pinned by
 #                                tests/test_media_codecs.py incl.
 #                                Average/Paeth rows + CRC guard
+#   c4_filters                -> token_stats (same pruned documents
+#                                scan + word split); the planted line
+#                                structure is additionally pinned by
+#                                tests/test_repetition.py
 #   events_range_join         -> events_asof_join (the sibling custom
 #                                join over the same events parse; the
 #                                bucket exchange is tagged_union_join,
@@ -96,6 +100,7 @@ def entry() -> Any:
 #                                family) + events_by_day (same
 #                                ts/value_cents decode)
 _YIELD_WINDOW_SLOT = (
+    "c4_filters",
     "events_range_join",
     "media_features_png",
     "repetition_metrics",
@@ -786,6 +791,39 @@ SELECT doc_id, n_chars, n_tokens,
        n_stop / n_tokens AS stopword_ratio
 FROM t""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "c4_filters": """
+WITH m AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS nw0,
+         length(text)::BIGINT AS tc0,
+         5 + doc_id % 7 AS L,
+         (doc_id % 97 = 13) AS lorem,
+         (doc_id % 89 = 7) AS brace
+  FROM documents),
+b AS (SELECT *, (nw0 + L - 1) // L AS base_lines, (4 - doc_id % 4) % 4 AS r FROM m),
+z AS (SELECT *, CASE WHEN base_lines > r THEN (base_lines - r + 3) // 4 ELSE 0 END AS zeros FROM b),
+f AS (
+  SELECT doc_id,
+         (base_lines + CASE WHEN lorem THEN 1 ELSE 0 END
+                     + CASE WHEN brace THEN 1 ELSE 0 END)::BIGINT AS n_lines,
+         (nw0 + CASE WHEN lorem THEN 5 ELSE 0 END
+              + CASE WHEN brace THEN 5 ELSE 0 END)::BIGINT AS n_words,
+         (base_lines - zeros + CASE WHEN lorem THEN 1 ELSE 0 END)::BIGINT AS n_punct,
+         (tc0 - (nw0 - 1) + (base_lines - zeros)
+              + CASE WHEN lorem THEN 23 ELSE 0 END
+              + CASE WHEN brace THEN 20 ELSE 0 END)::BIGINT AS word_chars,
+         lorem, brace
+  FROM z)
+SELECT doc_id, n_lines, n_words,
+       CAST(n_punct AS DOUBLE) / n_lines AS punct_line_frac,
+       CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+       lorem AS has_lorem, brace AS has_brace,
+       (n_words >= 50 AND n_words <= 100000
+        AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+        AND CAST(word_chars AS DOUBLE) / n_words <= 10.0
+        AND CAST(n_punct AS DOUBLE) / n_lines > 0.7
+        AND n_lines >= 3 AND NOT lorem AND NOT brace) AS c4_keep
+FROM f""",
         "repetition_metrics": """
 WITH w AS (
   SELECT doc_id, length(text)::BIGINT AS tlen, string_split(text, ' ') AS ws FROM documents),

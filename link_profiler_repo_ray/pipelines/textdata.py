@@ -63,6 +63,7 @@ __all__ = [
     "dataset_split",
     "embedding_quantize",
     "repetition_metrics",
+    "c4_filters",
     "unigram_logprob",
     "exact_substring_dups",
     "media_features_png",
@@ -457,6 +458,117 @@ def exact_substring_dups(sf_dir: str, n: int = 6) -> rd.Dataset:
         )
 
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def c4_filters(sf_dir: str) -> rd.Dataset:
+    """C4-style heuristic document filters (Raffel et al. 2020, §2.2
+    "Colossal Clean Crawled Corpus" cleaning rules): terminal-
+    punctuation line fraction, word-count bounds, mean-word-length
+    bounds, "lorem ipsum" and curly-brace (code/boilerplate) markers,
+    and a minimum line count — combined into one keep flag.
+
+    The testdata corpus is bare space-separated words, so the line
+    structure C4 filters on is planted closed-form first (the
+    :func:`media_features_png` pattern — synthetic payload whose
+    expected features the oracle restates exactly): words are wrapped
+    into lines of ``5 + doc_id % 7`` words, line ``i`` ends with a
+    period iff ``(i + doc_id) % 4 != 0``, and two marker lines
+    ("lorem ipsum dolor sit amet." when ``doc_id % 97 == 13``,
+    "function() { return 0; }" when ``doc_id % 89 == 7``) are
+    appended.  The filter stage then computes every metric from the
+    decorated text ALONE with real string ops — it never sees the
+    closed forms — while the DuckDB oracle recomputes them
+    arithmetically from (doc_id, text).
+
+    Entirely per-document (no shuffle, no state, linear scan); all
+    fractions are single int→double divisions of exact integer
+    counts, so the doubles are bit-identical cross-engine.
+    """
+
+    def run(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            ws=pl.col("text").str.split(" "),
+            L=(5 + pl.col("doc_id") % 7),
+        )
+        # --- decorator (synthetic line structure, closed-form) ---
+        lines = (
+            df.select("doc_id", "L", "ws")
+            .explode("ws")
+            .with_columns(idx=pl.int_range(pl.len()).over("doc_id"))
+            .with_columns(line_id=pl.col("idx") // pl.col("L"))
+            .group_by(["doc_id", "line_id"], maintain_order=True)
+            .agg(pl.col("ws").str.join(" ").alias("line"))
+            .with_columns(
+                line=pl.when((pl.col("line_id") + pl.col("doc_id")) % 4 != 0)
+                .then(pl.col("line") + ".")
+                .otherwise(pl.col("line"))
+            )
+            .sort(["doc_id", "line_id"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(pl.col("line").str.join("\n").alias("dtext"))
+            .with_columns(
+                dtext=pl.col("dtext")
+                + pl.when(pl.col("doc_id") % 97 == 13)
+                .then(pl.lit("\nlorem ipsum dolor sit amet."))
+                .otherwise(pl.lit(""))
+                + pl.when(pl.col("doc_id") % 89 == 7)
+                .then(pl.lit("\nfunction() { return 0; }"))
+                .otherwise(pl.lit(""))
+            )
+        )
+        # --- the C4 filter proper: metrics from the decorated text only ---
+        out = (
+            lines.with_columns(lns=pl.col("dtext").str.split("\n"))
+            .with_columns(
+                n_lines=pl.col("lns").list.len().cast(pl.Int64),
+                n_punct_lines=pl.col("lns")
+                .list.eval(pl.element().str.contains(r'[.!?"]$').cast(pl.Int64))
+                .list.sum()
+                .cast(pl.Int64),
+                n_words=(
+                    pl.col("dtext").str.len_chars().cast(pl.Int64)
+                    - pl.col("dtext").str.replace_all(" ", "", literal=True)
+                    .str.replace_all("\n", "", literal=True)
+                    .str.len_chars()
+                    .cast(pl.Int64)
+                    + 1
+                ),
+                has_lorem=pl.col("dtext").str.contains("lorem ipsum", literal=True),
+                has_brace=pl.col("dtext").str.contains("{", literal=True),
+                tchars=pl.col("dtext").str.len_chars().cast(pl.Int64),
+            )
+            .with_columns(
+                punct_line_frac=pl.col("n_punct_lines").cast(pl.Float64)
+                / pl.col("n_lines"),
+                mean_word_len=(pl.col("tchars") - (pl.col("n_words") - 1)).cast(pl.Float64)
+                / pl.col("n_words"),
+            )
+            .with_columns(
+                c4_keep=(pl.col("n_words") >= 50)
+                & (pl.col("n_words") <= 100_000)
+                & (pl.col("mean_word_len") >= 3.0)
+                & (pl.col("mean_word_len") <= 10.0)
+                & (pl.col("punct_line_frac") > 0.7)
+                & (pl.col("n_lines") >= 3)
+                & ~pl.col("has_lorem")
+                & ~pl.col("has_brace")
+            )
+            .select(
+                "doc_id",
+                "n_lines",
+                "n_words",
+                "punct_line_frac",
+                "mean_word_len",
+                "has_lorem",
+                "has_brace",
+                "c4_keep",
+            )
+        )
+        return out.to_arrow()
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 class _LangIdStage:

@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": textdata.knn_ivf,
         "media_features": textdata.media_features,
         "media_features_png": textdata.media_features_png,
+        "c4_filters": textdata.c4_filters,
         # the scale path (IVF cell blocking, no full-matrix broadcast)
         # IS the default; the exact broadcast variant stays for small
         # corpora / recall assertions (round-3 verdict item 7)

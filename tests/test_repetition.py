@@ -198,3 +198,97 @@ def test_exact_substring_dups_planted(ray_session, tmp_path):
         check_dtype=False,
         check_exact=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# c4_filters: planted line structure on chosen doc_ids
+
+
+def test_c4_filters_planted(ray_session, tmp_path):
+    from link_profiler_repo_ray.pipelines.textdata import c4_filters
+
+    # doc 7  -> brace marker (7 % 89 == 7)
+    # doc 13 -> lorem marker (13 % 97 == 13)
+    # doc 20 -> clean, 85 words: L = 5 + 20%7 = 11 -> 8 lines, lines
+    #           i=0 and i=4 unpunctuated ((i+20)%4==0) -> frac 6/8 =
+    #           0.75 > 0.7, so it passes every C4 bound
+    # doc 0  -> 8 words, fails the 50-word minimum
+    docs = {
+        7: " ".join(f"tok{i}" for i in range(55)),
+        13: " ".join(f"word{i}" for i in range(60)),
+        20: " ".join(f"abcd{i}" for i in range(85)),
+        0: "a b c d e f g h",
+    }
+    ids = sorted(docs)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([docs[i] for i in ids], pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = c4_filters(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # independent brute-force oracle: actually build the decorated text
+    exp_rows = []
+    for d in ids:
+        words = docs[d].split(" ")
+        L = 5 + d % 7
+        lines = [
+            " ".join(words[i : i + L]) + ("." if (i // L + d) % 4 != 0 else "")
+            for i in range(0, len(words), L)
+        ]
+        if d % 97 == 13:
+            lines.append("lorem ipsum dolor sit amet.")
+        if d % 89 == 7:
+            lines.append("function() { return 0; }")
+        dtext = "\n".join(lines)
+        all_words = dtext.replace("\n", " ").split(" ")
+        nw, nl = len(all_words), len(lines)
+        npunct = sum(1 for l in lines if l[-1] in '.!?"')
+        wchars = sum(len(w) for w in all_words)
+        mwl = wchars / nw
+        frac = npunct / nl
+        exp_rows.append(
+            dict(
+                doc_id=d,
+                n_lines=nl,
+                n_words=nw,
+                punct_line_frac=frac,
+                mean_word_len=mwl,
+                has_lorem="lorem ipsum" in dtext,
+                has_brace="{" in dtext,
+                c4_keep=50 <= nw <= 100_000
+                and 3.0 <= mwl <= 10.0
+                and frac > 0.7
+                and nl >= 3
+                and "lorem ipsum" not in dtext
+                and "{" not in dtext,
+            )
+        )
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False, check_exact=True
+    )
+    # the marker docs are rejected, the clean long doc survives
+    assert not got.set_index("doc_id").loc[7, "c4_keep"]
+    assert not got.set_index("doc_id").loc[13, "c4_keep"]
+    assert bool(got.set_index("doc_id").loc[20, "c4_keep"])
+    assert not got.set_index("doc_id").loc[0, "c4_keep"]
+
+    # and the DuckDB closed-form oracle agrees on the planted table
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(entry.oracle_sql()["c4_filters"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], oracle[sorted(oracle.columns)], check_dtype=False, check_exact=True
+    )

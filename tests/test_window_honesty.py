@@ -44,6 +44,7 @@ SIBLINGS = {
     "exact_substring_dups": "contamination_ngrams",
     "media_features_png": "media_features",
     "events_range_join": "events_asof_join",
+    "c4_filters": "token_stats",
 }
 
 
