@@ -89,6 +89,10 @@ def entry() -> Any:
 #                                additionally pinned by
 #                                tests/test_media_codecs.py incl.
 #                                Average/Paeth rows + CRC guard
+#   tfidf_top_terms           -> vocab_top_tokens (same distinct
+#                                (doc, token) exchange feeding the df
+#                                counts) + keyword_suggest_rollup (the
+#                                in-window keyword-relevance rollup)
 #   c4_filters                -> token_stats (same pruned documents
 #                                scan + word split); the planted line
 #                                structure is additionally pinned by
@@ -100,6 +104,7 @@ def entry() -> Any:
 #                                family) + events_by_day (same
 #                                ts/value_cents decode)
 _YIELD_WINDOW_SLOT = (
+    "tfidf_top_terms",
     "c4_filters",
     "events_range_join",
     "media_features_png",
@@ -791,6 +796,21 @@ SELECT doc_id, n_chars, n_tokens,
        n_stop / n_tokens AS stopword_ratio
 FROM t""",
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "tfidf_top_terms": """
+WITH tf AS (
+  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         CAST(tf.tf AS DOUBLE)
+           * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfq.df) AS tfidf
+  FROM tf JOIN dfq USING (term)),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+        AS term_rank FROM s)
+SELECT doc_id, term, term_rank::BIGINT AS term_rank, tf, df, tfidf
+FROM r WHERE term_rank <= 5""",
         "c4_filters": """
 WITH m AS (
   SELECT doc_id,

@@ -64,6 +64,7 @@ __all__ = [
     "embedding_quantize",
     "repetition_metrics",
     "c4_filters",
+    "tfidf_top_terms",
     "unigram_logprob",
     "exact_substring_dups",
     "media_features_png",
@@ -1600,6 +1601,69 @@ def near_dup_survivors(
         ).to_arrow()
 
     return labels.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Per-document top-``k`` keywords by TF-IDF (the keyword-
+    extraction primitive behind the reference's keyword research —
+    `services/keyword_service.py` ranks suggestion relevance the same
+    tf·idf way; here over the documents table).
+
+    Two thin exchanges, text never crosses either:
+
+    1. token exchange — per-doc term frequencies (vectorized explode +
+       block group_by; a doc lives wholly in one batch, so block tf is
+       final) hash-partitioned by term; document frequency is a window
+       count WITHIN the partition (``len().over(term)`` — rows are
+       (doc, term)-unique), attached to every row without a second
+       pass or a broadcast vocabulary.
+    2. doc exchange — score rows re-partition by ``doc_id`` for the
+       per-doc top-k (sort + per-group row index; ties broken by term
+       asc so ordering is deterministic cross-engine).
+
+    ``tfidf = tf · ln(N / df)`` with exactly DuckDB's operation order
+    (double divide, libm ``ln``, multiply), so the doubles — and hence
+    the rank order — are bit-identical to the oracle.  At 100 TB the
+    skew knob is the partition count on the term exchange: hub terms
+    (stopwords) are single-window groups, so salting is unnecessary —
+    a hot term's rows stay one contiguous sorted run.
+    """
+    n_docs = documents_dataset(sf_dir, ["doc_id"]).count()
+
+    def tf_stage(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select("doc_id", pl.col("text").str.split(" ").alias("term"))
+            .explode("term")
+            .group_by(["doc_id", "term"])
+            .len("tf")
+            .with_columns(pl.col("tf").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    def attach_df(df: pl.DataFrame) -> pl.DataFrame:
+        return df.with_columns(df=pl.len().over("term").cast(pl.Int64)).with_columns(
+            tfidf=pl.col("tf").cast(pl.Float64)
+            * (pl.lit(float(n_docs)) / pl.col("df")).log()
+        )
+
+    scored = hash_group_apply(
+        documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+            tf_stage, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["term"],
+        attach_df,
+    )
+
+    def topk(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.sort(["doc_id", "tfidf", "term"], descending=[False, True, False])
+            .with_columns(term_rank=pl.int_range(pl.len()).over("doc_id") + 1)
+            .filter(pl.col("term_rank") <= k)
+            .select("doc_id", "term", "term_rank", "tf", "df", "tfidf")
+        )
+
+    return hash_group_apply(scored, ["doc_id"], topk)
 
 
 def vocab_top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:

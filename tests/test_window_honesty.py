@@ -45,6 +45,7 @@ SIBLINGS = {
     "media_features_png": "media_features",
     "events_range_join": "events_asof_join",
     "c4_filters": "token_stats",
+    "tfidf_top_terms": "vocab_top_tokens",
 }
 
 
