@@ -35,6 +35,7 @@ __all__ = [
     "top_anchors_referrers",
     "host_graph",
     "host_pagerank",
+    "host_hits",
     "referring_domains_exact",
     "referring_domains_hll",
     "link_intersect",
@@ -338,6 +339,127 @@ def host_pagerank(
     return ranks.map_batches(
         lambda b: pl.from_arrow(b)
         .select("host", pl.col("rank").round(8))
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def host_hits(
+    sf_dir: str,
+    multiplier: int = 1,
+    iters: int = 20,
+    edges: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """HITS hub/authority scores over the weighted host graph
+    (Kleinberg 1999) — the second intrinsic link-graph authority
+    measure next to :func:`host_pagerank` (the reference's
+    ``authority_score`` per domain, core/models.py:255-297, is an
+    external feed; PageRank and HITS are the standard intrinsic
+    replacements).
+
+    Same distributed iteration shape as PageRank: the weighted pair
+    table is materialized ONCE; each half-step is one partitioned join
+    of edges against the current score vector plus one thin hash
+    aggregate, and the only driver-side value per half-step is the L2
+    norm (a scalar ``sum``).  auth(v) = Σ_{u→v} w·hub(u), then
+    normalize; hub(u) = Σ_{u→v} w·auth(v), then normalize — hosts
+    without in-links (out-links) keep authority (hub) exactly 0.0 via
+    the left-join fill.
+    """
+    from ..ops import tagged_union_join
+
+    hg = host_graph(sf_dir, multiplier, edges=edges).materialize()
+    hg_schema = pa.schema(
+        [("source_host", pa.string()), ("target_host", pa.string()), ("n_links", pa.int64())]
+    )
+
+    def hosts_of(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.concat(
+            [
+                df.select(pl.col("source_host").alias("host")),
+                df.select(pl.col("target_host").alias("host")),
+            ]
+        ).unique().to_arrow()
+
+    all_hosts = hash_group_apply(
+        hg.map_batches(hosts_of, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        lambda df: df.unique(),
+    ).materialize()
+    hosts_schema = pa.schema([("host", pa.string())])
+    score_schema = pa.schema([("host", pa.string()), ("score", pa.float64())])
+    sums_schema = pa.schema([("host", pa.string()), ("push", pa.float64())])
+
+    def _init(b: pa.Table) -> pa.Table:
+        return pl.from_arrow(b).with_columns(pl.lit(1.0).alias("score")).to_arrow()
+
+    hubs = all_hosts.map_batches(_init, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    auths = hubs
+
+    def _half_step(scores: rd.Dataset, src_key: str, dst_key: str) -> rd.Dataset:
+        """One HITS half-step: push w·score along edges from src_key
+        to dst_key, aggregate, L2-normalize, re-attach to all hosts."""
+        pushed = tagged_union_join(
+            hg, scores, src_key, "host",
+            left_schema=hg_schema, right_schema=score_schema,
+        ).map_batches(
+            lambda b, dst=dst_key: pl.from_arrow(b)
+            .select(
+                pl.col(dst).alias("host"),
+                (pl.col("n_links") * pl.col("score")).alias("push"),
+            )
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sums = hash_aggregate(
+            pushed,
+            ["host"],
+            combine=[pl.col("push").sum().alias("push")],
+            merge=[pl.col("push").sum()],
+        ).materialize()
+        sumsq = (
+            sums.map_batches(
+                lambda b: pl.from_arrow(b).select((pl.col("push") ** 2).alias("sq")).to_arrow(),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).sum("sq")
+            or 0.0
+        )
+        norm = sumsq ** 0.5 if sumsq > 0 else 1.0
+        return tagged_union_join(
+            all_hosts, sums, "host", "host", how="left",
+            left_schema=hosts_schema, right_schema=sums_schema,
+        ).map_batches(
+            lambda b, norm=norm: pl.from_arrow(b)
+            .select("host", (pl.col("push").fill_null(0.0) / norm).alias("score"))
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+    for _ in range(iters):
+        auths = _half_step(hubs, "source_host", "target_host")
+        hubs = _half_step(auths, "target_host", "source_host")
+
+    joined = tagged_union_join(
+        auths.map_batches(
+            lambda b: pl.from_arrow(b).rename({"score": "authority"}).to_arrow(),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        hubs.map_batches(
+            lambda b: pl.from_arrow(b).rename({"score": "hub"}).to_arrow(),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        "host", "host",
+        left_schema=pa.schema([("host", pa.string()), ("authority", pa.float64())]),
+        right_schema=pa.schema([("host", pa.string()), ("hub", pa.float64())]),
+    )
+    return joined.map_batches(
+        lambda b: pl.from_arrow(b)
+        .select("host", pl.col("authority").round(8), pl.col("hub").round(8))
         .to_arrow(),
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -172,3 +172,50 @@ def test_survivors_long_chain_converges():
     got = textdata.near_dup_survivors(SF, pairs=pairs).to_pandas()
     assert set(got.survivor_id) == {0}
     assert len(got) == n
+
+
+def _ref_hits(pairs: pl.DataFrame, iters: int):
+    hosts = sorted(
+        set(pairs.get_column("source_host")) | set(pairs.get_column("target_host"))
+    )
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for s, t, c in pairs.iter_rows():
+        W[idx[s], idx[t]] += c
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(iters):
+        a = W.T @ h
+        na = np.linalg.norm(a)
+        a = a / (na if na > 0 else 1.0)
+        h = W @ a
+        nh = np.linalg.norm(h)
+        h = h / (nh if nh > 0 else 1.0)
+    return (
+        dict(zip(hosts, a)),
+        dict(zip(hosts, h)),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_hits_matches_dense_oracle():
+    from link_profiler_repo_ray.pipelines import graph
+
+    got = pl.from_pandas(graph.host_hits(SF, iters=12).to_pandas())
+    pairs = pl.from_pandas(graph.host_graph(SF).to_pandas()).select(
+        ["source_host", "target_host", "n_links"]
+    )
+    want_a, want_h = _ref_hits(pairs, iters=12)
+    assert got.height == len(want_a)
+    for host, a, h in zip(
+        got.get_column("host"), got.get_column("authority"), got.get_column("hub")
+    ):
+        assert abs(a - want_a[host]) < 1e-6, (host, a, want_a[host])
+        assert abs(h - want_h[host]) < 1e-6, (host, h, want_h[host])
+    # unit L2 norms (up to the 8-decimal output rounding)
+    assert abs(sum(v * v for v in got.get_column("authority")) - 1.0) < 1e-5
+    assert abs(sum(v * v for v in got.get_column("hub")) - 1.0) < 1e-5
+    # the hub page target absorbs the mass: h0 tops authority
+    top = got.sort("authority", descending=True).row(0, named=True)
+    assert top["host"] == "h0.example.com"
