@@ -292,3 +292,37 @@ def test_c4_filters_planted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], oracle[sorted(oracle.columns)], check_dtype=False, check_exact=True
     )
+
+
+def test_c4_filters_degenerate_docs(ray_session, tmp_path):
+    """Empty and single-word docs: no division blows up, nothing kept."""
+    from link_profiler_repo_ray.pipelines.textdata import c4_filters
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["", "solo"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = c4_filters(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # "" splits to one empty word -> one line; "solo" -> one line
+    assert got["n_lines"].tolist() == [1, 1]
+    assert got["n_words"].tolist() == [1, 1]
+    assert not got["c4_keep"].any()
+    # oracle agrees even on the degenerate rows
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = (
+        con.execute(entry.oracle_sql()["c4_filters"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], oracle[sorted(oracle.columns)], check_dtype=False, check_exact=True
+    )
