@@ -1678,12 +1678,15 @@ def vocab_top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
     """
 
     def tok_stage(batch: pa.Table) -> pa.Table:
-        ids, toks = [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            for t in set(text.split()):
-                ids.append(did)
-                toks.append(t)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()), "token": pa.array(toks, pa.string())})
+        # vectorized distinct (doc, token): explode + unique — same
+        # split semantics as str.split(' ') on this single-space corpus
+        return (
+            pl.from_arrow(batch)
+            .select("doc_id", pl.col("text").str.split(" ").alias("token"))
+            .explode("token")
+            .unique()
+            .to_arrow()
+        )
 
     freq = hash_aggregate(
         documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
