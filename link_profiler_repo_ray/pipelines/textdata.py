@@ -65,6 +65,7 @@ __all__ = [
     "repetition_metrics",
     "c4_filters",
     "tfidf_top_terms",
+    "semdedup_survivors",
     "unigram_logprob",
     "exact_substring_dups",
     "media_features_png",
@@ -1601,6 +1602,41 @@ def near_dup_survivors(
         ).to_arrow()
 
     return labels.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup_survivors(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_cells: int = 10,
+    n_assign: int = 4,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") — semantic dedup
+    over the embedding column, composed end-to-end from the two scale
+    paths that already exist: IVF-cell-bucketed cosine near-dup pairs
+    (:func:`embedding_near_dups_bucketed` — k-means cells on a bounded
+    sample, multi-probe assignment, exact in-cell verification, no
+    broadcast beyond centroids) collapsed to ONE survivor per semantic
+    cluster by the same distributed connected-components label
+    propagation MinHash dedup uses (:func:`near_dup_survivors`).
+    Survivor = the component's minimum ``vec_id`` (first-wins).
+
+    Output: (vec_id, survivor_id) for every vector that belongs to a
+    semantic-duplicate cluster; vectors absent from the output are
+    singletons and survive as themselves.
+    """
+    pairs = embedding_near_dups_bucketed(sf_dir, threshold, n_cells, n_assign).map_batches(
+        lambda b: pl.from_arrow(b)
+        .select(pl.col("vec_a").alias("doc_a"), pl.col("vec_b").alias("doc_b"))
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return near_dup_survivors(sf_dir, pairs=pairs).map_batches(
+        lambda b: pl.from_arrow(b).rename({"doc_id": "vec_id"}).to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 5) -> rd.Dataset:

@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_png": textdata.media_features_png,
         "c4_filters": textdata.c4_filters,
         "tfidf_top_terms": textdata.tfidf_top_terms,
+        "semdedup_survivors": textdata.semdedup_survivors,
         # the scale path (IVF cell blocking, no full-matrix broadcast)
         # IS the default; the exact broadcast variant stays for small
         # corpora / recall assertions (round-3 verdict item 7)

@@ -219,3 +219,38 @@ def test_host_hits_matches_dense_oracle():
     # the hub page target absorbs the mass: h0 tops authority
     top = got.sort("authority", descending=True).row(0, named=True)
     assert top["host"] == "h0.example.com"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_survivors_union_find_oracle():
+    """SemDeDup composition: connected components over the bucketed
+    cosine pair set vs a pure-python union-find on the SAME pairs —
+    identical clusters, survivor = min vec_id per cluster."""
+    from link_profiler_repo_ray.pipelines import textdata
+
+    pairs = textdata.embedding_near_dups_bucketed(SF).to_pandas()
+    got = textdata.semdedup_survivors(SF).to_pandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in zip(pairs.vec_a, pairs.vec_b):
+        union(int(a), int(b))
+    want = {x: find(x) for x in list(parent)}
+    got_map = dict(zip(got.vec_id.astype(int), got.survivor_id.astype(int)))
+    assert got_map == want
+    # survivors are cluster minima and clusters are non-trivial
+    assert any(v != k for k, v in want.items())
+    for k, v in got_map.items():
+        assert v <= k
