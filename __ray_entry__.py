@@ -89,6 +89,10 @@ def entry() -> Any:
 #                                additionally pinned by
 #                                tests/test_media_codecs.py incl.
 #                                Average/Paeth rows + CRC guard
+#   value_percentiles         -> events_by_day (same events parse +
+#                                value_cents decode; the histogram
+#                                exchange is the hash_aggregate family
+#                                every in-window rollup exercises)
 #   tfidf_top_terms           -> vocab_top_tokens (same distinct
 #                                (doc, token) exchange feeding the df
 #                                counts) + keyword_suggest_rollup (the
@@ -104,6 +108,7 @@ def entry() -> Any:
 #                                family) + events_by_day (same
 #                                ts/value_cents decode)
 _YIELD_WINDOW_SLOT = (
+    "value_percentiles",
     "tfidf_top_terms",
     "c4_filters",
     "events_range_join",
@@ -811,6 +816,18 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term
         AS term_rank FROM s)
 SELECT doc_id, term, term_rank::BIGINT AS term_rank, tf, df, tfidf
 FROM r WHERE term_rank <= 5""",
+        "value_percentiles": """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+o AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+SELECT o.event_type, qs.q, o.cents AS pct_value_cents, o.n::BIGINT AS n_events
+FROM o, qs
+WHERE o.rn = CAST(floor(qs.q * (o.n - 1)) AS BIGINT)""",
         "c4_filters": """
 WITH m AS (
   SELECT doc_id,

@@ -33,6 +33,7 @@ __all__ = [
     "sessionize",
     "events_asof_join",
     "events_range_join",
+    "value_percentiles",
 ]
 
 
@@ -369,6 +370,67 @@ def events_asof_join(sf_dir: str) -> rd.Dataset:
 
     tagged = ev.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return hash_group_apply(tagged, ["user_id"], asof)
+
+
+_PCT_QS = (0.5, 0.9, 0.99)
+
+
+def value_percentiles(sf_dir: str) -> rd.Dataset:
+    """Exact distributed percentiles (p50/p90/p99) of event value per
+    event type — the bounded-domain replacement for an approximate
+    quantile sketch: because money is integer cents, a per-block
+    (type, cents)-histogram aggregate is EXACT and the exchange carries
+    at most |distinct cents| rows per type instead of every event.  A
+    t-digest/KLL sketch is only needed when the value domain is
+    unbounded; on a bounded domain this histogram shape is both exact
+    and cheaper, and it is how the fleet-stats percentiles scale to
+    10^12 events.
+
+    Selection rule (mirrored exactly by the DuckDB oracle, which picks
+    ``row_number - 1 == floor(q·(n-1))`` over the sorted values): the
+    discrete lower-interpolation quantile.  The rank is a
+    double-multiply + floor on both engines — bit-identical.
+    """
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents_stage(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select("event_type", _cents("value").alias("cents"))
+            .group_by(["event_type", "cents"])
+            .len("cnt")
+            .with_columns(pl.col("cnt").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    hist = hash_aggregate(
+        ev.map_batches(cents_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "cents"],
+        combine=[pl.col("cnt").sum()],
+        merge=[pl.col("cnt").sum()],
+    )
+
+    def pick(df: pl.DataFrame) -> pl.DataFrame:
+        base = df.sort(["event_type", "cents"]).with_columns(
+            cum=pl.col("cnt").cum_sum().over("event_type"),
+            n=pl.col("cnt").sum().over("event_type"),
+        )
+        outs = []
+        for q in _PCT_QS:
+            rank = (pl.lit(q) * (pl.col("n") - 1).cast(pl.Float64)).floor().cast(pl.Int64)
+            outs.append(
+                base.filter(
+                    ((pl.col("cum") - pl.col("cnt")) <= rank) & (rank < pl.col("cum"))
+                ).select(
+                    "event_type",
+                    pl.lit(q).alias("q"),
+                    pl.col("cents").alias("pct_value_cents"),
+                    pl.col("n").alias("n_events"),
+                )
+            )
+        return pl.concat(outs)
+
+    return hash_group_apply(hist, ["event_type"], pick)
 
 
 _RJ_HOUR_US = 3_600_000_000

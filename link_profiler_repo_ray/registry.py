@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
+        "value_percentiles": relational.value_percentiles,
     }
 
 

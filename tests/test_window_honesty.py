@@ -46,6 +46,7 @@ SIBLINGS = {
     "events_range_join": "events_asof_join",
     "c4_filters": "token_stats",
     "tfidf_top_terms": "vocab_top_tokens",
+    "value_percentiles": "events_by_day",
 }
 
 
