@@ -23,6 +23,7 @@ __all__ = [
     "band_hashes",
     "simhash64",
     "HyperLogLog",
+    "cms_cells",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -157,3 +158,34 @@ class HyperLogLog:
     @classmethod
     def from_bytes(cls, data: bytes, p: int = 12) -> "HyperLogLog":
         return cls(p=p, registers=np.frombuffer(data, dtype=np.uint8).copy())
+
+
+# --- Count-Min sketch (heavy-hitter frequency estimation) -----------------
+
+_CMS_DEPTH = 4
+# multiply-shift row hashes (Dietzfelbinger): odd 64-bit multipliers,
+# overflow-wrapping product, top bits select the cell — vectorized and
+# deterministic across processes
+_CMS_A = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+) | np.uint64(1)
+
+
+def cms_cells(hashes: np.ndarray, log2_width: int = 13) -> np.ndarray:
+    """(depth, n) int64 cell indices for uint64 key hashes.
+
+    Row d of the result is the Count-Min cell index of every key under
+    the d-th multiply-shift hash; width = 2**log2_width.  Flattened as
+    ``d * width + idx`` these become plain int64 exchange keys, so a
+    distributed CMS is just a (cell, count) hash aggregate — the whole
+    sketch is ≤ depth·width rows AFTER aggregation no matter how many
+    tokens crossed, which is what bounds the sketch at 10^12 tokens.
+    """
+    if hashes.dtype != np.uint64:
+        hashes = hashes.astype(np.uint64)
+    shift = np.uint64(64 - log2_width)
+    out = np.empty((_CMS_DEPTH, len(hashes)), dtype=np.int64)
+    for d in range(_CMS_DEPTH):
+        out[d] = ((_CMS_A[d] * hashes) >> shift).astype(np.int64)
+    return out

@@ -54,6 +54,7 @@ __all__ = [
     "knn_ivf",
     "media_features",
     "vocab_top_tokens",
+    "token_heavy_hitters",
     "clean_text",
     "pii_scrub",
     "domain_balanced_sample",
@@ -1744,6 +1745,116 @@ def vocab_top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
         freq.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def token_heavy_hitters(
+    sf_dir: str, phi: float = 0.002, log2_width: int = 13
+) -> rd.Dataset:
+    """Approximate φ-heavy-hitter tokens via a distributed Count-Min
+    sketch plus provably-complete per-block candidate emission.
+
+    ``vocab_top_tokens`` is the EXACT path: its exchange carries one
+    row per distinct token — the whole vocabulary.  At 10^12 tokens
+    the vocabulary is itself billions of rows; this is the
+    bounded-memory scale sibling (the keyword frequency rollups of
+    services/keyword_service.py:29-268 re-expressed as a sketch):
+
+    - Each input block tokenizes locally, then emits (a) its non-zero
+      Count-Min cells as plain ``(cell, cnt)`` int64 rows — at most
+      depth·width rows per block no matter how large the block — and
+      (b) candidate tokens whose LOCAL frequency is ≥ φ.  Pigeonhole:
+      a token with global frequency ≥ φ must have local frequency ≥ φ
+      in at least one block, so the candidate union provably contains
+      every true heavy hitter, and each block emits ≤ 1/φ candidates.
+    - One hash aggregate sums cells and dedups candidates — the only
+      exchange, ≤ blocks·(depth·width + 1/φ) rows, never corpus text.
+    - A final single-block pass (input ≤ depth·width + #candidates
+      rows) rebuilds the dense sketch, estimates each candidate as the
+      min over its depth cells (classic CMS — never an underestimate),
+      and keeps estimates ≥ ⌈φ·N⌉.
+
+    Output: ``(token, est_count)`` sorted by est_count desc, token
+    asc.  Guarantees (no false negatives; estimate ≥ truth) are pinned
+    by tests against exact polars counts.
+    """
+    from ..functions.sketches import _CMS_DEPTH, cms_cells
+
+    width = 1 << log2_width
+    row_offsets = (np.arange(_CMS_DEPTH, dtype=np.int64) * width)[:, None]
+    empty = pa.table(
+        {
+            "cell": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        counts = (
+            pl.from_arrow(batch)
+            .select(pl.col("text").str.split(" ").alias("token"))
+            .explode("token")
+            .group_by("token")
+            .len(name="cnt")
+        )
+        if counts.height == 0:
+            return empty
+        cnt = counts["cnt"].to_numpy().astype(np.int64)
+        n_local = int(cnt.sum())
+        # same vectorized xxhash (seed 0) as sketches.token_hashes
+        hashes = counts["token"].hash(seed=0).to_numpy().astype(np.uint64)
+        flat = (cms_cells(hashes, log2_width) + row_offsets).ravel()
+        dense = np.bincount(
+            flat, weights=np.tile(cnt, _CMS_DEPTH), minlength=_CMS_DEPTH * width
+        ).astype(np.int64)
+        nz = np.flatnonzero(dense)
+        cand = counts.filter(pl.col("cnt") >= max(1, int(np.ceil(phi * n_local))))
+        return pa.table(
+            {
+                "cell": np.concatenate(
+                    [nz, np.full(cand.height, -1, dtype=np.int64)]
+                ),
+                "token": pa.array(
+                    [""] * len(nz) + cand["token"].to_list(), pa.string()
+                ),
+                "cnt": np.concatenate(
+                    [dense[nz], cand["cnt"].to_numpy().astype(np.int64)]
+                ),
+            }
+        )
+
+    merged = hash_aggregate(
+        documents_dataset(sf_dir, ["text"]).map_batches(
+            summarize, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["cell", "token"],
+        combine=[pl.col("cnt").sum()],
+        merge=[pl.col("cnt").sum()],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        sk = df.filter(pl.col("cell") >= 0)
+        cand = df.filter(pl.col("cell") < 0)
+        dense = np.zeros(_CMS_DEPTH * width, dtype=np.int64)
+        dense[sk["cell"].to_numpy()] = sk["cnt"].to_numpy()
+        total = int(dense.sum()) // _CMS_DEPTH
+        if cand.height == 0 or total == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "est_count": pa.array([], pa.int64())}
+            )
+        hashes = cand["token"].hash(seed=0).to_numpy().astype(np.uint64)
+        est = dense[cms_cells(hashes, log2_width) + row_offsets].min(axis=0)
+        return (
+            pl.DataFrame({"token": cand["token"], "est_count": est})
+            .filter(pl.col("est_count") >= int(np.ceil(phi * total)))
+            .sort(["est_count", "token"], descending=[True, False])
+            .to_arrow()
+        )
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

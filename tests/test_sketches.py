@@ -75,3 +75,19 @@ def test_simhash_similar_docs_close():
     far = bin(ha ^ hc).count("1")
     assert near < far
     assert near <= 10
+
+
+def test_cms_cells_shape_range_determinism():
+    from link_profiler_repo_ray.functions.sketches import _CMS_DEPTH, cms_cells
+
+    rng = np.random.RandomState(7)
+    h = _rand_u64(rng, 5000)
+    cells = cms_cells(h, log2_width=13)
+    assert cells.shape == (_CMS_DEPTH, 5000)
+    assert cells.min() >= 0 and cells.max() < (1 << 13)
+    # deterministic across calls and dtype-coercion path
+    assert np.array_equal(cells, cms_cells(h.astype(np.int64), log2_width=13))
+    # rows are distinct hash functions: equal keys collide per-row,
+    # distinct keys rarely collide on ALL rows
+    all_rows_equal = (cells[:, :1000, None] == cells[:, None, 1000:2000]).all(axis=0)
+    assert all_rows_equal.sum() == 0

@@ -134,3 +134,59 @@ def test_load_queries_rejects_unsorted_embeddings(tmp_path):
     pq.write_table(srt, str(tmp_path / "embeddings.parquet"), row_group_size=2)
     ids, q = _load_queries(str(tmp_path), 2)
     assert ids == [0, 1] and q.shape == (2, 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_heavy_hitters_vs_exact(tmp_path):
+    """CMS heavy hitters: no false negatives vs exact counts, estimates
+    never below truth, deterministic across runs."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    heavy = ["alpha", "beta", "gamma"]
+    docs = []
+    for i in range(400):
+        words = [f"w{rng.randint(0, 4000)}" for _ in range(40)]
+        # plant heavy tokens with different densities
+        words += ["alpha"] * 4 + ["beta"] * 2 + (["gamma"] * 3 if i % 2 == 0 else [])
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+        row_group_size=50,
+    )
+
+    exact = (
+        pl.DataFrame({"text": docs})
+        .select(pl.col("text").str.split(" ").alias("t"))
+        .explode("t")
+        .group_by("t")
+        .len(name="cnt")
+    )
+    total = int(exact["cnt"].sum())
+    phi = 0.01
+    import numpy as _np
+
+    thresh = int(_np.ceil(phi * total))
+    true_heavy = dict(
+        exact.filter(pl.col("cnt") >= thresh).select("t", "cnt").iter_rows()
+    )
+    assert set(true_heavy) == set(heavy)  # fixture sanity
+
+    res = textdata.token_heavy_hitters(str(tmp_path), phi=phi).take_all()
+    got = {r["token"]: r["est_count"] for r in res}
+    # completeness: every true heavy hitter surfaced
+    assert set(true_heavy) <= set(got)
+    # CMS never underestimates
+    exact_all = dict(exact.select("t", "cnt").iter_rows())
+    for tok, est in got.items():
+        assert est >= exact_all.get(tok, 0)
+        # and the estimate is sane (bounded overestimate on this corpus)
+        assert est <= exact_all.get(tok, 0) + max(8, total // 1024)
+    # output ordering + determinism
+    res2 = textdata.token_heavy_hitters(str(tmp_path), phi=phi).take_all()
+    assert res == res2
+    ests = [r["est_count"] for r in res]
+    assert ests == sorted(ests, reverse=True)
