@@ -24,6 +24,8 @@ __all__ = [
     "simhash64",
     "HyperLogLog",
     "cms_cells",
+    "stride_summary",
+    "weighted_quantile",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -189,3 +191,48 @@ def cms_cells(hashes: np.ndarray, log2_width: int = 13) -> np.ndarray:
     for d in range(_CMS_DEPTH):
         out[d] = ((_CMS_A[d] * hashes) >> shift).astype(np.int64)
     return out
+
+
+# --- deterministic mergeable quantile summary (MRL-style) ------------------
+
+
+def stride_summary(
+    values: np.ndarray, weights: np.ndarray | None, m: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compact (values, weights) to ≤ m weighted order statistics.
+
+    Deterministic MRL-style compaction (Manku-Rajagopalan-Lindsay):
+    sort by value, pick the weighted order statistic at rank
+    W·(i+0.5)/m for each i, give each weight W/m.  One pass adds at
+    most W/m weighted-rank error, and summaries MERGE BY CONCATENATION
+    (rank errors add), so a distributed quantile sketch is per-block
+    summaries → re-stride batches of concatenated summaries → final
+    weighted quantile.  Unlike the bounded-domain exact histogram
+    (pipelines/relational.py value_percentiles) this works on
+    unbounded/float domains at fixed size.
+    """
+    if weights is None:
+        weights = np.ones(len(values), dtype=np.float64)
+    if len(values) <= m:
+        return values, weights.astype(np.float64)
+    order = np.argsort(values, kind="stable")
+    sv = values[order]
+    cum = np.cumsum(weights[order].astype(np.float64))
+    total = cum[-1]
+    targets = total * (np.arange(m, dtype=np.float64) + 0.5) / m
+    pos = np.minimum(np.searchsorted(cum, targets, side="left"), len(sv) - 1)
+    return sv[pos], np.full(m, total / m, dtype=np.float64)
+
+
+def weighted_quantile(
+    values: np.ndarray, weights: np.ndarray, qs: np.ndarray
+) -> np.ndarray:
+    """Value at weighted rank q·W for each q (lower selection)."""
+    order = np.argsort(values, kind="stable")
+    sv = values[order]
+    cum = np.cumsum(weights[order].astype(np.float64))
+    pos = np.minimum(
+        np.searchsorted(cum, np.asarray(qs, dtype=np.float64) * cum[-1], side="left"),
+        len(sv) - 1,
+    )
+    return sv[pos]

@@ -34,6 +34,7 @@ __all__ = [
     "events_asof_join",
     "events_range_join",
     "value_percentiles",
+    "value_quantiles_sketch",
 ]
 
 
@@ -431,6 +432,110 @@ def value_percentiles(sf_dir: str) -> rd.Dataset:
         return pl.concat(outs)
 
     return hash_group_apply(hist, ["event_type"], pick)
+
+
+def value_quantiles_sketch(sf_dir: str, eps: float = 0.005) -> rd.Dataset:
+    """Approximate per-type value quantiles via a deterministic
+    mergeable MRL summary — the UNBOUNDED-domain scale sibling of
+    :func:`value_percentiles` (whose exact histogram relies on values
+    being integer cents; a float/unbounded metric column has no such
+    histogram, which is when a real pipeline reaches for a quantile
+    sketch).
+
+    Three bounded passes, each adding ≤ N/m weighted-rank error
+    (m = ⌈4/eps⌉, sketches.stride_summary):
+
+    1. per input block: group by event_type, compact each group to m
+       weighted order statistics — ≤ types·m rows leave any block;
+    2. one re-stride ``map_batches`` over concatenated summaries
+       (batch of B summaries → m rows per type), so the final group
+       never sees O(blocks) rows;
+    3. ``hash_group_apply`` per type: merge by concatenation + weighted
+       quantile selection.
+
+    Total weighted-rank error ≤ 3N/m < eps·N; the bound (and run-twice
+    determinism — compaction is stride selection, not random sampling)
+    is pinned in tests/test_sketches.py and tests against exact ranks
+    in tests/test_textdata.py style.  Fleet-stats percentile anchor:
+    monitoring_service latency rollups (SURVEY.md A8).
+    """
+    import numpy as np
+
+    from ..functions.sketches import stride_summary, weighted_quantile
+
+    m = int(np.ceil(4.0 / eps))
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        types, vals, wts = [], [], []
+        for (etype,), g in df.group_by("event_type"):
+            v, w = stride_summary(g["value"].to_numpy().astype(np.float64), None, m)
+            types.extend([etype] * len(v))
+            vals.append(v)
+            wts.append(w)
+        if not vals:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "val": pa.array([], pa.float64()),
+                    "w": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "val": np.concatenate(vals),
+                "w": np.concatenate(wts),
+            }
+        )
+
+    def restride(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = pl.from_arrow(batch)
+        types, vals, wts = [], [], []
+        for (etype,), g in df.group_by("event_type"):
+            v, w = stride_summary(g["val"].to_numpy(), g["w"].to_numpy(), m)
+            types.extend([etype] * len(v))
+            vals.append(v)
+            wts.append(w)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "val": np.concatenate(vals),
+                "w": np.concatenate(wts),
+            }
+        )
+
+    summaries = ev.map_batches(
+        summarize, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        restride,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=ops.DEFAULT_EXCHANGE_BATCH,
+    )
+
+    def final(df: pl.DataFrame) -> pl.DataFrame:
+        outs = []
+        for (etype,), g in df.group_by("event_type"):
+            v = g["val"].to_numpy()
+            w = g["w"].to_numpy()
+            est = weighted_quantile(v, w, np.array(_PCT_QS))
+            outs.append(
+                pl.DataFrame(
+                    {
+                        "event_type": [etype] * len(_PCT_QS),
+                        "q": list(_PCT_QS),
+                        "est_value": est,
+                        "n_events": [int(round(float(w.sum())))] * len(_PCT_QS),
+                    }
+                )
+            )
+        return pl.concat(outs).sort(["event_type", "q"])
+
+    return hash_group_apply(summaries, ["event_type"], final)
 
 
 _RJ_HOUR_US = 3_600_000_000

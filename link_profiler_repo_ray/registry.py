@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
         "value_percentiles": relational.value_percentiles,
+        "value_quantiles_sketch": relational.value_quantiles_sketch,
     }
 
 
