@@ -36,6 +36,7 @@ __all__ = [
     "host_graph",
     "host_pagerank",
     "host_hits",
+    "host_components",
     "referring_domains_exact",
     "referring_domains_hll",
     "link_intersect",
@@ -463,6 +464,94 @@ def host_hits(
         .to_arrow(),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def host_components(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+    max_iters: int = 40,
+) -> rd.Dataset:
+    """Weakly-connected components of the host graph → (host,
+    root_host) — link-neighborhood clusters, the graph-analytics
+    sibling of PageRank/HITS (the reference groups domains into
+    "networks" for competitive analysis,
+    services/competitive_analysis_service.py; components are the
+    graph-native version of that grouping).
+
+    Reuses the SAME distributed min-label propagation as MinHash dedup
+    survivor selection (textdata.near_dup_survivors: one exchange per
+    iteration, loud failure on non-convergence) over 64-bit host
+    hashes; two partitioned joins then re-attach host names, so the
+    component id is a host NAME (the member with the minimum hash),
+    not an opaque integer.  Nothing is broadcast; hash collisions
+    would only ever MERGE two components (never split), with
+    probability ~n²/2⁶⁴.
+    """
+    from ..ops import tagged_union_join
+    from .textdata import near_dup_survivors
+
+    hg = host_graph(sf_dir, multiplier, edges=edges).materialize()
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(
+                pl.col("source_host").hash(seed=0).reinterpret(signed=True).alias("doc_a"),
+                pl.col("target_host").hash(seed=0).reinterpret(signed=True).alias("doc_b"),
+            )
+            .to_arrow()
+        )
+
+    labels = near_dup_survivors(
+        sf_dir,
+        max_iters=max_iters,
+        pairs=hg.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True),
+    )
+
+    def to_names(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (
+            pl.concat(
+                [
+                    df.select(pl.col("source_host").alias("host")),
+                    df.select(pl.col("target_host").alias("host")),
+                ]
+            )
+            .unique()
+            .with_columns(pl.col("host").hash(seed=0).reinterpret(signed=True).alias("h"))
+            .to_arrow()
+        )
+
+    names = hash_group_apply(
+        hg.map_batches(to_names, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        lambda df: df.unique(subset=["host"]),
+    ).materialize()
+
+    names_schema = pa.schema([("host", pa.string()), ("h", pa.int64())])
+    labels_schema = pa.schema([("doc_id", pa.int64()), ("survivor_id", pa.int64())])
+    with_host = tagged_union_join(
+        labels, names, "doc_id", "h",
+        left_schema=labels_schema, right_schema=names_schema,
+    ).map_batches(
+        lambda b: pl.from_arrow(b).select("host", "survivor_id").to_arrow(),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    rooted = tagged_union_join(
+        with_host,
+        names.map_batches(
+            lambda b: pl.from_arrow(b).rename({"host": "root_host"}).to_arrow(),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        "survivor_id", "h",
+        left_schema=pa.schema([("host", pa.string()), ("survivor_id", pa.int64())]),
+        right_schema=pa.schema([("root_host", pa.string()), ("h", pa.int64())]),
+    )
+    return rooted.map_batches(
+        lambda b: pl.from_arrow(b).select("host", "root_host").to_arrow(),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 

@@ -33,3 +33,40 @@ def test_profiles_sum_to_edge_count():
     n_edges = graph.edges_dataset(SF).count()
     assert profiles["total_backlinks"].sum() == n_edges
     assert (profiles["unique_referring_domains"] <= profiles["total_backlinks"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_components_vs_union_find():
+    """Distributed label-propagation components == sequential union-find."""
+    from link_profiler_repo_ray.pipelines import graph
+
+    edges = [
+        (r["source_host"], r["target_host"])
+        for r in graph.host_graph(SF).take_all()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for h in parent:
+        comp.setdefault(find(h), set()).add(h)
+    expected = {frozenset(v) for v in comp.values()}
+
+    rows = graph.host_components(SF).take_all()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["root_host"], set()).add(r["host"])
+    # every member's root is inside its own component
+    for root, members in got.items():
+        assert root in members
+    assert {frozenset(v) for v in got.values()} == expected
