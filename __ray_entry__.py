@@ -89,6 +89,11 @@ def entry() -> Any:
 #                                additionally pinned by
 #                                tests/test_media_codecs.py incl.
 #                                Average/Paeth rows + CRC guard
+#   host_triangles            -> host_graph (same edges exchange; the
+#                                triangle joins are additionally
+#                                pinned against a brute-force oracle
+#                                on a planted random graph in
+#                                tests/test_graph_iter.py)
 #   value_percentiles         -> events_by_day (same events parse +
 #                                value_cents decode; the histogram
 #                                exchange is the hash_aggregate family
@@ -108,6 +113,7 @@ def entry() -> Any:
 #                                family) + events_by_day (same
 #                                ts/value_cents decode)
 _YIELD_WINDOW_SLOT = (
+    "host_triangles",
     "value_percentiles",
     "tfidf_top_terms",
     "c4_filters",
@@ -765,6 +771,19 @@ SELECT target_url, kind, item, cnt, rank::BIGINT AS rank FROM r WHERE rank <= 10
         + """
 SELECT source_host, target_host, count(*)::BIGINT AS n_links
 FROM edges GROUP BY source_host, target_host""",
+        "host_triangles": graph_cte
+        + """
+, und AS (
+  SELECT DISTINCT least(source_host, target_host) AS a,
+                  greatest(source_host, target_host) AS b
+  FROM edges WHERE source_host <> target_host),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+c AS (SELECT x AS host FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT host, count(*)::BIGINT AS triangles FROM c GROUP BY host
+ORDER BY triangles DESC, host LIMIT 20""",
         "referring_domains_exact": graph_cte
         + """
 SELECT target_host, count(DISTINCT source_host)::BIGINT AS referring_domains

@@ -37,6 +37,7 @@ __all__ = [
     "host_pagerank",
     "host_hits",
     "host_components",
+    "host_triangles",
     "referring_domains_exact",
     "referring_domains_hll",
     "link_intersect",
@@ -553,6 +554,154 @@ def host_components(
         lambda b: pl.from_arrow(b).select("host", "root_host").to_arrow(),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def host_triangles(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+    k: int = 20,
+) -> rd.Dataset:
+    """Per-host triangle participation counts over the undirected host
+    graph → top-k ``(host, triangles)``.
+
+    Triangle density is the classic link-network signal the reference
+    approximates with pairwise "common referring domains" overlap
+    (services/competitive_analysis_service.py's link-intersect
+    analysis, J2): a host whose neighbors also link to EACH OTHER sits
+    inside a genuine community (or a link farm), while a pure hub's
+    neighbors don't interconnect.
+
+    Algorithm = the "forward" / compact-forward orientation scheme
+    (Schank & Wagner 2005; Latapy 2008): order hosts by (degree, name),
+    orient every undirected edge from the ≺-smaller endpoint to the
+    larger, then each triangle a≺b≺c is found EXACTLY once as the
+    out-wedge (a→b, a→c) closed by the oriented edge b→c.  The
+    orientation bounds every host's out-degree by O(√m) on any graph,
+    so the wedge self-join — the step that explodes on hubs if done on
+    the raw graph — emits Σ out_deg² = O(m^1.5) candidates worst case
+    instead of Σ deg² (a 10^6-degree hub contributes ZERO wedges if
+    its neighbors all have lower degree, because its edges point IN).
+
+    Distribution: one hash exchange to dedup undirected pairs, one to
+    count degrees, two partitioned joins to attach endpoint degrees,
+    one group-apply keyed on the wedge source for the self-join, and
+    one partitioned join keyed on the (x,y) closing pair — nothing is
+    broadcast and no stage holds more than one partition's candidates.
+    """
+    from ..ops import tagged_union_join
+
+    if edges is None:
+        edges = edges_dataset(sf_dir, multiplier)
+
+    # undirected distinct host pairs, self-loops dropped
+    def to_und(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select(["source_host", "target_host"])
+        return (
+            df.filter(pl.col("source_host") != pl.col("target_host"))
+            .select(
+                pl.min_horizontal("source_host", "target_host").alias("a"),
+                pl.max_horizontal("source_host", "target_host").alias("b"),
+            )
+            .unique()
+            .to_arrow()
+        )
+
+    und = hash_group_apply(
+        edges.map_batches(to_und, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"],
+        lambda df: df.unique(),
+    ).materialize()
+
+    # undirected degree per host
+    def corners(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.concat(
+            [df.select(pl.col("a").alias("host")), df.select(pl.col("b").alias("host"))]
+        ).to_arrow()
+
+    deg = hash_aggregate(
+        und.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        combine=[pl.len().cast(pl.Int64).alias("deg")],
+        merge=[pl.col("deg").sum()],
+    ).materialize()
+
+    # attach both endpoint degrees (two partitioned joins), then orient
+    und_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    deg_schema = pa.schema([("host", pa.string()), ("deg", pa.int64())])
+    with_da = tagged_union_join(
+        und, deg, "a", "host", left_schema=und_schema, right_schema=deg_schema
+    ).map_batches(
+        lambda t: pl.from_arrow(t).select("a", "b", pl.col("deg").alias("deg_a")).to_arrow(),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    da_schema = pa.schema([("a", pa.string()), ("b", pa.string()), ("deg_a", pa.int64())])
+    oriented = tagged_union_join(
+        with_da, deg, "b", "host", left_schema=da_schema, right_schema=deg_schema
+    ).map_batches(
+        lambda t: pl.from_arrow(t)
+        .select("a", "b", "deg_a", pl.col("deg").alias("deg_b"))
+        .with_columns(
+            fwd=(pl.col("deg_a") < pl.col("deg_b"))
+            | ((pl.col("deg_a") == pl.col("deg_b")) & (pl.col("a") < pl.col("b")))
+        )
+        .select(
+            pl.when(pl.col("fwd")).then(pl.col("a")).otherwise(pl.col("b")).alias("src"),
+            pl.when(pl.col("fwd")).then(pl.col("b")).otherwise(pl.col("a")).alias("dst"),
+            pl.when(pl.col("fwd")).then(pl.col("deg_b")).otherwise(pl.col("deg_a")).alias("dst_deg"),
+        )
+        .to_arrow(),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    # out-wedges: all ≺-ordered pairs of out-neighbors of each src
+    def wedges(df: pl.DataFrame) -> pl.DataFrame:
+        j = df.join(df, on="src", suffix="_r")
+        return j.filter(
+            (pl.col("dst_deg") < pl.col("dst_deg_r"))
+            | ((pl.col("dst_deg") == pl.col("dst_deg_r")) & (pl.col("dst") < pl.col("dst_r")))
+        ).select(
+            pl.col("src").alias("u"),
+            pl.col("dst").alias("x"),
+            pl.col("dst_r").alias("y"),
+            (pl.col("dst") + "\x00" + pl.col("dst_r")).alias("xy"),
+        )
+
+    cand = hash_group_apply(oriented, ["src"], wedges)
+
+    closing = oriented.map_batches(
+        lambda t: pl.from_arrow(t)
+        .select((pl.col("src") + "\x00" + pl.col("dst")).alias("xy"))
+        .to_arrow(),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cand_schema = pa.schema(
+        [("u", pa.string()), ("x", pa.string()), ("y", pa.string()), ("xy", pa.string())]
+    )
+    tri = tagged_union_join(
+        cand, closing, "xy", "xy",
+        left_schema=cand_schema,
+        right_schema=pa.schema([("xy", pa.string())]),
+    )
+
+    def tri_corners(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.concat(
+            [
+                df.select(pl.col("u").alias("host")),
+                df.select(pl.col("x").alias("host")),
+                df.select(pl.col("y").alias("host")),
+            ]
+        ).to_arrow()
+
+    per_host = hash_aggregate(
+        tri.map_batches(tri_corners, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        combine=[pl.len().cast(pl.Int64).alias("triangles")],
+        merge=[pl.col("triangles").sum()],
+    )
+    return ops.block_topk(per_host, ["triangles", "host"], [True, False], k)
 
 
 # --- A4: referring-domain cardinality ------------------------------------

@@ -254,3 +254,52 @@ def test_semdedup_survivors_union_find_oracle():
     assert any(v != k for k, v in want.items())
     for k, v in got_map.items():
         assert v <= k
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_triangles_bruteforce_oracle():
+    """Degree-oriented triangle counting vs a brute-force common-
+    neighbor count on a planted random graph (the sf corpus host graph
+    is near-complete, so triangle counts there are degenerate —
+    this pins the orientation + wedge-join logic on an irregular
+    sparse graph, fed in with duplicate rows and both directions)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    rng = np.random.default_rng(7)
+    n = 40
+    hosts = [f"n{i:02d}.test" for i in range(n)]
+    und = set()
+    for a, b in rng.integers(0, n, size=(260, 2)):
+        if a != b:
+            und.add((min(int(a), int(b)), max(int(a), int(b))))
+
+    # brute force: for each edge (a,b), every common neighbor c closes
+    # one triangle; over the 3 edges of a triangle each corner is
+    # credited exactly once
+    adj: dict[int, set[int]] = {i: set() for i in range(n)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {i: 0 for i in range(n)}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            want[c] += 1
+    want = {hosts[i]: c for i, c in want.items() if c > 0}
+    assert want, "planted graph has no triangles — bump the edge count"
+
+    # feed raw directed edges with duplicates + self loops to exercise
+    # the dedup/loop-filter path
+    src = [hosts[a] for a, b in und] + [hosts[b] for a, b in und] + [hosts[0]]
+    dst = [hosts[b] for a, b in und] + [hosts[a] for a, b in und] + [hosts[0]]
+    edges = rd.from_arrow(pa.table({"source_host": src, "target_host": dst}))
+
+    got = graph.host_triangles("", edges=edges, k=n).to_pandas()
+    got_map = dict(zip(got.host, got.triangles.astype(int)))
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got_map)]
+    assert got_map == dict(top)
+    # global invariant: corner credits sum to 3 * triangle count
+    tri_total = sum(len(adj[a] & adj[b]) for a, b in und) // 3 * 3
+    assert sum(want.values()) == tri_total

@@ -47,6 +47,7 @@ SIBLINGS = {
     "c4_filters": "token_stats",
     "tfidf_top_terms": "vocab_top_tokens",
     "value_percentiles": "events_by_day",
+    "host_triangles": "host_graph",
 }
 
 
