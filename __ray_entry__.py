@@ -89,6 +89,10 @@ def entry() -> Any:
 #                                additionally pinned by
 #                                tests/test_media_codecs.py incl.
 #                                Average/Paeth rows + CRC guard
+#   inverted_index            -> vocab_top_tokens (the IDENTICAL
+#                                distinct (doc, token) exchange and
+#                                df count; only the postings-head
+#                                column is new)
 #   host_triangles            -> host_graph (same edges exchange; the
 #                                triangle joins are additionally
 #                                pinned against a brute-force oracle
@@ -114,6 +118,7 @@ def entry() -> Any:
 #                                ts/value_cents decode)
 _YIELD_WINDOW_SLOT = (
     "host_triangles",
+    "inverted_index",
     "value_percentiles",
     "tfidf_top_terms",
     "c4_filters",
@@ -989,6 +994,13 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 freq AS (SELECT token, count(*)::BIGINT AS doc_freq FROM toks GROUP BY token)
 SELECT token, doc_freq FROM freq ORDER BY doc_freq DESC, token LIMIT 20""",
+        "inverted_index": """
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+r AS (SELECT token, doc_id, row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM toks),
+s AS (SELECT token, count(*)::BIGINT AS doc_freq,
+             string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id) AS postings_head
+      FROM r GROUP BY token)
+SELECT token, doc_freq, postings_head FROM s ORDER BY doc_freq DESC, token LIMIT 200""",
         "media_features": """
 SELECT doc_id,
        CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'

@@ -55,6 +55,7 @@ __all__ = [
     "media_features",
     "vocab_top_tokens",
     "token_heavy_hitters",
+    "inverted_index",
     "clean_text",
     "pii_scrub",
     "domain_balanced_sample",
@@ -1746,6 +1747,59 @@ def vocab_top_tokens(sf_dir: str, k: int = 20) -> rd.Dataset:
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def inverted_index(sf_dir: str, k: int = 200, postings_cap: int = 8) -> rd.Dataset:
+    """Capped inverted index: the ``k`` highest-document-frequency
+    tokens with their first ``postings_cap`` doc ids →
+    ``(token, doc_freq, postings_head)``.
+
+    The posting-list build behind the reference's keyword→URL lookups
+    (services/keyword_service.py keeps keyword→result rows in ORM
+    tables; this is the batch construction of that mapping from raw
+    text).  Shape: the SAME distinct (doc, token) exchange as
+    ``vocab_top_tokens`` — per-block explode+unique is globally
+    distinct because a doc lives in exactly one block — then one
+    hash-partitioned group-apply keyed token computes df + the sorted
+    postings head, and a per-block top-k → single-block merge picks
+    the winners without materializing the vocabulary anywhere.
+
+    Scale note: postings are CAPPED (``postings_cap``) so every
+    exchanged row has bounded width.  A full inverted index at 10^12
+    tokens would instead ``write_parquet`` the group-apply output
+    partitioned by token-hash — same exchange, sink swapped — because
+    hub-token posting lists (df ~ corpus size) must never be
+    single rows.
+    """
+
+    def tok_stage(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select("doc_id", pl.col("text").str.split(" ").alias("token"))
+            .explode("token")
+            .unique()
+            .to_arrow()
+        )
+
+    def build(df: pl.DataFrame) -> pl.DataFrame:
+        return df.group_by("token").agg(
+            pl.len().cast(pl.Int64).alias("doc_freq"),
+            pl.col("doc_id")
+            .sort()
+            .head(postings_cap)
+            .cast(pl.Utf8)
+            .str.join(",")
+            .alias("postings_head"),
+        )
+
+    idx = hash_group_apply(
+        documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+            tok_stage, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["token"],
+        build,
+    )
+    return ops.block_topk(idx, ["doc_freq", "token"], [True, False], k)
 
 
 def token_heavy_hitters(

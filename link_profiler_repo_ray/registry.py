@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": textdata.embedding_quantize,
         "vocab_top_tokens": textdata.vocab_top_tokens,
         "token_heavy_hitters": textdata.token_heavy_hitters,
+        "inverted_index": textdata.inverted_index,
         # corpus-curation ops (round 3)
         "clean_text": textdata.clean_text,
         "pii_scrub": textdata.pii_scrub,
