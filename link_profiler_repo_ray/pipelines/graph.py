@@ -38,6 +38,9 @@ __all__ = [
     "host_hits",
     "host_components",
     "host_triangles",
+    "host_kcore",
+    "undirected_host_pairs",
+    "undirected_degrees",
     "referring_domains_exact",
     "referring_domains_hll",
     "link_intersect",
@@ -556,6 +559,47 @@ def host_components(
     )
 
 
+def undirected_host_pairs(edges: rd.Dataset) -> rd.Dataset:
+    """Distinct undirected host pairs (a < b), self-loops dropped —
+    materialized because the graph algorithms below read it repeatedly.
+    Per-block unique is a combiner; the hash exchange dedups globally."""
+
+    def to_und(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select(["source_host", "target_host"])
+        return (
+            df.filter(pl.col("source_host") != pl.col("target_host"))
+            .select(
+                pl.min_horizontal("source_host", "target_host").alias("a"),
+                pl.max_horizontal("source_host", "target_host").alias("b"),
+            )
+            .unique()
+            .to_arrow()
+        )
+
+    return hash_group_apply(
+        edges.map_batches(to_und, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"],
+        lambda df: df.unique(),
+    ).materialize()
+
+
+def undirected_degrees(und: rd.Dataset) -> rd.Dataset:
+    """(host, deg) over the distinct undirected pair table."""
+
+    def corners(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.concat(
+            [df.select(pl.col("a").alias("host")), df.select(pl.col("b").alias("host"))]
+        ).to_arrow()
+
+    return hash_aggregate(
+        und.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        combine=[pl.len().cast(pl.Int64).alias("deg")],
+        merge=[pl.col("deg").sum()],
+    ).materialize()
+
+
 def host_triangles(
     sf_dir: str,
     multiplier: int = 1,
@@ -594,38 +638,8 @@ def host_triangles(
     if edges is None:
         edges = edges_dataset(sf_dir, multiplier)
 
-    # undirected distinct host pairs, self-loops dropped
-    def to_und(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch).select(["source_host", "target_host"])
-        return (
-            df.filter(pl.col("source_host") != pl.col("target_host"))
-            .select(
-                pl.min_horizontal("source_host", "target_host").alias("a"),
-                pl.max_horizontal("source_host", "target_host").alias("b"),
-            )
-            .unique()
-            .to_arrow()
-        )
-
-    und = hash_group_apply(
-        edges.map_batches(to_und, batch_format="pyarrow", zero_copy_batch=True),
-        ["a", "b"],
-        lambda df: df.unique(),
-    ).materialize()
-
-    # undirected degree per host
-    def corners(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        return pl.concat(
-            [df.select(pl.col("a").alias("host")), df.select(pl.col("b").alias("host"))]
-        ).to_arrow()
-
-    deg = hash_aggregate(
-        und.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True),
-        ["host"],
-        combine=[pl.len().cast(pl.Int64).alias("deg")],
-        merge=[pl.col("deg").sum()],
-    ).materialize()
+    und = undirected_host_pairs(edges)
+    deg = undirected_degrees(und)
 
     # attach both endpoint degrees (two partitioned joins), then orient
     und_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
@@ -702,6 +716,118 @@ def host_triangles(
         merge=[pl.col("triangles").sum()],
     )
     return ops.block_topk(per_host, ["triangles", "host"], [True, False], k)
+
+
+def host_kcore(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+    max_iters: int = 60,
+) -> rd.Dataset:
+    """Core number (coreness) per host → ``(host, coreness)``.
+
+    The k-core is the standard "dense sub-network" detector: a host
+    with coreness k sits in a subgraph where EVERY member keeps ≥ k
+    neighbors — the link-farm / PBN (private blog network) signature
+    the reference's domain analysis flags heuristically via inbound
+    thresholds (services/domain_analyzer_service.py's value tiers);
+    triangles (above) score local density, coreness scores the global
+    nesting depth.
+
+    Algorithm: iterated neighborhood H-index (Lü, Zhou, Zhang & Stanley
+    2016, "The H-index of a network node and its relation to degree
+    and coreness"): start every host at its degree, then repeatedly
+    set val(v) ← H(vals of v's neighbors) — the largest h such that
+    ≥ h neighbors currently have val ≥ h.  The sequence is monotone
+    non-increasing and its fixed point IS the coreness, reached in at
+    most O(peel-path length) sweeps (web host graphs: small-diameter,
+    a handful).  Raises loudly on non-convergence like the other
+    iterative operators rather than returning a wrong fixed point.
+
+    Per iteration: ONE partitioned join (both-direction pair table ×
+    current labels, keyed src), ONE hash group-apply keyed host for
+    the vectorized H-index (rank-over + filter + max), and ONE join +
+    sum for the distributed convergence check.  Nothing is broadcast;
+    the label table is O(hosts), the exchanged rows O(pairs).
+    """
+    from ..ops import tagged_union_join
+
+    if edges is None:
+        edges = edges_dataset(sf_dir, multiplier)
+
+    und = undirected_host_pairs(edges)
+
+    # both directions once: (src, dst) for each undirected pair
+    def to_dir(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.concat(
+            [
+                df.select(pl.col("a").alias("src"), pl.col("b").alias("dst")),
+                df.select(pl.col("b").alias("src"), pl.col("a").alias("dst")),
+            ]
+        ).to_arrow()
+
+    dir_pairs = und.map_batches(
+        to_dir, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    labels = undirected_degrees(und).map_batches(
+        lambda t: pl.from_arrow(t).select("host", pl.col("deg").alias("val")).to_arrow(),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    dir_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    lab_schema = pa.schema([("host", pa.string()), ("val", pa.int64())])
+
+    def hindex(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.with_columns(
+                rank=pl.col("nbr_val").rank("ordinal", descending=True).over("host")
+            )
+            .filter(pl.col("nbr_val") >= pl.col("rank"))
+            .group_by("host")
+            .agg(pl.col("rank").max().cast(pl.Int64).alias("val"))
+        )
+
+    for _ in range(max_iters):
+        nbr_vals = tagged_union_join(
+            dir_pairs, labels, "src", "host",
+            left_schema=dir_schema, right_schema=lab_schema,
+        ).map_batches(
+            lambda t: pl.from_arrow(t)
+            .select(pl.col("dst").alias("host"), pl.col("val").alias("nbr_val"))
+            .to_arrow(),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        new_labels = hash_group_apply(nbr_vals, ["host"], hindex).materialize()
+
+        changed = tagged_union_join(
+            labels,
+            new_labels.map_batches(
+                lambda t: pl.from_arrow(t).rename({"val": "new_val"}).to_arrow(),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            "host", "host",
+            left_schema=lab_schema,
+            right_schema=pa.schema([("host", pa.string()), ("new_val", pa.int64())]),
+        ).map_batches(
+            lambda t: pl.from_arrow(t)
+            .select((pl.col("val") != pl.col("new_val")).cast(pl.Int64).alias("changed"))
+            .to_arrow(),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).sum("changed")
+        labels = new_labels
+        if not changed:
+            return labels.map_batches(
+                lambda t: pl.from_arrow(t)
+                .select("host", pl.col("val").alias("coreness"))
+                .to_arrow(),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+    raise RuntimeError(
+        f"host_kcore did not converge in {max_iters} H-index sweeps — "
+        "raise max_iters (sweeps scale with the graph's peel depth)"
+    )
 
 
 # --- A4: referring-domain cardinality ------------------------------------

@@ -303,3 +303,58 @@ def test_host_triangles_bruteforce_oracle():
     # global invariant: corner credits sum to 3 * triangle count
     tri_total = sum(len(adj[a] & adj[b]) for a, b in und) // 3 * 3
     assert sum(want.values()) == tri_total
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_kcore_peeling_oracle():
+    """Distributed H-index coreness vs the exact min-degree peeling
+    algorithm on a planted graph: dense random core + an attached
+    12-node path (the path forces several H-index sweeps and a
+    coreness-1 fringe, so the fixed point isn't just the degree)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    rng = np.random.default_rng(11)
+    n = 30
+    und = set()
+    for a, b in rng.integers(0, n, size=(150, 2)):
+        if a != b:
+            und.add((min(int(a), int(b)), max(int(a), int(b))))
+    # pendant path hanging off node 0: 30-31-...-41
+    prev = 0
+    for i in range(n, n + 12):
+        und.add((prev, i))
+        prev = i
+    hosts = [f"k{i:02d}.test" for i in range(n + 12)]
+
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    # exact peeling: repeatedly remove the min-degree node; coreness =
+    # running max of the degree at removal time
+    deg = {v: len(a) for v, a in adj.items()}
+    remaining = set(adj)
+    want: dict[str, int] = {}
+    k = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        want[hosts[v]] = k
+        remaining.remove(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+
+    src = [hosts[a] for a, b in und]
+    dst = [hosts[b] for a, b in und]
+    edges = rd.from_arrow(pa.table({"source_host": src, "target_host": dst}))
+    got = graph.host_kcore("", edges=edges).to_pandas()
+    got_map = dict(zip(got.host, got.coreness.astype(int)))
+    assert got_map == want
+    # the path fringe is coreness 1 and the random core is deeper
+    assert want[hosts[n + 11]] == 1
+    assert max(want.values()) >= 3
