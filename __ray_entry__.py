@@ -93,6 +93,9 @@ def entry() -> Any:
 #                                distinct (doc, token) exchange and
 #                                df count; only the postings-head
 #                                column is new)
+#   host_reciprocal_links     -> host_graph (same distinct host-pair
+#                                exchange; only the direction flags
+#                                are new)
 #   host_triangles            -> host_graph (same edges exchange; the
 #                                triangle joins are additionally
 #                                pinned against a brute-force oracle
@@ -118,6 +121,7 @@ def entry() -> Any:
 #                                ts/value_cents decode)
 _YIELD_WINDOW_SLOT = (
     "host_triangles",
+    "host_reciprocal_links",
     "inverted_index",
     "value_percentiles",
     "tfidf_top_terms",
@@ -776,6 +780,16 @@ SELECT target_url, kind, item, cnt, rank::BIGINT AS rank FROM r WHERE rank <= 10
         + """
 SELECT source_host, target_host, count(*)::BIGINT AS n_links
 FROM edges GROUP BY source_host, target_host""",
+        "host_reciprocal_links": graph_cte
+        + """
+, dd AS (SELECT DISTINCT source_host AS s, target_host AS t
+         FROM edges WHERE source_host <> target_host),
+p AS (SELECT least(s, t) AS a, greatest(s, t) AS b, count(*)::BIGINT AS dirs
+      FROM dd GROUP BY 1, 2),
+c AS (SELECT a AS host, dirs FROM p UNION ALL SELECT b AS host, dirs FROM p)
+SELECT host, count(*)::BIGINT AS partners,
+       sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END)::BIGINT AS reciprocal_partners
+FROM c GROUP BY host""",
         "host_triangles": graph_cte
         + """
 , und AS (

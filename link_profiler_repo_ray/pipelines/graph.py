@@ -39,6 +39,7 @@ __all__ = [
     "host_components",
     "host_triangles",
     "host_kcore",
+    "host_reciprocal_links",
     "undirected_host_pairs",
     "undirected_degrees",
     "referring_domains_exact",
@@ -716,6 +717,78 @@ def host_triangles(
         merge=[pl.col("triangles").sum()],
     )
     return ops.block_topk(per_host, ["triangles", "host"], [True, False], k)
+
+
+def host_reciprocal_links(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Per-host reciprocal-linking stats →
+    ``(host, partners, reciprocal_partners)``.
+
+    "Excessive link exchanges" is a named link-scheme signal (Google
+    spam policies; the reference's backlink analysis scores link_type
+    quality per edge, services/domain_analyzer_service.py) — a host
+    whose partner hosts mostly link BACK is trading links rather than
+    earning them.  ``partners`` counts distinct hosts linked in either
+    direction; ``reciprocal_partners`` counts those where both
+    directions exist.
+
+    Shape: per-block distinct directed pairs (combiner), ONE hash
+    exchange keyed the unordered pair to count directions (1 or 2),
+    then the corner hash-aggregate — identical exchange family to
+    ``host_graph``; nothing is broadcast and no stage sees more than
+    O(distinct pairs) rows.
+    """
+    if edges is None:
+        edges = edges_dataset(sf_dir, multiplier)
+
+    def to_directed(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select(["source_host", "target_host"])
+        return (
+            df.filter(pl.col("source_host") != pl.col("target_host"))
+            .unique()
+            .select(
+                pl.min_horizontal("source_host", "target_host").alias("a"),
+                pl.max_horizontal("source_host", "target_host").alias("b"),
+                (pl.col("source_host") <= pl.col("target_host"))
+                .cast(pl.Int64)
+                .alias("fwd"),
+                (pl.col("source_host") > pl.col("target_host"))
+                .cast(pl.Int64)
+                .alias("rev"),
+            )
+            .to_arrow()
+        )
+
+    dirs = hash_aggregate(
+        edges.map_batches(to_directed, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"],
+        combine=[pl.col("fwd").max(), pl.col("rev").max()],
+        merge=[pl.col("fwd").max(), pl.col("rev").max()],
+    )
+
+    def corners(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            recip=((pl.col("fwd") + pl.col("rev")) == 2).cast(pl.Int64)
+        )
+        return pl.concat(
+            [
+                df.select(pl.col("a").alias("host"), "recip"),
+                df.select(pl.col("b").alias("host"), "recip"),
+            ]
+        ).to_arrow()
+
+    return hash_aggregate(
+        dirs.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        combine=[
+            pl.len().cast(pl.Int64).alias("partners"),
+            pl.col("recip").sum().alias("reciprocal_partners"),
+        ],
+        merge=[pl.col("partners").sum(), pl.col("reciprocal_partners").sum()],
+    )
 
 
 def host_kcore(

@@ -358,3 +358,26 @@ def test_host_kcore_peeling_oracle():
     # the path fringe is coreness 1 and the random core is deeper
     assert want[hosts[n + 11]] == 1
     assert max(want.values()) >= 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_reciprocal_links_planted():
+    """Planted asymmetry: x<->y reciprocal, x->z one-way, z->y one-way
+    (the sf corpus host graph is near-complete so everything there is
+    reciprocal — this pins the direction flags)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "source_host": ["x", "y", "x", "z", "x"],
+                "target_host": ["y", "x", "z", "y", "x"],
+            }
+        )
+    )
+    got = graph.host_reciprocal_links("", edges=edges).to_pandas()
+    m = {r.host: (int(r.partners), int(r.reciprocal_partners)) for r in got.itertuples()}
+    assert m == {"x": (2, 1), "y": (2, 1), "z": (2, 0)}

@@ -48,6 +48,7 @@ SIBLINGS = {
     "tfidf_top_terms": "vocab_top_tokens",
     "value_percentiles": "events_by_day",
     "host_triangles": "host_graph",
+    "host_reciprocal_links": "host_graph",
     "inverted_index": "vocab_top_tokens",
 }
 
