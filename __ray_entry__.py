@@ -96,6 +96,10 @@ def entry() -> Any:
 #   host_reciprocal_links     -> host_graph (same distinct host-pair
 #                                exchange; only the direction flags
 #                                are new)
+#   host_clustering           -> host_graph (composes the
+#                                host_triangles machinery — pinned by
+#                                the planted-graph brute-force test —
+#                                with the degree rollup)
 #   host_triangles            -> host_graph (same edges exchange; the
 #                                triangle joins are additionally
 #                                pinned against a brute-force oracle
@@ -122,6 +126,7 @@ def entry() -> Any:
 _YIELD_WINDOW_SLOT = (
     "host_triangles",
     "host_reciprocal_links",
+    "host_clustering",
     "inverted_index",
     "value_percentiles",
     "tfidf_top_terms",
@@ -790,6 +795,27 @@ c AS (SELECT a AS host, dirs FROM p UNION ALL SELECT b AS host, dirs FROM p)
 SELECT host, count(*)::BIGINT AS partners,
        sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END)::BIGINT AS reciprocal_partners
 FROM c GROUP BY host""",
+        "host_clustering": graph_cte
+        + """
+, und AS (
+  SELECT DISTINCT least(source_host, target_host) AS a,
+                  greatest(source_host, target_host) AS b
+  FROM edges WHERE source_host <> target_host),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tc AS (SELECT host, count(*)::BIGINT AS triangles FROM (
+         SELECT x AS host FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       GROUP BY host),
+dg AS (SELECT host, count(*)::BIGINT AS deg FROM (
+         SELECT a AS host FROM und UNION ALL SELECT b AS host FROM und)
+       GROUP BY host)
+SELECT dg.host, dg.deg, coalesce(tc.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN dg.deg >= 2
+            THEN round(2.0 * coalesce(tc.triangles, 0) / (dg.deg * (dg.deg - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM dg LEFT JOIN tc USING (host)""",
         "host_triangles": graph_cte
         + """
 , und AS (

@@ -40,6 +40,8 @@ __all__ = [
     "host_triangles",
     "host_kcore",
     "host_reciprocal_links",
+    "host_clustering",
+    "host_triangle_counts",
     "undirected_host_pairs",
     "undirected_degrees",
     "referring_domains_exact",
@@ -607,8 +609,21 @@ def host_triangles(
     edges: rd.Dataset | None = None,
     k: int = 20,
 ) -> rd.Dataset:
+    """Top-``k`` hosts by triangle participation — see
+    ``host_triangle_counts`` for the algorithm and scale analysis."""
+    per_host = host_triangle_counts(sf_dir, multiplier, edges=edges)
+    return ops.block_topk(per_host, ["triangles", "host"], [True, False], k)
+
+
+def host_triangle_counts(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+    und: rd.Dataset | None = None,
+    deg: rd.Dataset | None = None,
+) -> rd.Dataset:
     """Per-host triangle participation counts over the undirected host
-    graph → top-k ``(host, triangles)``.
+    graph → ``(host, triangles)``, one row per host in ≥ 1 triangle.
 
     Triangle density is the classic link-network signal the reference
     approximates with pairwise "common referring domains" overlap
@@ -636,11 +651,12 @@ def host_triangles(
     """
     from ..ops import tagged_union_join
 
-    if edges is None:
-        edges = edges_dataset(sf_dir, multiplier)
-
-    und = undirected_host_pairs(edges)
-    deg = undirected_degrees(und)
+    if und is None:
+        if edges is None:
+            edges = edges_dataset(sf_dir, multiplier)
+        und = undirected_host_pairs(edges)
+    if deg is None:
+        deg = undirected_degrees(und)
 
     # attach both endpoint degrees (two partitioned joins), then orient
     und_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
@@ -710,13 +726,12 @@ def host_triangles(
             ]
         ).to_arrow()
 
-    per_host = hash_aggregate(
+    return hash_aggregate(
         tri.map_batches(tri_corners, batch_format="pyarrow", zero_copy_batch=True),
         ["host"],
         combine=[pl.len().cast(pl.Int64).alias("triangles")],
         merge=[pl.col("triangles").sum()],
     )
-    return ops.block_topk(per_host, ["triangles", "host"], [True, False], k)
 
 
 def host_reciprocal_links(
@@ -789,6 +804,57 @@ def host_reciprocal_links(
         ],
         merge=[pl.col("partners").sum(), pl.col("reciprocal_partners").sum()],
     )
+
+
+def host_clustering(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Local clustering coefficient per host →
+    ``(host, deg, triangles, clustering)``.
+
+    clustering(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — the fraction of a
+    host's neighbor pairs that interlink.  Near 1 with non-trivial
+    degree = a densely interlinked network (link farm / PBN
+    signature); near 0 = an organically earned hub.  Composes
+    ``host_triangle_counts`` and ``undirected_degrees`` over ONE
+    shared pair table, then a single left partitioned join (hosts in
+    no triangle get 0); the division is done in one fixed expression
+    order and rounded to 6 decimals so the DuckDB oracle reproduces
+    it bit-identically (libm is shared).
+    """
+    from ..ops import tagged_union_join
+
+    if edges is None:
+        edges = edges_dataset(sf_dir, multiplier)
+    und = undirected_host_pairs(edges)
+    deg = undirected_degrees(und)
+    tri = host_triangle_counts(sf_dir, multiplier, und=und, deg=deg)
+
+    deg_schema = pa.schema([("host", pa.string()), ("deg", pa.int64())])
+    tri_schema = pa.schema([("host", pa.string()), ("triangles", pa.int64())])
+    joined = tagged_union_join(
+        deg, tri, "host", "host",
+        how="left", left_schema=deg_schema, right_schema=tri_schema,
+    )
+
+    def coeff(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(pl.col("triangles").fill_null(0))
+        return df.select(
+            "host",
+            "deg",
+            "triangles",
+            pl.when(pl.col("deg") >= 2)
+            .then(
+                (2.0 * pl.col("triangles") / (pl.col("deg") * (pl.col("deg") - 1)))
+                .round(6)
+            )
+            .otherwise(0.0)
+            .alias("clustering"),
+        ).to_arrow()
+
+    return joined.map_batches(coeff, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def host_kcore(

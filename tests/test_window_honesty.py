@@ -49,6 +49,7 @@ SIBLINGS = {
     "value_percentiles": "events_by_day",
     "host_triangles": "host_graph",
     "host_reciprocal_links": "host_graph",
+    "host_clustering": "host_graph",
     "inverted_index": "vocab_top_tokens",
 }
 
