@@ -96,6 +96,10 @@ def entry() -> Any:
 #   host_reciprocal_links     -> host_graph (same distinct host-pair
 #                                exchange; only the direction flags
 #                                are new)
+#   related_hosts_cocitation  -> link_intersect (the all-pairs
+#                                generalization of J2's two-host
+#                                common-referrer intersect; same
+#                                distinct-edge exchange)
 #   host_clustering           -> host_graph (composes the
 #                                host_triangles machinery — pinned by
 #                                the planted-graph brute-force test —
@@ -127,6 +131,7 @@ _YIELD_WINDOW_SLOT = (
     "host_triangles",
     "host_reciprocal_links",
     "host_clustering",
+    "related_hosts_cocitation",
     "inverted_index",
     "value_percentiles",
     "tfidf_top_terms",
@@ -795,6 +800,13 @@ c AS (SELECT a AS host, dirs FROM p UNION ALL SELECT b AS host, dirs FROM p)
 SELECT host, count(*)::BIGINT AS partners,
        sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END)::BIGINT AS reciprocal_partners
 FROM c GROUP BY host""",
+        "related_hosts_cocitation": graph_cte
+        + """
+, dd AS (SELECT DISTINCT source_host AS s, target_host AS t
+         FROM edges WHERE source_host <> target_host),
+pr AS (SELECT d1.t AS x, d2.t AS y FROM dd d1 JOIN dd d2 ON d1.s = d2.s AND d1.t < d2.t)
+SELECT x, y, count(*)::BIGINT AS cocitations FROM pr GROUP BY x, y
+ORDER BY cocitations DESC, x, y LIMIT 50""",
         "host_clustering": graph_cte
         + """
 , und AS (

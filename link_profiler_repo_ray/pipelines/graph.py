@@ -42,6 +42,7 @@ __all__ = [
     "host_reciprocal_links",
     "host_clustering",
     "host_triangle_counts",
+    "related_hosts_cocitation",
     "undirected_host_pairs",
     "undirected_degrees",
     "referring_domains_exact",
@@ -804,6 +805,84 @@ def host_reciprocal_links(
         ],
         merge=[pl.col("partners").sum(), pl.col("reciprocal_partners").sum()],
     )
+
+
+def related_hosts_cocitation(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+    k: int = 50,
+    max_targets: int | None = None,
+) -> rd.Dataset:
+    """Top-``k`` co-cited host pairs → ``(x, y, cocitations)``.
+
+    Co-citation — two hosts repeatedly linked by the SAME sources —
+    is the standard "related domains" relatedness signal (Small 1973
+    for citation graphs; SEO tools surface it as competitor/related
+    sites, the reference approximates it with pairwise link_intersect
+    J2 for two NAMED hosts).  This computes it for ALL pairs at once:
+    distinct (source, target) edges keyed source, per-source ordered
+    target pairs, then one count aggregate and a distributed top-k.
+
+    ``max_targets``: a source linking to H distinct hosts emits
+    O(H²) pairs — the same hub blow-up as ``word_jaccard_pairs``'s
+    hub tokens.  Default None = exact (matches the SQL oracle); at
+    100 TB set it (e.g. 100) to keep only each source's first
+    ``max_targets`` targets (by name, deterministic), the standard
+    directory-page mitigation — a source linking to thousands of
+    hosts is a directory/boilerplate page carrying no relatedness
+    evidence anyway.  The same loud scale warning fires on big
+    corpora when unset.
+    """
+    if max_targets is None:
+        import warnings
+
+        n_docs = ops.parquet_num_rows(os.path.join(sf_dir, "documents.parquet")) if sf_dir else 0
+        if n_docs > 100_000:
+            warnings.warn(
+                f"related_hosts_cocitation(max_targets=None) on {n_docs} docs "
+                "is exact but emits O(out_deg^2) pairs per hub source; set "
+                "max_targets (e.g. 100) at this scale.",
+                UserWarning,
+                stacklevel=2,
+            )
+    if edges is None:
+        edges = edges_dataset(sf_dir, multiplier)
+
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.select(["source_host", "target_host"])
+            .filter(pl.col("source_host") != pl.col("target_host"))
+            .unique()
+        )
+
+    def pairs(df: pl.DataFrame) -> pl.DataFrame:
+        df = df.unique()
+        if max_targets is not None:
+            df = (
+                df.sort(["source_host", "target_host"])
+                .group_by("source_host", maintain_order=True)
+                .head(max_targets)
+            )
+        j = df.join(df, on="source_host", suffix="_r")
+        return j.filter(pl.col("target_host") < pl.col("target_host_r")).select(
+            pl.col("target_host").alias("x"),
+            pl.col("target_host_r").alias("y"),
+        )
+
+    cand = hash_group_apply(
+        edges.select_columns(["source_host", "target_host"]),
+        ["source_host"],
+        pairs,
+        pre=pre,
+    )
+    counts = hash_aggregate(
+        cand,
+        ["x", "y"],
+        combine=[pl.len().cast(pl.Int64).alias("cocitations")],
+        merge=[pl.col("cocitations").sum()],
+    )
+    return ops.block_topk(counts, ["cocitations", "x", "y"], [True, False, False], k)
 
 
 def host_clustering(

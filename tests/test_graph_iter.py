@@ -381,3 +381,43 @@ def test_host_reciprocal_links_planted():
     got = graph.host_reciprocal_links("", edges=edges).to_pandas()
     m = {r.host: (int(r.partners), int(r.reciprocal_partners)) for r in got.itertuples()}
     assert m == {"x": (2, 1), "y": (2, 1), "z": (2, 0)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_related_hosts_cocitation_planted_and_cap():
+    """Exact co-citation vs brute force on a planted edge set, and the
+    max_targets hub cap keeps each source's first targets by name."""
+    from itertools import combinations
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    srcs = {
+        "s1": ["a", "b", "c"],
+        "s2": ["b", "c", "d"],
+        "s3": ["a", "b", "c", "d"],  # directory-ish source
+    }
+    rows_s, rows_t = [], []
+    for s, ts in srcs.items():
+        for t in ts + ts[:1]:  # duplicate edges must not double count
+            rows_s.append(s)
+            rows_t.append(t)
+    edges = rd.from_arrow(pa.table({"source_host": rows_s, "target_host": rows_t}))
+
+    want: dict[tuple, int] = {}
+    for ts in srcs.values():
+        for x, y in combinations(sorted(set(ts)), 2):
+            want[(x, y)] = want.get((x, y), 0) + 1
+    got = graph.related_hosts_cocitation("", edges=edges).to_pandas()
+    got_map = {(r.x, r.y): int(r.cocitations) for r in got.itertuples()}
+    assert got_map == want
+
+    capped = graph.related_hosts_cocitation("", edges=edges, max_targets=2).to_pandas()
+    want_cap: dict[tuple, int] = {}
+    for ts in srcs.values():
+        for x, y in combinations(sorted(set(ts))[:2], 2):
+            want_cap[(x, y)] = want_cap.get((x, y), 0) + 1
+    cap_map = {(r.x, r.y): int(r.cocitations) for r in capped.itertuples()}
+    assert cap_map == want_cap

@@ -50,6 +50,7 @@ SIBLINGS = {
     "host_triangles": "host_graph",
     "host_reciprocal_links": "host_graph",
     "host_clustering": "host_graph",
+    "related_hosts_cocitation": "link_intersect",
     "inverted_index": "vocab_top_tokens",
 }
 
