@@ -77,6 +77,11 @@ def entry() -> Any:
 #                                (same n-gram construction); also
 #                                planted-repetition pytest in
 #                                tests/test_repetition.py
+#   dsir_scores               -> token_stats (same scan/split) +
+#                                vocab_top_tokens (same token
+#                                exchange); the weight table is the
+#                                unigram_logprob machinery with a
+#                                second count column
 #   unigram_logprob           -> token_stats (same scan/split) +
 #                                vocab_top_tokens (same token exchange);
 #                                also planted-LM pytest in
@@ -132,6 +137,7 @@ _YIELD_WINDOW_SLOT = (
     "host_reciprocal_links",
     "host_clustering",
     "related_hosts_cocitation",
+    "dsir_scores",
     "inverted_index",
     "value_percentiles",
     "tfidf_top_terms",
@@ -970,6 +976,20 @@ SELECT doc_id, top2gram_frac, top3gram_frac, dup5gram_frac,
        (top2gram_frac > 0.20 OR top3gram_frac > 0.18 OR dup5gram_frac > 0.15)
          AS repetition_flagged
 FROM f""",
+        "dsir_scores": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+rc AS (SELECT w, count(*)::BIGINT AS c_raw,
+              sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+       FROM toks GROUP BY w),
+tot AS (SELECT sum(c_raw)::BIGINT AS nr, sum(c_tgt)::BIGINT AS nt, count(*)::BIGINT AS v FROM rc),
+w8 AS (SELECT w,
+              CAST(floor((ln((c_tgt + 1)::DOUBLE / (tot.nt + tot.v))
+                          - ln((c_raw + 1)::DOUBLE / (tot.nr + tot.v))) * 1000000 + 0.5)
+                   AS BIGINT) AS term
+       FROM rc CROSS JOIN tot),
+dc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, w)
+SELECT doc_id, sum(c)::BIGINT AS n_tokens, sum(c * term)::BIGINT AS dsir_micro
+FROM dc JOIN w8 USING (w) GROUP BY doc_id""",
         "unigram_logprob": """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 freq AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w),

@@ -69,6 +69,7 @@ __all__ = [
     "tfidf_top_terms",
     "semdedup_survivors",
     "unigram_logprob",
+    "dsir_scores",
     "exact_substring_dups",
     "media_features_png",
 ]
@@ -354,6 +355,97 @@ def unigram_logprob(sf_dir: str) -> rd.Dataset:
     return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def dsir_scores(sf_dir: str, docs: rd.Dataset | None = None) -> rd.Dataset:
+    """DSIR-style data-selection scoring (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"):
+    per-document importance weight = log-likelihood ratio between a
+    TARGET distribution and the RAW corpus distribution under unigram
+    (hashed-ngram, here word-unigram) feature models.
+
+    The target split stands in for the curated seed corpus (DSIR uses
+    Wikipedia/books): the deterministic ``doc_id % 10 == 0`` subset,
+    closed-form so the DuckDB oracle rebuilds it exactly.  One
+    document scan feeds BOTH feature models — each block emits
+    ``(token, c_raw, c_tgt)`` partials, one hash exchange merges them
+    (the exchange carries the vocabulary, never the corpus).  Add-one
+    smoothing over the raw vocabulary; per-token weights quantized to
+    integer micro-nats ``floor((ln(p_tgt) − ln(p_raw))·1e6 + 0.5)``
+    exactly like :func:`unigram_logprob`, so per-document sums are
+    order-free integers and bit-identical to the oracle.  Pass 2
+    scores every document against the ``ray.put``-broadcast weight
+    table (zero-copy plasma read per task; at a 10^8-token vocabulary
+    swap the broadcast for a token-partitioned join + OOV floor, as
+    noted there).  Selection = rank by ``dsir_micro`` (or Gumbel-top-k
+    for sampled selection) downstream.
+    """
+    import math
+
+    if docs is None:
+        # two passes = two pruned parquet scans (each streams; nothing
+        # is pinned in the object store at corpus scale)
+        docs = documents_dataset(sf_dir, ["doc_id", "text"])
+    else:
+        # injected pipeline output: pin once so pass 1 and pass 2
+        # don't re-execute the upstream graph
+        docs = docs.materialize()
+
+    def tf_stage(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select("doc_id", pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .with_columns(tgt=(pl.col("doc_id") % 10 == 0).cast(pl.Int64))
+            .group_by("w")
+            .agg(
+                pl.len().cast(pl.Int64).alias("c_raw"),
+                pl.col("tgt").sum().alias("c_tgt"),
+            )
+            .to_arrow()
+        )
+
+    freq = hash_aggregate(
+        docs.map_batches(tf_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["w"],
+        combine=[pl.col("c_raw").sum(), pl.col("c_tgt").sum()],
+        merge=[pl.col("c_raw").sum(), pl.col("c_tgt").sum()],
+    )
+    vocab = pa.concat_tables(ray.get(freq.to_arrow_refs()))
+    tokens = vocab.column("w").to_pylist()
+    c_raw = vocab.column("c_raw").to_pylist()
+    c_tgt = vocab.column("c_tgt").to_pylist()
+    n_raw, n_tgt, v = sum(c_raw), sum(c_tgt), len(tokens)
+    terms = [
+        math.floor(
+            (math.log((ct + 1) / (n_tgt + v)) - math.log((cr + 1) / (n_raw + v)))
+            * 1_000_000
+            + 0.5
+        )
+        for cr, ct in zip(c_raw, c_tgt)
+    ]
+    ref = ray.put(pl.DataFrame({"w": tokens, "term": pl.Series(terms, dtype=pl.Int64)}))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vf = ray.get(ref)
+        return (
+            pl.from_arrow(batch)
+            .select("doc_id", pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .group_by("doc_id", "w")
+            .len("c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .join(vf, on="w", how="inner")
+            .group_by("doc_id")
+            .agg(
+                pl.col("c").sum().alias("n_tokens"),
+                (pl.col("c") * pl.col("term")).sum().alias("dsir_micro"),
+            )
+            .select("doc_id", "n_tokens", "dsir_micro")
+            .to_arrow()
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def exact_substring_dups(sf_dir: str, n: int = 6) -> rd.Dataset:

@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": textdata.doc_quality,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
+        "dsir_scores": textdata.dsir_scores,
         "exact_substring_dups": textdata.exact_substring_dups,
         "lang_id": textdata.lang_id_docs,
         "fingerprints": textdata.fingerprints,

@@ -326,3 +326,29 @@ def test_c4_filters_degenerate_docs(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], oracle[sorted(oracle.columns)], check_dtype=False, check_exact=True
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_discriminates_target_vocabulary():
+    """Planted DSIR check: target docs (doc_id % 10 == 0) draw from one
+    vocabulary, the rest from another; the importance weight must rank
+    every target-vocab doc above every raw-vocab doc, and a doc with
+    mixed text lands between them."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import textdata
+
+    tgt_text = "alpha beta gamma delta alpha beta"
+    raw_text = "zeta eta theta iota zeta eta"
+    ids = list(range(40))
+    texts = [tgt_text if i % 10 == 0 else raw_text for i in ids]
+    ids.append(41)
+    texts.append("alpha beta zeta eta")  # mixed
+    docs = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = textdata.dsir_scores("", docs=docs).to_pandas().set_index("doc_id")
+
+    score = (got.dsir_micro / got.n_tokens).to_dict()
+    tgt_scores = [score[i] for i in range(0, 40, 10)]
+    raw_scores = [score[i] for i in range(40) if i % 10 != 0]
+    assert min(tgt_scores) > score[41] > max(raw_scores)

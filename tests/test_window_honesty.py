@@ -41,6 +41,7 @@ SIBLINGS = {
     "embedding_quantize": "embedding_topk",
     "repetition_metrics": "token_stats",
     "unigram_logprob": "token_stats",
+    "dsir_scores": "token_stats",
     "exact_substring_dups": "contamination_ngrams",
     "media_features_png": "media_features",
     "events_range_join": "events_asof_join",
