@@ -77,6 +77,11 @@ def entry() -> Any:
 #                                (same n-gram construction); also
 #                                planted-repetition pytest in
 #                                tests/test_repetition.py
+#   dsir_select               -> dataset_split (same portable-hash
+#                                discipline) + the dsir_scores
+#                                machinery below; the Gumbel key is
+#                                one closed-form expression over the
+#                                scored rows
 #   dsir_scores               -> token_stats (same scan/split) +
 #                                vocab_top_tokens (same token
 #                                exchange); the weight table is the
@@ -138,6 +143,7 @@ _YIELD_WINDOW_SLOT = (
     "host_clustering",
     "related_hosts_cocitation",
     "dsir_scores",
+    "dsir_select",
     "inverted_index",
     "value_percentiles",
     "tfidf_top_terms",
@@ -990,6 +996,27 @@ w8 AS (SELECT w,
 dc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, w)
 SELECT doc_id, sum(c)::BIGINT AS n_tokens, sum(c * term)::BIGINT AS dsir_micro
 FROM dc JOIN w8 USING (w) GROUP BY doc_id""",
+        "dsir_select": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+rc AS (SELECT w, count(*)::BIGINT AS c_raw,
+              sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+       FROM toks GROUP BY w),
+tot AS (SELECT sum(c_raw)::BIGINT AS nr, sum(c_tgt)::BIGINT AS nt, count(*)::BIGINT AS v FROM rc),
+w8 AS (SELECT w,
+              CAST(floor((ln((c_tgt + 1)::DOUBLE / (tot.nt + tot.v))
+                          - ln((c_raw + 1)::DOUBLE / (tot.nr + tot.v))) * 1000000 + 0.5)
+                   AS BIGINT) AS term
+       FROM rc CROSS JOIN tot),
+dc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, w),
+s AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, sum(c * term)::BIGINT AS dsir_micro
+      FROM dc JOIN w8 USING (w) GROUP BY doc_id),
+sel AS (SELECT doc_id, n_tokens, dsir_micro,
+               round(dsir_micro::DOUBLE / 1000000.0
+                     + (-ln(-ln((((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0))), 6)
+                 AS sample_key
+        FROM s)
+SELECT doc_id, n_tokens, dsir_micro, sample_key FROM sel
+ORDER BY sample_key DESC, doc_id LIMIT 200""",
         "unigram_logprob": """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 freq AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w),

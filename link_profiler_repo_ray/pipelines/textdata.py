@@ -70,6 +70,7 @@ __all__ = [
     "semdedup_survivors",
     "unigram_logprob",
     "dsir_scores",
+    "dsir_select",
     "exact_substring_dups",
     "media_features_png",
 ]
@@ -446,6 +447,45 @@ def dsir_scores(sf_dir: str, docs: rd.Dataset | None = None) -> rd.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dsir_select(
+    sf_dir: str,
+    k: int = 200,
+    temperature: float = 1.0,
+    docs: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """DSIR's selection step: Gumbel-top-k resampling of documents
+    with probability ∝ exp(importance/temperature) — Xie et al. 2023
+    §2.3 sample WITHOUT replacement by ranking score + Gumbel noise
+    (Kool et al. 2019).
+
+    Determinism at scale: the "noise" is a closed-form multiplicative
+    hash of doc_id — ``u = ((doc_id·2654435761) mod 2³²  + 0.5) / 2³²``,
+    ``g = −ln(−ln u)`` — so every engine (and the DuckDB oracle)
+    draws the identical Gumbel for a given document, reruns are
+    reproducible, and no RNG state crosses task boundaries.  The
+    sample key ``dsir_micro/1e6 + T·g`` is computed per block and fed
+    to the distributed top-k; only ≤ k rows per block reach the final
+    merge.
+    """
+    scores = dsir_scores(sf_dir, docs=docs)
+
+    def key_stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        m = (ids * 2654435761) % 4294967296
+        u = (m.astype(np.float64) + 0.5) / 4294967296.0
+        g = -np.log(-np.log(u))
+        base = batch.column("dsir_micro").to_numpy().astype(np.float64) / 1e6
+        key = base + g if temperature == 1.0 else base + temperature * g
+        return (
+            pl.from_arrow(batch)
+            .with_columns(sample_key=pl.Series(key).round(6))
+            .to_arrow()
+        )
+
+    keyed = scores.map_batches(key_stage, batch_format="pyarrow", zero_copy_batch=True)
+    return ops.block_topk(keyed, ["sample_key", "doc_id"], [True, False], k)
 
 
 def exact_substring_dups(sf_dir: str, n: int = 6) -> rd.Dataset:

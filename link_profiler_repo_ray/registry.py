@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
         "dsir_scores": textdata.dsir_scores,
+        "dsir_select": textdata.dsir_select,
         "exact_substring_dups": textdata.exact_substring_dups,
         "lang_id": textdata.lang_id_docs,
         "fingerprints": textdata.fingerprints,

@@ -42,6 +42,7 @@ SIBLINGS = {
     "repetition_metrics": "token_stats",
     "unigram_logprob": "token_stats",
     "dsir_scores": "token_stats",
+    "dsir_select": "dataset_split",
     "exact_substring_dups": "contamination_ngrams",
     "media_features_png": "media_features",
     "events_range_join": "events_asof_join",
