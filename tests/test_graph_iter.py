@@ -421,3 +421,72 @@ def test_related_hosts_cocitation_planted_and_cap():
             want_cap[(x, y)] = want_cap.get((x, y), 0) + 1
     cap_map = {(r.x, r.y): int(r.cocitations) for r in capped.itertuples()}
     assert cap_map == want_cap
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed,n,m", [(1, 24, 40), (2, 36, 90), (3, 50, 60)])
+def test_graph_density_ops_random_graphs(seed, n, m):
+    """Randomized cross-check of triangles, clustering and coreness on
+    graphs of varying density (sparse ones exercise zero-triangle
+    hosts, degree ties in the orientation, and multi-sweep H-index)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    rng = np.random.default_rng(seed)
+    und = set()
+    for a, b in rng.integers(0, n, size=(m, 2)):
+        if a != b:
+            und.add((min(int(a), int(b)), max(int(a), int(b))))
+    hosts = [f"r{i:02d}.test" for i in range(n)]
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "source_host": [hosts[a] for a, b in und],
+                "target_host": [hosts[b] for a, b in und],
+            }
+        )
+    )
+
+    # triangles per corner
+    want_tri: dict[int, int] = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            want_tri[c] = want_tri.get(c, 0) + 1
+    got_tri = graph.host_triangle_counts("", edges=edges).to_pandas()
+    assert dict(zip(got_tri.host, got_tri.triangles.astype(int))) == {
+        hosts[i]: c for i, c in want_tri.items()
+    }
+
+    # clustering
+    got_cl = graph.host_clustering("", edges=edges).to_pandas()
+    for r in got_cl.itertuples():
+        i = hosts.index(r.host)
+        d = len(adj[i])
+        t = want_tri.get(i, 0)
+        assert int(r.deg) == d
+        expect = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert abs(r.clustering - expect) < 1e-9, r.host
+    assert len(got_cl) == len(adj)
+
+    # coreness via exact peeling
+    deg = {v: len(a) for v, a in adj.items()}
+    remaining = set(adj)
+    want_core: dict[str, int] = {}
+    k = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        want_core[hosts[v]] = k
+        remaining.remove(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+    got_core = graph.host_kcore("", edges=edges).to_pandas()
+    assert dict(zip(got_core.host, got_core.coreness.astype(int))) == want_core
