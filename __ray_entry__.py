@@ -77,6 +77,11 @@ def entry() -> Any:
 #                                (same n-gram construction); also
 #                                planted-repetition pytest in
 #                                tests/test_repetition.py
+#   ccnet_buckets             -> unigram_logprob's in-window siblings
+#                                (token_stats scan) + value_percentiles'
+#                                sibling family (events_by_day) for the
+#                                histogram-rank rule; also the planted
+#                                LM pytest in tests/test_repetition.py
 #   dsir_select               -> dataset_split (same portable-hash
 #                                discipline) + the dsir_scores
 #                                machinery below; the Gumbel key is
@@ -144,6 +149,7 @@ _YIELD_WINDOW_SLOT = (
     "related_hosts_cocitation",
     "dsir_scores",
     "dsir_select",
+    "ccnet_buckets",
     "inverted_index",
     "value_percentiles",
     "tfidf_top_terms",
@@ -982,6 +988,28 @@ SELECT doc_id, top2gram_frac, top3gram_frac, dup5gram_frac,
        (top2gram_frac > 0.20 OR top3gram_frac > 0.18 OR dup5gram_frac > 0.15)
          AS repetition_flagged
 FROM f""",
+        "ccnet_buckets": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, count(*)::BIGINT AS cnt FROM toks GROUP BY w),
+tot AS (SELECT sum(cnt)::BIGINT AS n FROM freq),
+lp AS (SELECT w, CAST(floor(ln(cnt::DOUBLE / (SELECT n FROM tot)) * 1000000 + 0.5) AS BIGINT)
+         AS term
+       FROM freq),
+dc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, w),
+s AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, sum(c * term)::BIGINT AS logprob_micro
+      FROM dc JOIN lp USING (w) GROUP BY doc_id),
+m AS (SELECT doc_id, n_tokens,
+             CAST(floor(logprob_micro::DOUBLE / n_tokens) AS BIGINT) AS mean_micro_floor
+      FROM s),
+h AS (SELECT mean_micro_floor AS v, count(*)::BIGINT AS cnt FROM m GROUP BY 1),
+o AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n FROM h),
+t1 AS (SELECT v FROM o WHERE (cum - cnt) <= floor((1.0/3.0) * (n - 1)) AND floor((1.0/3.0) * (n - 1)) < cum),
+t2 AS (SELECT v FROM o WHERE (cum - cnt) <= floor((2.0/3.0) * (n - 1)) AND floor((2.0/3.0) * (n - 1)) < cum)
+SELECT doc_id, n_tokens, mean_micro_floor,
+       CASE WHEN mean_micro_floor <= (SELECT v FROM t1) THEN 'tail'
+            WHEN mean_micro_floor <= (SELECT v FROM t2) THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM m""",
         "dsir_scores": """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 rc AS (SELECT w, count(*)::BIGINT AS c_raw,

@@ -69,6 +69,7 @@ __all__ = [
     "tfidf_top_terms",
     "semdedup_survivors",
     "unigram_logprob",
+    "ccnet_buckets",
     "dsir_scores",
     "dsir_select",
     "exact_substring_dups",
@@ -356,6 +357,88 @@ def unigram_logprob(sf_dir: str) -> rd.Dataset:
     return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def ccnet_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.4:
+    documents bucketed into perplexity TERTILES against the LM; head =
+    best).  Composes :func:`unigram_logprob`'s integer micro-nat
+    scores: per-doc ``mean_micro_floor = floor(logprob_micro /
+    n_tokens)`` (floor of one double division — bit-identical in
+    DuckDB), then EXACT tertile thresholds by the repo's
+    bounded-domain histogram rule — one hash exchange carrying only
+    (distinct mean value, count) rows, a single-block cumulative scan
+    picks the lower-interpolation ranks ``floor(q·(n−1))`` for q =
+    1/3, 2/3 — and a stateless vectorized bucket compare.  The two
+    threshold scalars are the only driver-side values (PageRank's
+    dangling-mass pattern); document text never crosses a second
+    exchange.
+    """
+    scores = unigram_logprob(sf_dir).map_batches(
+        lambda t: pl.from_arrow(t)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (pl.col("logprob_micro").cast(pl.Float64) / pl.col("n_tokens"))
+            .floor()
+            .cast(pl.Int64)
+            .alias("mean_micro_floor"),
+        )
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    hist = hash_aggregate(
+        scores.map_batches(
+            lambda t: pl.from_arrow(t)
+            .group_by("mean_micro_floor")
+            .len("cnt")
+            .with_columns(pl.col("cnt").cast(pl.Int64))
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["mean_micro_floor"],
+        combine=[pl.col("cnt").sum()],
+        merge=[pl.col("cnt").sum()],
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).sort("mean_micro_floor").with_columns(
+            cum=pl.col("cnt").cum_sum(), n=pl.col("cnt").sum()
+        )
+        outs = []
+        for q in (1.0 / 3.0, 2.0 / 3.0):
+            rank = (pl.lit(q) * (pl.col("n") - 1).cast(pl.Float64)).floor().cast(pl.Int64)
+            outs.append(
+                df.filter(
+                    ((pl.col("cum") - pl.col("cnt")) <= rank) & (rank < pl.col("cum"))
+                ).select(pl.col("mean_micro_floor").alias("v"))
+            )
+        return pl.concat(outs).to_arrow()
+
+    t1, t2 = [
+        r["v"]
+        for r in hist.repartition(1)
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .take(2)
+    ]
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .with_columns(
+                bucket=pl.when(pl.col("mean_micro_floor") <= t1)
+                .then(pl.lit("tail"))
+                .when(pl.col("mean_micro_floor") <= t2)
+                .then(pl.lit("middle"))
+                .otherwise(pl.lit("head"))
+            )
+            .to_arrow()
+        )
+
+    return scores.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dsir_scores(sf_dir: str, docs: rd.Dataset | None = None) -> rd.Dataset:

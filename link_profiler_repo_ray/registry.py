@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": textdata.doc_quality,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
+        "ccnet_buckets": textdata.ccnet_buckets,
         "dsir_scores": textdata.dsir_scores,
         "dsir_select": textdata.dsir_select,
         "exact_substring_dups": textdata.exact_substring_dups,

@@ -43,6 +43,7 @@ SIBLINGS = {
     "unigram_logprob": "token_stats",
     "dsir_scores": "token_stats",
     "dsir_select": "dataset_split",
+    "ccnet_buckets": "token_stats",
     "exact_substring_dups": "contamination_ngrams",
     "media_features_png": "media_features",
     "events_range_join": "events_asof_join",
