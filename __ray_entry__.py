@@ -77,6 +77,9 @@ def entry() -> Any:
 #                                (same n-gram construction); also
 #                                planted-repetition pytest in
 #                                tests/test_repetition.py
+#   host_degree_assortativity -> host_graph (same pair exchange; the
+#                                integer moment sums are the
+#                                hash_aggregate family)
 #   ccnet_buckets             -> unigram_logprob's in-window siblings
 #                                (token_stats scan) + value_percentiles'
 #                                sibling family (events_by_day) for the
@@ -147,6 +150,7 @@ _YIELD_WINDOW_SLOT = (
     "host_reciprocal_links",
     "host_clustering",
     "related_hosts_cocitation",
+    "host_degree_assortativity",
     "dsir_scores",
     "dsir_select",
     "ccnet_buckets",
@@ -825,6 +829,28 @@ FROM c GROUP BY host""",
 pr AS (SELECT d1.t AS x, d2.t AS y FROM dd d1 JOIN dd d2 ON d1.s = d2.s AND d1.t < d2.t)
 SELECT x, y, count(*)::BIGINT AS cocitations FROM pr GROUP BY x, y
 ORDER BY cocitations DESC, x, y LIMIT 50""",
+        "host_degree_assortativity": graph_cte
+        + """
+, und AS (
+  SELECT DISTINCT least(source_host, target_host) AS a,
+                  greatest(source_host, target_host) AS b
+  FROM edges WHERE source_host <> target_host),
+dg AS (SELECT host, count(*)::BIGINT AS deg FROM (
+         SELECT a AS host FROM und UNION ALL SELECT b AS host FROM und)
+       GROUP BY host),
+j AS (SELECT da.deg AS ja, db.deg AS jb
+      FROM und JOIN dg da ON da.host = und.a JOIN dg db ON db.host = und.b),
+sums AS (SELECT count(*)::BIGINT AS m, sum(ja + jb)::BIGINT AS s1,
+                sum(ja * jb)::BIGINT AS s2, sum(ja * ja + jb * jb)::BIGINT AS s3
+         FROM j)
+SELECT m AS n_edges,
+       CAST(CASE WHEN (s3::DOUBLE / (2 * m) - (s1::DOUBLE / (2 * m)) * (s1::DOUBLE / (2 * m))) = 0.0
+                 THEN 0
+                 ELSE floor((s2::DOUBLE / m - (s1::DOUBLE / (2 * m)) * (s1::DOUBLE / (2 * m)))
+                            / (s3::DOUBLE / (2 * m) - (s1::DOUBLE / (2 * m)) * (s1::DOUBLE / (2 * m)))
+                            * 1000000 + 0.5)
+            END AS BIGINT) AS assortativity_micro
+FROM sums""",
         "host_clustering": graph_cte
         + """
 , und AS (

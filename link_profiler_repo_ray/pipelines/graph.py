@@ -43,6 +43,7 @@ __all__ = [
     "host_clustering",
     "host_triangle_counts",
     "related_hosts_cocitation",
+    "host_degree_assortativity",
     "undirected_host_pairs",
     "undirected_degrees",
     "referring_domains_exact",
@@ -883,6 +884,80 @@ def related_hosts_cocitation(
         merge=[pl.col("cocitations").sum()],
     )
     return ops.block_topk(counts, ["cocitations", "x", "y"], [True, False, False], k)
+
+
+def host_degree_assortativity(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Degree assortativity of the undirected host graph (Newman 2002)
+    → one row ``(n_edges, assortativity)``.
+
+    r > 0: hosts link to similarly-connected hosts (mesh-like link
+    networks); r < 0: hubs link to the fringe (the organic web is
+    disassortative, Newman 2003 table II) — a corpus-level structure
+    check for crawl frontiers and synthetic-graph validation.
+
+    Exactness discipline: the three edge-endpoint-degree moments
+    Σ(j+k), Σjk, Σ(j²+k²) are INTEGER sums accumulated per block and
+    merged associatively (order-free), so only the final closed-form
+    expression — written in the identical operation order as the
+    DuckDB oracle — touches floats:
+    ``a = S1/(2M); r = (S2/M − a·a) / (S3/(2M) − a·a)`` quantized to
+    integer micro-units ``floor(r·1e6 + 0.5)`` (0 when the
+    denominator is exactly 0: regular graphs).
+    """
+    from ..ops import tagged_union_join
+
+    if edges is None:
+        edges = edges_dataset(sf_dir, multiplier)
+    und = undirected_host_pairs(edges)
+    deg = undirected_degrees(und)
+
+    und_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    deg_schema = pa.schema([("host", pa.string()), ("deg", pa.int64())])
+    with_da = tagged_union_join(
+        und, deg, "a", "host", left_schema=und_schema, right_schema=deg_schema
+    ).map_batches(
+        lambda t: pl.from_arrow(t).select("a", "b", pl.col("deg").alias("deg_a")).to_arrow(),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    da_schema = pa.schema([("a", pa.string()), ("b", pa.string()), ("deg_a", pa.int64())])
+    both = tagged_union_join(
+        with_da, deg, "b", "host", left_schema=da_schema, right_schema=deg_schema
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.len().cast(pl.Int64).alias("m"),
+            (pl.col("deg_a") + pl.col("deg")).sum().alias("s1"),
+            (pl.col("deg_a") * pl.col("deg")).sum().alias("s2"),
+            (pl.col("deg_a") * pl.col("deg_a") + pl.col("deg") * pl.col("deg"))
+            .sum()
+            .alias("s3"),
+        ).to_arrow()
+
+    def final(batch: pa.Table) -> pa.Table:
+        import math
+
+        df = pl.from_arrow(batch).select(
+            pl.col("m").sum(), pl.col("s1").sum(), pl.col("s2").sum(), pl.col("s3").sum()
+        )
+        m, s1, s2, s3 = df.row(0)
+        a = s1 / (2 * m)
+        denom = s3 / (2 * m) - a * a
+        micro = 0 if denom == 0.0 else math.floor((s2 / m - a * a) / denom * 1_000_000 + 0.5)
+        return pa.table(
+            {"n_edges": [int(m)], "assortativity_micro": [int(micro)]}
+        )
+
+    return (
+        both.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 def host_clustering(

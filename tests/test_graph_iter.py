@@ -490,3 +490,20 @@ def test_graph_density_ops_random_graphs(seed, n, m):
                 deg[u] -= 1
     got_core = graph.host_kcore("", edges=edges).to_pandas()
     assert dict(zip(got_core.host, got_core.coreness.astype(int))) == want_core
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assortativity_star_is_minus_one():
+    """A star graph is maximally disassortative: r = -1 exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    leaves = [f"l{i}" for i in range(5)]
+    edges = rd.from_arrow(
+        pa.table({"source_host": ["hub"] * 5, "target_host": leaves})
+    )
+    got = graph.host_degree_assortativity("", edges=edges).to_pandas()
+    assert int(got.n_edges[0]) == 5
+    assert int(got.assortativity_micro[0]) == -1_000_000

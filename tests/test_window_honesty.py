@@ -54,6 +54,7 @@ SIBLINGS = {
     "host_reciprocal_links": "host_graph",
     "host_clustering": "host_graph",
     "related_hosts_cocitation": "link_intersect",
+    "host_degree_assortativity": "host_graph",
     "inverted_index": "vocab_top_tokens",
 }
 
