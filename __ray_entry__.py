@@ -77,6 +77,10 @@ def entry() -> Any:
 #                                (same n-gram construction); also
 #                                planted-repetition pytest in
 #                                tests/test_repetition.py
+#   event_funnel              -> sessionize (the IDENTICAL
+#                                events-keyed-by-user exchange;
+#                                per-partition ordered-chain logic vs
+#                                gap logic)
 #   host_degree_assortativity -> host_graph (same pair exchange; the
 #                                integer moment sums are the
 #                                hash_aggregate family)
@@ -151,6 +155,7 @@ _YIELD_WINDOW_SLOT = (
     "host_clustering",
     "related_hosts_cocitation",
     "host_degree_assortativity",
+    "event_funnel",
     "dsir_scores",
     "dsir_select",
     "ccnet_buckets",
@@ -829,6 +834,18 @@ FROM c GROUP BY host""",
 pr AS (SELECT d1.t AS x, d2.t AS y FROM dd d1 JOIN dd d2 ON d1.s = d2.s AND d1.t < d2.t)
 SELECT x, y, count(*)::BIGINT AS cocitations FROM pr GROUP BY x, y
 ORDER BY cocitations DESC, x, y LIMIT 50""",
+        "event_funnel": """
+WITH e AS (SELECT user_id, event_type, ts FROM events),
+u1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+u2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN u1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+u3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN u2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+SELECT 1::BIGINT AS step, 'view' AS event_type, (SELECT count(*) FROM u1)::BIGINT AS n_users
+UNION ALL
+SELECT 2::BIGINT, 'click', (SELECT count(*) FROM u2)::BIGINT
+UNION ALL
+SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM u3)::BIGINT""",
         "host_degree_assortativity": graph_cte
         + """
 , und AS (

@@ -31,6 +31,7 @@ __all__ = [
     "events_by_day",
     "events_hopping_window",
     "sessionize",
+    "event_funnel",
     "events_asof_join",
     "events_range_join",
     "value_percentiles",
@@ -227,6 +228,65 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
 
     return hash_group_apply(
         _read(sf_dir, "events", ["user_id", "event_id", "ts"]), ["user_id"], windows
+    )
+
+
+def event_funnel(
+    sf_dir: str, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> rd.Dataset:
+    """Ordered-funnel conversion: how many users performed step 1,
+    then step 2 STRICTLY AFTER their first step 1, then step 3 after
+    that → ``(step, event_type, n_users)``.
+
+    The sequential-pattern analytics sibling of ``sessionize`` (the
+    reference's A8 fleet stats count events; a funnel counts ordered
+    per-user chains).  Semantics: t₁ = first step-1 event; tᵢ = first
+    step-i event after tᵢ₋₁ (the standard strict-order funnel, no
+    conversion window).
+
+    Shape: ONE hash exchange keyed user_id (thinned to the funnel's
+    event types by the pre-combiner), a per-partition vectorized
+    chain of filter→join→min per step — each partition holds all of
+    its users' rows, so no cross-partition state — emitting one
+    partial count row per step per partition, then a tiny sum
+    aggregate.  Events cross the exchange once; counters after.
+    """
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        return df.filter(pl.col("event_type").is_in(list(steps)))
+
+    def funnel(df: pl.DataFrame) -> pl.DataFrame:
+        reached = []
+        cur = (
+            df.filter(pl.col("event_type") == steps[0])
+            .group_by("user_id")
+            .agg(pl.col("ts").min().alias("t"))
+        )
+        reached.append(cur.height)
+        for s in steps[1:]:
+            cur = (
+                df.filter(pl.col("event_type") == s)
+                .join(cur, on="user_id")
+                .filter(pl.col("ts") > pl.col("t"))
+                .group_by("user_id")
+                .agg(pl.col("ts").min().alias("t"))
+            )
+            reached.append(cur.height)
+        return pl.DataFrame(
+            {
+                "step": pl.Series(range(1, len(steps) + 1), dtype=pl.Int64),
+                "event_type": list(steps),
+                "n_users": pl.Series(reached, dtype=pl.Int64),
+            }
+        )
+
+    partials = hash_group_apply(ev, ["user_id"], funnel, pre=pre)
+    return hash_aggregate(
+        partials,
+        ["step", "event_type"],
+        combine=[pl.col("n_users").sum()],
+        merge=[pl.col("n_users").sum()],
     )
 
 

@@ -127,3 +127,40 @@ def test_range_join_boundary_semantics(tmp_path):
     assert g.loc[0, "n_events"] == 2          # start included, end excluded
     assert g.loc[1, "n_events"] == 2
     assert 5 in g.index and g.loc[5, "n_events"] == 2  # second-bucket replica caught both
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_event_funnel_strict_order_planted(tmp_path):
+    """Funnel strictness: same-timestamp step-2 events do NOT convert;
+    out-of-order chains do not convert; full ordered chains do."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from link_profiler_repo_ray.pipelines import relational
+
+    t0 = 1_700_000_000_000_000
+    rows = [
+        # user 1: full ordered chain
+        (1, "view", t0), (1, "click", t0 + 10), (1, "purchase", t0 + 20),
+        # user 2: click at the SAME ts as view -> stops at step 1
+        (2, "view", t0), (2, "click", t0),
+        # user 3: purchase BEFORE click -> stops at step 2
+        (3, "view", t0), (3, "purchase", t0 + 5), (3, "click", t0 + 10),
+        # user 4: never viewed
+        (4, "click", t0), (4, "purchase", t0 + 5),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([0.0] * len(rows)),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+    got = relational.event_funnel(str(sf)).to_pandas().set_index("step")
+    assert got.loc[1, "n_users"] == 3  # users 1,2,3 viewed
+    assert got.loc[2, "n_users"] == 2  # users 1,3 clicked after view
+    assert got.loc[3, "n_users"] == 1  # only user 1 completed

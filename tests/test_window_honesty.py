@@ -55,6 +55,7 @@ SIBLINGS = {
     "host_clustering": "host_graph",
     "related_hosts_cocitation": "link_intersect",
     "host_degree_assortativity": "host_graph",
+    "event_funnel": "sessionize",
     "inverted_index": "vocab_top_tokens",
 }
 
