@@ -77,6 +77,9 @@ def entry() -> Any:
 #                                (same n-gram construction); also
 #                                planted-repetition pytest in
 #                                tests/test_repetition.py
+#   cohort_retention          -> sessionize (same events-keyed-by-user
+#                                exchange) + events_by_day (same
+#                                day-truncate family)
 #   event_funnel              -> sessionize (the IDENTICAL
 #                                events-keyed-by-user exchange;
 #                                per-partition ordered-chain logic vs
@@ -156,6 +159,7 @@ _YIELD_WINDOW_SLOT = (
     "related_hosts_cocitation",
     "host_degree_assortativity",
     "event_funnel",
+    "cohort_retention",
     "dsir_scores",
     "dsir_select",
     "ccnet_buckets",
@@ -834,6 +838,15 @@ FROM c GROUP BY host""",
 pr AS (SELECT d1.t AS x, d2.t AS y FROM dd d1 JOIN dd d2 ON d1.s = d2.s AND d1.t < d2.t)
 SELECT x, y, count(*)::BIGINT AS cocitations FROM pr GROUP BY x, y
 ORDER BY cocitations DESC, x, y LIMIT 50""",
+        "cohort_retention": """
+WITH su AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),
+act AS (SELECT DISTINCT e.user_id,
+               date_trunc('day', su.t0) AS cohort_day,
+               date_trunc('day', e.ts) AS d
+        FROM events e JOIN su USING (user_id) WHERE e.ts >= su.t0)
+SELECT cohort_day, date_diff('day', cohort_day, d)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM act GROUP BY 1, 2""",
         "event_funnel": """
 WITH e AS (SELECT user_id, event_type, ts FROM events),
 u1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -32,6 +32,7 @@ __all__ = [
     "events_hopping_window",
     "sessionize",
     "event_funnel",
+    "cohort_retention",
     "events_asof_join",
     "events_range_join",
     "value_percentiles",
@@ -285,6 +286,52 @@ def event_funnel(
     return hash_aggregate(
         partials,
         ["step", "event_type"],
+        combine=[pl.col("n_users").sum()],
+        merge=[pl.col("n_users").sum()],
+    )
+
+
+def cohort_retention(sf_dir: str, anchor_event: str = "signup") -> rd.Dataset:
+    """Cohort retention matrix → ``(cohort_day, day_offset, n_users)``:
+    users grouped by the day of their FIRST ``anchor_event``, counted
+    on each later day they produced ANY event (distinct user-days, so
+    a burst of events is one retention mark).
+
+    The classic activation/retention analytic over the events stream
+    (sibling of ``event_funnel``: funnel is ordered steps, cohorts are
+    presence-over-time).  Shape: the SAME single hash exchange keyed
+    user_id — each partition holds all of a user's events, so the
+    per-user anchor, the ``ts >= t0`` trim and the distinct
+    (user, day) reduction are all partition-local — then one thin sum
+    aggregate over (cohort_day, day_offset) partial counts.
+    """
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def cohort(df: pl.DataFrame) -> pl.DataFrame:
+        anchors = (
+            df.filter(pl.col("event_type") == anchor_event)
+            .group_by("user_id")
+            .agg(pl.col("ts").min().alias("t0"))
+        )
+        act = (
+            df.join(anchors, on="user_id")
+            .filter(pl.col("ts") >= pl.col("t0"))
+            .select(
+                "user_id",
+                pl.col("t0").dt.truncate("1d").alias("cohort_day"),
+                pl.col("ts").dt.truncate("1d").alias("d"),
+            )
+            .unique()
+        )
+        return act.group_by(
+            "cohort_day",
+            (pl.col("d") - pl.col("cohort_day")).dt.total_days().alias("day_offset"),
+        ).agg(pl.len().cast(pl.Int64).alias("n_users"))
+
+    partials = hash_group_apply(ev, ["user_id"], cohort)
+    return hash_aggregate(
+        partials,
+        ["cohort_day", "day_offset"],
         combine=[pl.col("n_users").sum()],
         merge=[pl.col("n_users").sum()],
     )

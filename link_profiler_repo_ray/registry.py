@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": relational.events_hopping_window,
         "sessionize": relational.sessionize,
         "event_funnel": relational.event_funnel,
+        "cohort_retention": relational.cohort_retention,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
         "value_percentiles": relational.value_percentiles,

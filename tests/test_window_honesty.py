@@ -56,6 +56,7 @@ SIBLINGS = {
     "related_hosts_cocitation": "link_intersect",
     "host_degree_assortativity": "host_graph",
     "event_funnel": "sessionize",
+    "cohort_retention": "sessionize",
     "inverted_index": "vocab_top_tokens",
 }
 
