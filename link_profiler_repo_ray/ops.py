@@ -30,6 +30,7 @@ only, no driver materialization.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Callable
 
 import polars as pl
@@ -147,6 +148,33 @@ def int_range(n: int, column: str) -> rd.Dataset:
         return pa.table({column: batch.column("id")})
 
     return rd.range(n).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def materialize_cut(ds: rd.Dataset) -> rd.Dataset:
+    """``materialize()`` that also severs the dataset's STATS lineage.
+
+    Ray Data (2.49) chains ``DatasetStats.parents`` across
+    ``materialize()`` boundaries, and ``to_summary()`` walks that chain
+    recursively — an iterative algorithm (PageRank / HITS / label
+    propagation / k-core) that materializes per iteration accumulates
+    one stats frame per stage per iteration and eventually dies with
+    ``RecursionError`` when the executor summarizes stats (observed:
+    ``host_hits`` at 20 iterations ≈ 6 stages/iter).  Depth grows with
+    ITERATION COUNT, not data size, so cutting the parent chain after
+    each materialize bounds it regardless of scale.  The mutation is a
+    best-effort touch of a pinned-version internal; the recursion-limit
+    floor below is the version-proof fallback.
+    """
+    out = ds.materialize()
+    try:
+        stats = out._plan._snapshot_stats
+        if stats is not None and stats.parents:
+            stats.parents = []
+    except Exception:
+        pass
+    if sys.getrecursionlimit() < 10_000:
+        sys.setrecursionlimit(10_000)
+    return out
 
 
 def cluster_cpus() -> int:

@@ -344,7 +344,8 @@ def host_pagerank(
             .to_arrow(),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ).materialize()
+        )
+        ranks = ops.materialize_cut(ranks)
 
     return ranks.map_batches(
         lambda b: pl.from_arrow(b)
@@ -424,12 +425,14 @@ def host_hits(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        sums = hash_aggregate(
-            pushed,
-            ["host"],
-            combine=[pl.col("push").sum().alias("push")],
-            merge=[pl.col("push").sum()],
-        ).materialize()
+        sums = ops.materialize_cut(
+            hash_aggregate(
+                pushed,
+                ["host"],
+                combine=[pl.col("push").sum().alias("push")],
+                merge=[pl.col("push").sum()],
+            )
+        )
         sumsq = (
             sums.map_batches(
                 lambda b: pl.from_arrow(b).select((pl.col("push") ** 2).alias("sq")).to_arrow(),
@@ -439,16 +442,18 @@ def host_hits(
             or 0.0
         )
         norm = sumsq ** 0.5 if sumsq > 0 else 1.0
-        return tagged_union_join(
-            all_hosts, sums, "host", "host", how="left",
-            left_schema=hosts_schema, right_schema=sums_schema,
-        ).map_batches(
-            lambda b, norm=norm: pl.from_arrow(b)
-            .select("host", (pl.col("push").fill_null(0.0) / norm).alias("score"))
-            .to_arrow(),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).materialize()
+        return ops.materialize_cut(
+            tagged_union_join(
+                all_hosts, sums, "host", "host", how="left",
+                left_schema=hosts_schema, right_schema=sums_schema,
+            ).map_batches(
+                lambda b, norm=norm: pl.from_arrow(b)
+                .select("host", (pl.col("push").fill_null(0.0) / norm).alias("score"))
+                .to_arrow(),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
 
     for _ in range(iters):
         auths = _half_step(hubs, "source_host", "target_host")
@@ -1092,7 +1097,7 @@ def host_kcore(
             .to_arrow(),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        new_labels = hash_group_apply(nbr_vals, ["host"], hindex).materialize()
+        new_labels = ops.materialize_cut(hash_group_apply(nbr_vals, ["host"], hindex))
 
         changed = tagged_union_join(
             labels,

@@ -1788,12 +1788,14 @@ def near_dup_survivors(
             ).to_arrow()
 
         prop = with_lab.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
-        new_labels = hash_aggregate(
-            prop.union(labels),
-            ["doc_id"],
-            combine=[pl.col("label").min().alias("label")],
-            merge=[pl.col("label").min()],
-        ).materialize()
+        new_labels = ops.materialize_cut(
+            hash_aggregate(
+                prop.union(labels),
+                ["doc_id"],
+                combine=[pl.col("label").min().alias("label")],
+                merge=[pl.col("label").min()],
+            )
+        )
         # converged when no label changed — the label-sum is strictly
         # decreasing under min-propagation until fixpoint; ONE
         # distributed scalar aggregate per iteration (the previous
@@ -2500,6 +2502,51 @@ def dataset_split(sf_dir: str) -> rd.Dataset:
 
     return documents_dataset(sf_dir, columns=["doc_id"]).map_batches(
         split, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def compression_ratio(sf_dir: str, flag_below: float = 0.35) -> rd.Dataset:
+    """Per-document zlib compressibility — the classic cheap quality
+    signal for web-text curation (used by C4/RefinedWeb-style cleaning
+    stacks: text that compresses extremely well is boilerplate or
+    machine-generated repetition; text that barely compresses is often
+    binary junk or high-entropy noise).
+
+    Per doc: ``ratio = len(zlib.compress(utf8, level=6)) / n_bytes``
+    (exact int/int division, so any reimplementation reproduces the
+    double bit-identically), plus a ``low_entropy_flagged`` bool at
+    ``ratio < flag_below``.  zlib level 6 is pinned — compressed SIZE
+    for a fixed level/strategy is stable across CPython builds of the
+    same zlib, and the pytest oracle recomputes it directly.
+
+    Entirely per-document (zlib is C; the per-row loop is the codec
+    call itself, like ``dataset_split``'s md5), no state, no shuffle —
+    linear in corpus bytes and embarrassingly parallel at 100 TB.
+    DuckDB has no zlib, so this is a pytest-oracled (rows-only driver)
+    query like the sketch family.
+    """
+    import zlib
+
+    def run(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = [t.encode("utf-8") for t in texts]
+        n_bytes = [len(b) for b in raw]
+        n_comp = [len(zlib.compress(b, 6)) for b in raw]
+        ratio = [c / n if n else 1.0 for c, n in zip(n_comp, n_bytes)]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "n_compressed": pa.array(n_comp, pa.int64()),
+                "compression_ratio": pa.array(ratio, pa.float64()),
+                "low_entropy_flagged": pa.array(
+                    [r < flag_below for r in ratio], pa.bool_()
+                ),
+            }
+        )
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": textdata.token_stats,
         "token_stats_bpe": textdata.token_stats_bpe,
         "doc_quality": textdata.doc_quality,
+        "compression_ratio": textdata.compression_ratio,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
         "ccnet_buckets": textdata.ccnet_buckets,

@@ -87,6 +87,30 @@ class TestTextAnalysis:
         b = textdata.fingerprints(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
 
+    def test_compression_ratio_matches_direct_zlib(self):
+        """Pytest oracle: recompute zlib(level 6) sizes directly from
+        the parquet and require bit-identical ratios (the int/int
+        division leaves no float ambiguity)."""
+        import zlib
+
+        import pandas as pd
+
+        out = (
+            textdata.compression_ratio(SF)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        assert len(out) == len(docs)
+        for _, row in docs.iterrows():
+            raw = row["text"].encode("utf-8")
+            got = out.loc[row["doc_id"]]
+            assert got["n_bytes"] == len(raw)
+            assert got["n_compressed"] == len(zlib.compress(raw, 6))
+            assert got["compression_ratio"] == len(zlib.compress(raw, 6)) / len(raw)
+        assert (out["low_entropy_flagged"] == (out["compression_ratio"] < 0.35)).all()
+
     def test_lang_id_returns_known_codes(self):
         out = textdata.lang_id_docs(SF).to_pandas()
         assert len(out) == 500
