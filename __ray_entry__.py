@@ -152,7 +152,13 @@ def entry() -> Any:
 #                                in-window via revenue_by_nation's join
 #                                family) + events_by_day (same
 #                                ts/value_cents decode)
+#   mixture_sample            -> dataset_split (the IDENTICAL portable
+#                                md5 16-bit bucket discipline) +
+#                                token_stats (same pruned scan + word
+#                                split); the per-source threshold is
+#                                closed-form over those two
 _YIELD_WINDOW_SLOT = (
+    "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
     "host_clustering",
@@ -1318,6 +1324,23 @@ SELECT doc_id, bucket::BIGINT AS bucket,
        CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM b""",
+        "mixture_sample": """
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)::BIGINT
+           AS bucket
+  FROM documents),
+s AS (SELECT source, sum(n_tokens)::BIGINT AS tok FROM d GROUP BY source),
+w AS (SELECT source, tok, floor(sqrt(tok::DOUBLE) * 1000000.0)::BIGINT AS w FROM s),
+g AS (SELECT sum(w)::BIGINT AS denom, sum(tok)::BIGINT // 2 AS budget FROM w),
+t AS (
+  SELECT source,
+         floor(least(1.0, ((budget::DOUBLE * w::DOUBLE) / denom::DOUBLE)
+                          / tok::DOUBLE) * 65536.0)::BIGINT AS thr
+  FROM w, g)
+SELECT d.doc_id, d.source, d.n_tokens, d.bucket, (d.bucket < t.thr) AS keep
+FROM d JOIN t USING (source)""",
         "domain_balanced_sample": """
 SELECT doc_id, source, n_chars FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 5""",

@@ -2550,6 +2550,83 @@ def compression_ratio(sf_dir: str, flag_below: float = 0.35) -> rd.Dataset:
     )
 
 
+def mixture_sample(sf_dir: str) -> rd.Dataset:
+    """Source-mixture token budgeting — the static data-mixing step of
+    a training-data pipeline (Pile-style domain weights / DoReMi-lite
+    with fixed α): re-weight sources by tokens^α (α = 0.5, the classic
+    smoothing that up-samples small high-value sources and down-samples
+    the web dump), allocate a global token budget across sources, and
+    select documents deterministically so every engine agrees on the
+    exact member set.
+
+    Plan (all closed-form, DuckDB-oracle-exact):
+      1. one pruned text scan → (doc_id, source, n_tokens, bucket)
+         where bucket is the portable md5 16-bit bucket of
+         ``dataset_split``;
+      2. per-source token totals via hash_aggregate (#sources rows —
+         the ONLY thing the driver ever sees; bounded by the source
+         vocabulary, not the corpus);
+      3. driver closed forms in integer micro-units to stay order-free:
+         w_s = floor(sqrt(tok_s)·10⁶) (sqrt is IEEE-correctly-rounded,
+         so bit-identical everywhere), denom = Σ w_s (exact int),
+         budget = Σ tok_s // 2, rate_s = min(1, ((budget·w_s)/denom)/
+         tok_s) with pinned float op order, thr_s = floor(rate·65536);
+      4. keep = bucket < thr_s mapped over the stage-1 table (text is
+         NOT re-read).
+    The expected kept-token mass per source is budget·w_s/denom — the
+    α-mixture — while selection stays per-document i.i.d.-like and
+    reproducible (same doc set at any cluster size or batch layout).
+    """
+    import hashlib
+    import math
+
+    def stats(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = df.select(
+            "doc_id",
+            "source",
+            pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("n_tokens"),
+        )
+        bucket = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+            for d in out["doc_id"].to_list()
+        ]
+        return out.with_columns(pl.Series("bucket", bucket, dtype=pl.Int64)).to_arrow()
+
+    base = ops.materialize_cut(
+        documents_dataset(sf_dir, ["doc_id", "source", "text"]).map_batches(
+            stats, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    per_source = ops.hash_aggregate(
+        base,
+        ["source"],
+        combine=[pl.col("n_tokens").sum().alias("tok")],
+        merge=[pl.col("tok").sum()],
+    ).to_pandas()  # bounded: one row per SOURCE, not per doc
+
+    w = {r.source: math.floor(math.sqrt(float(r.tok)) * 1_000_000.0) for r in per_source.itertuples()}
+    tok = {r.source: int(r.tok) for r in per_source.itertuples()}
+    denom = sum(w.values())
+    budget = sum(tok.values()) // 2
+    thr = {
+        s: math.floor(
+            min(1.0, ((float(budget) * float(w[s])) / float(denom)) / float(tok[s]))
+            * 65536.0
+        )
+        for s in w
+    }
+
+    def select(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.with_columns(
+            (pl.col("bucket") < pl.col("source").replace_strict(thr, return_dtype=pl.Int64))
+            .alias("keep")
+        ).to_arrow()
+
+    return base.map_batches(select, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- int8 embedding quantization (scale-path storage) ---------------------
 
 def embedding_quantize(sf_dir: str) -> rd.Dataset:

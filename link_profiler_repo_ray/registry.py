@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_ngrams": textdata.contamination_ngrams,
         "sequence_packing": textdata.sequence_packing,
         "dataset_split": textdata.dataset_split,
+        "mixture_sample": textdata.mixture_sample,
         "curated_documents": curate.curated_documents,
         # relational breadth
         "q1_lineitem": relational.q1_lineitem,

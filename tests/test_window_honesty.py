@@ -58,6 +58,7 @@ SIBLINGS = {
     "event_funnel": "sessionize",
     "cohort_retention": "sessionize",
     "inverted_index": "vocab_top_tokens",
+    "mixture_sample": "dataset_split",
 }
 
 
