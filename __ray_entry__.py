@@ -157,7 +157,19 @@ def entry() -> Any:
 #                                token_stats (same pruned scan + word
 #                                split); the per-source threshold is
 #                                closed-form over those two
+#   token_entropy             -> token_stats (same pruned scan + word
+#                                split) + tfidf_top_terms (same
+#                                per-(doc, token) tf exchange); the
+#                                micro-nat quantization is the
+#                                hash-checked integer-sum discipline
+#   source_kl_divergence      -> token_stats (same pruned scan + word
+#                                split) + vocab_top_tokens (same
+#                                token-keyed exchange); same micro-nat
+#                                integer-sum discipline as
+#                                token_entropy
 _YIELD_WINDOW_SLOT = (
+    "token_entropy",
+    "source_kl_divergence",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -942,6 +954,51 @@ SELECT doc_id,
        len(string_split(text, ' '))::BIGINT AS n_tokens,
        len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens
 FROM documents""",
+        # per-term p·ln(p) quantized to integer micro-nats (floor(x·−1e6 + .5))
+        # exactly as pipelines/textdata.py:token_entropy does, so the per-doc
+        # sum is an order-free integer and the nats column one int→double div
+        "token_entropy": """
+WITH tf AS (
+  SELECT doc_id, w, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2),
+tot AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct_tokens
+  FROM tf GROUP BY doc_id),
+e AS (
+  SELECT tf.doc_id,
+         sum(CAST(floor(
+           (CAST(tf.c AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE))
+             * ln(CAST(tf.c AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE))
+             * -1000000.0 + 0.5) AS BIGINT))::BIGINT AS entropy_micro
+  FROM tf JOIN tot USING (doc_id) GROUP BY tf.doc_id)
+SELECT tot.doc_id, tot.n_tokens, tot.n_distinct_tokens, e.entropy_micro,
+       CAST(e.entropy_micro AS DOUBLE) / 1000000.0 AS entropy_nats
+FROM tot JOIN e USING (doc_id)""",
+        # KL term p_s·ln(p_s/p) per (source, token), quantized to integer
+        # micro-nats exactly as pipelines/textdata.py:source_kl_divergence
+        # (pyarrow true division / ln — same libm as DuckDB)
+        "source_kl_divergence": """
+WITH tf AS (
+  SELECT source, w, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2),
+srctot AS (
+  SELECT source, sum(c)::BIGINT AS ns, count(*)::BIGINT AS nd FROM tf GROUP BY source),
+corpus AS (SELECT w, sum(c)::BIGINT AS cw FROM tf GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM tf),
+terms AS (
+  SELECT tf.source,
+         CAST(floor(
+           (CAST(tf.c AS DOUBLE) / CAST(srctot.ns AS DOUBLE))
+             * ln((CAST(tf.c AS DOUBLE) / CAST(srctot.ns AS DOUBLE))
+                  / (CAST(corpus.cw AS DOUBLE) / tot.n))
+             * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM tf JOIN srctot USING (source) JOIN corpus USING (w) CROSS JOIN tot),
+e AS (SELECT source, sum(term)::BIGINT AS kl_micro FROM terms GROUP BY source)
+SELECT srctot.source, srctot.ns AS n_tokens, srctot.nd AS n_distinct_tokens,
+       e.kl_micro, CAST(e.kl_micro AS DOUBLE) / 1000000.0 AS kl_nats
+FROM srctot JOIN e USING (source)""",
         "token_stats_bpe": r"""
 SELECT doc_id,
        len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS n_bpe_tokens

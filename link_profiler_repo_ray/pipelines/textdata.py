@@ -19,6 +19,7 @@ import os
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -2548,6 +2549,152 @@ def compression_ratio(sf_dir: str, flag_below: float = 0.35) -> rd.Dataset:
     return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def token_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-document Shannon entropy of the word distribution — the
+    lexical-diversity quality signal (low entropy = template/keyword
+    stuffing, high entropy near ln(n_tokens) = natural prose), sibling
+    to :func:`compression_ratio`'s codec view of the same property.
+
+    Entirely per-document, so the whole computation lives inside one
+    ``map_batches`` (explode → per-(doc, token) counts → per-term
+    p·ln(p)) with ZERO exchanges — linear in corpus tokens.  Each term
+    is quantized to integer micro-nats, ``floor(p·ln(p)·−10⁶ + 0.5)``
+    (polars' f64 ln is bit-identical to DuckDB's — pinned by the
+    tfidf oracle), so the per-doc sum is an exact order-free integer
+    and the final nats column is one int→double division.
+    """
+
+    def run(batch: pa.Table) -> pa.Table:
+        c = (
+            pl.from_arrow(batch)
+            .select("doc_id", pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .group_by(["doc_id", "w"])
+            .len("c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .with_columns(
+                n=pl.col("c").sum().over("doc_id").cast(pl.Int64),
+                n_distinct=pl.len().over("doc_id").cast(pl.Int64),
+            )
+        )
+        p = pl.col("c").cast(pl.Float64) / pl.col("n").cast(pl.Float64)
+        out = (
+            c.with_columns(term=(p * p.log() * -1000000.0 + 0.5).floor().cast(pl.Int64))
+            .group_by("doc_id")
+            .agg(
+                pl.col("n").first().alias("n_tokens"),
+                pl.col("n_distinct").first().alias("n_distinct_tokens"),
+                pl.col("term").sum().alias("entropy_micro"),
+            )
+            .to_arrow()
+        )
+        # the nats column via pyarrow true division — polars rewrites
+        # /const into *reciprocal (last-bit divergence from SQL's /)
+        nats = pc.divide(pc.cast(out.column("entropy_micro"), pa.float64()), 1000000.0)
+        return out.append_column("entropy_nats", nats)
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def source_kl_divergence(sf_dir: str) -> rd.Dataset:
+    """Per-source unigram KL divergence against the whole-corpus token
+    distribution — the domain-shift signal data-mixing methods weight
+    by (DoReMi's excess-loss proxy, DSIR's importance-weight numerator;
+    complements :func:`mixture_sample`'s static budgets with a measured
+    distance per source).
+
+    ONE token-keyed exchange does all the heavy lifting: per-batch
+    partial ``(source, token)`` counts route by ``hash(token)``
+    (``ops.hash_group_apply``), so each partition holds every row of
+    its tokens and attaches the corpus count ``cw`` with a window sum —
+    no second shuffle, no vocab-wide join.  Per-source totals are the
+    only driver-side values (20 rows; PageRank's dangling-mass
+    pattern).  Each KL term ``p_s·ln(p_s/p)`` is computed with
+    pyarrow kernels (true IEEE division — polars rewrites ``/const``
+    into ``*reciprocal``, off by one ulp from SQL) and quantized to
+    integer micro-nats ``floor(x·1e6 + 0.5)``, so the per-source sum
+    is an exact order-free integer, bit-identical to the DuckDB
+    oracle; ``kl_nats`` is one int→double division.
+    """
+    tf_parts = documents_dataset(sf_dir, ["source", "text"]).map_batches(
+        lambda b: pl.from_arrow(b)
+        .select("source", pl.col("text").str.split(" ").alias("w"))
+        .explode("w")
+        .group_by("source", "w")
+        .len("c")
+        .with_columns(pl.col("c").cast(pl.Int64))
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def merge_attach(df: pl.DataFrame) -> pl.DataFrame:
+        out = df.group_by("source", "w").agg(pl.col("c").sum())
+        return out.with_columns(cw=pl.col("c").sum().over("w"))
+
+    tf = hash_group_apply(tf_parts, ["w"], merge_attach).materialize()
+
+    totals = (
+        pl.from_arrow(
+            pa.concat_tables(
+                ray.get(
+                    tf.map_batches(
+                        lambda b: pl.from_arrow(b)
+                        .group_by("source")
+                        .agg(pl.col("c").sum())
+                        .to_arrow(),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    ).to_arrow_refs()
+                )
+            )
+        )
+        .group_by("source")
+        .agg(pl.col("c").sum())
+    )
+    ns_df = totals.rename({"c": "ns"})
+    n_total = float(ns_df["ns"].sum())
+
+    def term_stage(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch).join(ns_df, on="source", how="inner").to_arrow()
+        ps = pc.divide(pc.cast(t.column("c"), pa.float64()), pc.cast(t.column("ns"), pa.float64()))
+        pw = pc.divide(pc.cast(t.column("cw"), pa.float64()), n_total)
+        term_f = pc.add(pc.multiply(pc.multiply(ps, pc.ln(pc.divide(ps, pw))), 1000000.0), 0.5)
+        return (
+            pl.from_arrow(t.append_column("term", pc.cast(pc.floor(term_f), pa.int64())))
+            .group_by("source")
+            .agg(
+                pl.col("c").sum().alias("n_tokens"),
+                pl.len().cast(pl.Int64).alias("n_distinct_tokens"),
+                pl.col("term").sum().alias("kl_micro"),
+            )
+            .to_arrow()
+        )
+
+    agg = hash_aggregate(
+        tf.map_batches(term_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        combine=[
+            pl.col("n_tokens").sum(),
+            pl.col("n_distinct_tokens").sum(),
+            pl.col("kl_micro").sum(),
+        ],
+        merge=[
+            pl.col("n_tokens").sum(),
+            pl.col("n_distinct_tokens").sum(),
+            pl.col("kl_micro").sum(),
+        ],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nats = pc.divide(pc.cast(batch.column("kl_micro"), pa.float64()), 1000000.0)
+        return batch.append_column("kl_nats", nats)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def mixture_sample(sf_dir: str) -> rd.Dataset:

@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_bpe": textdata.token_stats_bpe,
         "doc_quality": textdata.doc_quality,
         "compression_ratio": textdata.compression_ratio,
+        "token_entropy": textdata.token_entropy,
+        "source_kl_divergence": textdata.source_kl_divergence,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
         "ccnet_buckets": textdata.ccnet_buckets,

@@ -111,6 +111,45 @@ class TestTextAnalysis:
             assert got["compression_ratio"] == len(zlib.compress(raw, 6)) / len(raw)
         assert (out["low_entropy_flagged"] == (out["compression_ratio"] < 0.35)).all()
 
+    def test_token_entropy_matches_direct_counter(self):
+        """Pytest oracle: recompute Shannon entropy per doc from a
+        collections.Counter with the same micro-nat quantization, and
+        check the ln(n) upper / 0 lower bounds."""
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        out = textdata.token_entropy(SF).to_pandas().set_index("doc_id").sort_index()
+        docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        assert len(out) == len(docs)
+        for _, row in docs.iterrows():
+            counts = Counter(row["text"].split(" "))
+            n = sum(counts.values())
+            micro = sum(
+                math.floor((c / n) * math.log(c / n) * -1000000.0 + 0.5)
+                for c in counts.values()
+            )
+            got = out.loc[row["doc_id"]]
+            assert got["n_tokens"] == n
+            assert got["n_distinct_tokens"] == len(counts)
+            assert got["entropy_micro"] == micro
+            # each term's round-half-up adds at most +0.5 micro-nats
+            assert 0 <= got["entropy_nats"] <= math.log(n) + len(counts) * 0.5e-6 + 1e-9
+
+    def test_source_kl_divergence_properties(self):
+        """Gibbs' inequality: KL ≥ 0 (up to ±0.5 micro-nat/term
+        quantization), and token totals reconcile with the corpus."""
+        import pandas as pd
+
+        out = textdata.source_kl_divergence(SF).to_pandas()
+        docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "text"])
+        assert set(out["source"]) == set(docs["source"])
+        n_corpus = sum(len(t.split(" ")) for t in docs["text"])
+        assert out["n_tokens"].sum() == n_corpus
+        slack = out["n_distinct_tokens"] * 0.5e-6
+        assert (out["kl_nats"] >= -slack).all()
+
     def test_lang_id_returns_known_codes(self):
         out = textdata.lang_id_docs(SF).to_pandas()
         assert len(out) == 500

@@ -59,6 +59,8 @@ SIBLINGS = {
     "cohort_retention": "sessionize",
     "inverted_index": "vocab_top_tokens",
     "mixture_sample": "dataset_split",
+    "token_entropy": "token_stats",
+    "source_kl_divergence": "token_stats",
 }
 
 
