@@ -167,9 +167,16 @@ def entry() -> Any:
 #                                token-keyed exchange); same micro-nat
 #                                integer-sum discipline as
 #                                token_entropy
+#   line_dedup                -> c4_filters' in-window siblings
+#                                (token_stats scan + the same planted
+#                                line decorator, whose metrics
+#                                c4_filters oracle-pins arithmetically)
+#                                + dedup_exact (the keep-first-
+#                                occurrence family)
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
+    "line_dedup",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -999,6 +1006,38 @@ e AS (SELECT source, sum(term)::BIGINT AS kl_micro FROM terms GROUP BY source)
 SELECT srctot.source, srctot.ns AS n_tokens, srctot.nd AS n_distinct_tokens,
        e.kl_micro, CAST(e.kl_micro AS DOUBLE) / 1000000.0 AS kl_nats
 FROM srctot JOIN e USING (source)""",
+        # same planted line decorator as c4_filters (pipelines/textdata.py);
+        # keep = corpus-first occurrence by encoded (doc_id, line_id) key
+        "line_dedup": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, 5 + doc_id % 7 AS L FROM documents),
+body AS (
+  SELECT doc_id, i AS line_id,
+         array_to_string(ws[i*L+1 : i*L+L], ' ')
+           || CASE WHEN (i + doc_id) % 4 != 0 THEN '.' ELSE '' END AS line
+  FROM (SELECT doc_id, ws, L, unnest(range(0, (len(ws) + L - 1) // L)) AS i FROM w)),
+marks AS (
+  SELECT doc_id, (len(ws) + L - 1) // L AS base,
+         doc_id % 97 = 13 AS lorem, doc_id % 89 = 7 AS brace
+  FROM w),
+occ AS (
+  SELECT doc_id, line_id, line FROM body
+  UNION ALL
+  SELECT doc_id, base AS line_id, 'lorem ipsum dolor sit amet.' AS line
+  FROM marks WHERE lorem
+  UNION ALL
+  SELECT doc_id, base + CASE WHEN lorem THEN 1 ELSE 0 END AS line_id,
+         'function() { return 0; }' AS line
+  FROM marks WHERE brace),
+k AS (
+  SELECT doc_id,
+         (doc_id * 4294967296 + line_id)
+           = min(doc_id * 4294967296 + line_id) OVER (PARTITION BY line) AS keep
+  FROM occ)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept_lines,
+       (count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END))::BIGINT AS n_dropped_lines
+FROM k GROUP BY doc_id""",
         "token_stats_bpe": r"""
 SELECT doc_id,
        len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS n_bpe_tokens

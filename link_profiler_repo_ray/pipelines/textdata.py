@@ -2600,6 +2600,102 @@ def token_entropy(sf_dir: str) -> rd.Dataset:
     )
 
 
+def line_dedup(sf_dir: str) -> rd.Dataset:
+    """CCNet/RefinedWeb-style cross-document line deduplication
+    accounting (Wenzek et al. 2020 §4.2 dedups paragraph hashes across
+    shards; Penedo et al. 2023 reports the kept/dropped line fractions
+    this computes).  An occurrence of a line is KEPT iff it is the
+    corpus-first occurrence — minimum ``(doc_id, line_id)`` over every
+    occurrence of the identical line text — so repeated boilerplate
+    keeps exactly one copy.
+
+    The testdata corpus is bare space-separated words, so the line
+    structure is planted closed-form first, identically to
+    :func:`c4_filters` (lines of ``5 + doc_id % 7`` words, period iff
+    ``(line_id + doc_id) % 4 != 0``, lorem/brace marker lines — the
+    markers ARE the cross-document duplicates).  Two exchanges: line
+    occurrences route by ``hash(line)`` (every occurrence of a line in
+    one partition; the keep flag is a window-min over an encoded
+    ``doc_id·2³² + line_id`` key), then only per-doc COUNT partials
+    re-key by doc_id.  At web scale the first exchange would carry a
+    128-bit line hash instead of the text (the crawl's hash+collision-
+    guard discipline); here the raw line keeps the oracle exact.
+    """
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        occ = (
+            df.select(
+                "doc_id",
+                pl.col("text").str.split(" ").alias("ws"),
+                (5 + pl.col("doc_id") % 7).alias("L"),
+            )
+            .explode("ws")
+            .with_columns(idx=pl.int_range(pl.len()).over("doc_id"))
+            .with_columns(line_id=(pl.col("idx") // pl.col("L")).cast(pl.Int64))
+            .group_by(["doc_id", "line_id"], maintain_order=True)
+            .agg(pl.col("ws").str.join(" ").alias("line"))
+            .with_columns(
+                line=pl.when((pl.col("line_id") + pl.col("doc_id")) % 4 != 0)
+                .then(pl.col("line") + ".")
+                .otherwise(pl.col("line"))
+            )
+            .select("doc_id", "line_id", "line")
+        )
+        base = df.select(
+            "doc_id",
+            (5 + pl.col("doc_id") % 7).alias("L"),
+            pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("nw"),
+        ).with_columns(base=(pl.col("nw") + pl.col("L") - 1) // pl.col("L"))
+        lor = base.filter(pl.col("doc_id") % 97 == 13).select(
+            "doc_id",
+            pl.col("base").alias("line_id"),
+            pl.lit("lorem ipsum dolor sit amet.").alias("line"),
+        )
+        bra = (
+            base.with_columns(off=(pl.col("doc_id") % 97 == 13).cast(pl.Int64))
+            .filter(pl.col("doc_id") % 89 == 7)
+            .select(
+                "doc_id",
+                (pl.col("base") + pl.col("off")).alias("line_id"),
+                pl.lit("function() { return 0; }").alias("line"),
+            )
+        )
+        return pl.concat([occ, lor, bra]).to_arrow()
+
+    occ = documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        occurrences, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def keep_and_count(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.with_columns(key=pl.col("doc_id") * 4294967296 + pl.col("line_id"))
+            .with_columns(keep=pl.col("key") == pl.col("key").min().over("line"))
+            .group_by("doc_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_lines"),
+                pl.col("keep").sum().cast(pl.Int64).alias("n_kept_lines"),
+            )
+        )
+
+    counted = hash_group_apply(occ, ["line"], keep_and_count)
+    agg = hash_aggregate(
+        counted,
+        ["doc_id"],
+        combine=[pl.col("n_lines").sum(), pl.col("n_kept_lines").sum()],
+        merge=[pl.col("n_lines").sum(), pl.col("n_kept_lines").sum()],
+    )
+    return agg.map_batches(
+        lambda t: pl.from_arrow(t)
+        .with_columns(
+            n_dropped_lines=(pl.col("n_lines") - pl.col("n_kept_lines")).cast(pl.Int64)
+        )
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def source_kl_divergence(sf_dir: str) -> rd.Dataset:
     """Per-source unigram KL divergence against the whole-corpus token
     distribution — the domain-shift signal data-mixing methods weight

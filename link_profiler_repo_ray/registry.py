@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": textdata.compression_ratio,
         "token_entropy": textdata.token_entropy,
         "source_kl_divergence": textdata.source_kl_divergence,
+        "line_dedup": textdata.line_dedup,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
         "ccnet_buckets": textdata.ccnet_buckets,

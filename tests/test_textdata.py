@@ -150,6 +150,23 @@ class TestTextAnalysis:
         slack = out["n_distinct_tokens"] * 0.5e-6
         assert (out["kl_nats"] >= -slack).all()
 
+    def test_line_dedup_drops_planted_boilerplate(self):
+        """The lorem/brace marker lines are identical across their
+        docs, so every marked doc except the corpus-first keeps one
+        fewer line; kept totals must equal distinct line count."""
+        import pandas as pd
+
+        out = textdata.line_dedup(SF).to_pandas().set_index("doc_id").sort_index()
+        docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        assert len(out) == len(docs)
+        lorem_ids = sorted(d for d in docs["doc_id"] if d % 97 == 13)
+        assert len(lorem_ids) >= 2
+        assert out.loc[lorem_ids[0], "n_dropped_lines"] == 0
+        for d in lorem_ids[1:]:
+            assert out.loc[d, "n_dropped_lines"] >= 1
+        assert (out["n_kept_lines"] + out["n_dropped_lines"] == out["n_lines"]).all()
+        assert (out["n_kept_lines"] >= 1).all()
+
     def test_lang_id_returns_known_codes(self):
         out = textdata.lang_id_docs(SF).to_pandas()
         assert len(out) == 500

@@ -61,6 +61,7 @@ SIBLINGS = {
     "mixture_sample": "dataset_split",
     "token_entropy": "token_stats",
     "source_kl_divergence": "token_stats",
+    "line_dedup": "token_stats",
 }
 
 
