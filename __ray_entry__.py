@@ -173,10 +173,15 @@ def entry() -> Any:
 #                                c4_filters oracle-pins arithmetically)
 #                                + dedup_exact (the keep-first-
 #                                occurrence family)
+#   events_rolling_window     -> sessionize (the IDENTICAL user-keyed
+#                                events exchange + in-partition ordered
+#                                window logic) + events_by_day (same
+#                                ts/value_cents decode family)
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
     "line_dedup",
+    "events_rolling_window",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -1367,6 +1372,16 @@ s AS (SELECT user_id, event_id, ts,
       FROM e)
 SELECT user_id, session_id, count(*)::BIGINT AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
 FROM s GROUP BY 1, 2""",
+        # RANGE frame peers-inclusive — polars rolling(closed="both") parity
+        "events_rolling_window": """
+WITH e AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events)
+SELECT DISTINCT user_id, ts,
+       count(*) OVER w AS n_events_7d,
+       CAST(sum(vc) OVER w AS BIGINT) AS sum_value_cents_7d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)""",
         "events_asof_join": """
 WITH s AS (
   SELECT user_id, ts, max(event_id) AS signup_event_id

@@ -232,6 +232,46 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     )
 
 
+def events_rolling_window(sf_dir: str, days: int = 7) -> rd.Dataset:
+    """Per-user sliding time-window aggregate: for every distinct
+    ``(user_id, ts)``, the event count and value-cents sum over the
+    trailing ``days``-day window ``[ts − days, ts]`` — the RANGE-frame
+    window-function family (`sessionize` is the gap flavor,
+    `events_hopping_window` the aligned-bucket flavor; this is the
+    per-entity trailing-total a fraud/velocity rule evaluates).
+
+    ONE hash exchange keyed user_id; the pre-combiner collapses each
+    block to per-(user, ts) integer partials so only (user, ts, n,
+    cents) rows move.  Inside a partition, polars ``rolling`` with
+    ``closed="both"`` reproduces SQL ``RANGE BETWEEN INTERVAL n DAY
+    PRECEDING AND CURRENT ROW`` exactly, peers included (parity pinned
+    in the oracle); sums are integer cents, so no float drift.
+    """
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.with_columns(vc=(pl.col("value") * 100 + 0.5).floor().cast(pl.Int64))
+            .group_by(["user_id", "ts"])
+            .agg(pl.len().cast(pl.Int64).alias("n"), pl.col("vc").sum().alias("vc"))
+        )
+
+    def roll(df: pl.DataFrame) -> pl.DataFrame:
+        merged = (
+            df.group_by(["user_id", "ts"])
+            .agg(pl.col("n").sum(), pl.col("vc").sum())
+            .sort(["user_id", "ts"])
+        )
+        return merged.rolling(
+            index_column="ts", period=f"{days}d", closed="both", group_by="user_id"
+        ).agg(
+            pl.col("n").sum().alias("n_events_7d"),
+            pl.col("vc").sum().alias("sum_value_cents_7d"),
+        )
+
+    return hash_group_apply(ev, ["user_id"], roll, pre=pre)
+
+
 def event_funnel(
     sf_dir: str, steps: tuple[str, ...] = ("view", "click", "purchase")
 ) -> rd.Dataset:

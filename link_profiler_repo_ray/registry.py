@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "event_funnel": relational.event_funnel,
         "cohort_retention": relational.cohort_retention,
+        "events_rolling_window": relational.events_rolling_window,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
         "value_percentiles": relational.value_percentiles,

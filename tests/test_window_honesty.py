@@ -62,6 +62,7 @@ SIBLINGS = {
     "token_entropy": "token_stats",
     "source_kl_divergence": "token_stats",
     "line_dedup": "token_stats",
+    "events_rolling_window": "sessionize",
 }
 
 
