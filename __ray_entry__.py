@@ -177,11 +177,16 @@ def entry() -> Any:
 #                                events exchange + in-partition ordered
 #                                window logic) + events_by_day (same
 #                                ts/value_cents decode family)
+#   chunk_documents           -> token_stats (same pruned scan + word
+#                                split) + text_extract (same exact
+#                                string-slice discipline over the
+#                                documents scan)
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
     "line_dedup",
     "events_rolling_window",
+    "chunk_documents",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -1011,6 +1016,16 @@ e AS (SELECT source, sum(term)::BIGINT AS kl_micro FROM terms GROUP BY source)
 SELECT srctot.source, srctot.ns AS n_tokens, srctot.nd AS n_distinct_tokens,
        e.kl_micro, CAST(e.kl_micro AS DOUBLE) / 1000000.0 AS kl_nats
 FROM srctot JOIN e USING (source)""",
+        # chunk i starts at i*96, carries up to 128 tokens (overlap 32)
+        "chunk_documents": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, ws, unnest(range(0, len(ws), 96)) AS s FROM w)
+SELECT doc_id,
+       (s // 96)::BIGINT AS chunk_id,
+       s::BIGINT AS start_token,
+       (least(s + 128, len(ws)) - s)::BIGINT AS n_chunk_tokens,
+       array_to_string(ws[s+1 : least(s + 128, len(ws))], ' ') AS chunk_text
+FROM c""",
         # same planted line decorator as c4_filters (pipelines/textdata.py);
         # keep = corpus-first occurrence by encoded (doc_id, line_id) key
         "line_dedup": """

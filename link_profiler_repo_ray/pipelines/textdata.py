@@ -2600,6 +2600,48 @@ def token_entropy(sf_dir: str) -> rd.Dataset:
     )
 
 
+def chunk_documents(sf_dir: str, size: int = 128, stride: int = 96) -> rd.Dataset:
+    """Sliding-window token chunking — the context-window prep step
+    between a cleaned corpus and an embedding/trainer stage (each chunk
+    is what an encoder actually sees; :func:`sequence_packing` packs
+    whole docs, this SPLITS them).  Chunk ``i`` starts at token
+    ``i·stride`` (every start < n_tokens emits a chunk) and carries up
+    to ``size`` tokens, so consecutive chunks overlap by ``size −
+    stride`` tokens.
+
+    Entirely per-document — zero exchanges, embarrassingly parallel,
+    linear in corpus tokens; the natural downstream is an actor-pool
+    ``map_batches`` encoder over ``chunk_text``.  All columns are
+    integer arithmetic or exact string slices, so the DuckDB oracle
+    restates the rule verbatim.
+    """
+
+    def run(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select("doc_id", pl.col("text").str.split(" ").alias("ws"))
+            .with_columns(n=pl.col("ws").list.len().cast(pl.Int64))
+            .with_columns(s=pl.int_ranges(0, pl.col("n"), stride))
+            .explode("s")
+            .with_columns(end=pl.min_horizontal(pl.col("s") + size, pl.col("n")))
+            .select(
+                "doc_id",
+                (pl.col("s") // stride).cast(pl.Int64).alias("chunk_id"),
+                pl.col("s").cast(pl.Int64).alias("start_token"),
+                (pl.col("end") - pl.col("s")).cast(pl.Int64).alias("n_chunk_tokens"),
+                pl.col("ws")
+                .list.slice(pl.col("s"), pl.col("end") - pl.col("s"))
+                .list.join(" ")
+                .alias("chunk_text"),
+            )
+            .to_arrow()
+        )
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def line_dedup(sf_dir: str) -> rd.Dataset:
     """CCNet/RefinedWeb-style cross-document line deduplication
     accounting (Wenzek et al. 2020 §4.2 dedups paragraph hashes across

@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": textdata.token_entropy,
         "source_kl_divergence": textdata.source_kl_divergence,
         "line_dedup": textdata.line_dedup,
+        "chunk_documents": textdata.chunk_documents,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
         "ccnet_buckets": textdata.ccnet_buckets,

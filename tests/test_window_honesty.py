@@ -63,6 +63,7 @@ SIBLINGS = {
     "source_kl_divergence": "token_stats",
     "line_dedup": "token_stats",
     "events_rolling_window": "sessionize",
+    "chunk_documents": "token_stats",
 }
 
 
