@@ -48,6 +48,7 @@ __all__ = [
     "undirected_degrees",
     "referring_domains_exact",
     "referring_domains_hll",
+    "host_harmonic_centrality",
     "link_intersect",
     "link_velocity",
 ]
@@ -1323,4 +1324,230 @@ def link_velocity(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
         ["target_host", "day"],
         combine=[pl.len().cast(pl.Int64).alias("n_new_links")],
         merge=[pl.col("n_new_links").sum()],
+    )
+
+
+def _hll_estimate_rows(arr, m: int):
+    """Row-wise HyperLogLog estimate over an (n, m) uint8 register
+    matrix — HyperLogLog.estimate() vectorized across hosts, same
+    small-range linear-counting correction."""
+    import numpy as np
+
+    inv = np.power(2.0, -arr.astype(np.float64)).sum(axis=1)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / inv
+    zeros = (arr == 0).sum(axis=1)
+    lc = np.where(zeros > 0, m * np.log(m / np.maximum(zeros, 1)), e)
+    return np.where(e <= 2.5 * m, lc, e)
+
+
+def host_harmonic_centrality(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+    mode: str = "bitset",
+    p: int = 10,
+    max_iters: int = 64,
+) -> rd.Dataset:
+    """Harmonic centrality of every host — HyperBall (Boldi & Vigna
+    2013), THE neighborhood-function algorithm for web-scale graphs:
+    ``H(v) = Σ_{u≠v} 1/d(u→v)`` computed from the growing in-ball
+    ``ball_r(v) = ball_{r-1}(v) ∪ ⋃_{(u,v)∈E} ball_{r-1}(u)`` as
+    ``H(v) += (|ball_r| − |ball_{r-1}|)/r`` per round.
+
+    Two interchangeable counter families behind one iteration:
+
+    - ``mode="bitset"`` — EXACT: each host carries an n-bit bitmap
+      (one bit per host, id map broadcast once).  O(n²) bits total, so
+      this is the verification mode — the pytest oracle is per-node
+      BFS.  Ball union is a vectorized ``np.bitwise_or.reduceat``.
+    - ``mode="hll"`` — the 10^10-host scale path: 2^p one-byte
+      registers per host (HyperBall proper; the repo's
+      :class:`~..functions.sketches.HyperLogLog` discipline), union =
+      ``np.maximum.reduceat``, size estimates via the same
+      small-range-corrected formula.  No id map, no broadcast;
+      state is O(n·2^p) bytes sharded across partitions.
+
+    Per round: ONE partitioned join pushes each source's counter along
+    its out-edges, one host-keyed exchange merges contributions with
+    the previous state (counters only — host names and blobs, never
+    edges re-shuffled), and the only driver-side value is the integer
+    convergence delta (register/popcount mass is monotone, so delta==0
+    is exact).  Rounds = graph diameter; loud failure past
+    ``max_iters`` like the label-propagation family.
+    """
+    import numpy as np
+
+    from ..ops import tagged_union_join
+
+    if mode not in ("bitset", "hll"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    hg = host_graph(sf_dir, multiplier, edges=edges)
+    pairs = hg.map_batches(
+        lambda b: pl.from_arrow(b).select("source_host", "target_host").to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def hosts_of(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.concat(
+            [
+                df.select(pl.col("source_host").alias("host")),
+                df.select(pl.col("target_host").alias("host")),
+            ]
+        ).unique().to_arrow()
+
+    all_hosts = hash_group_apply(
+        pairs.map_batches(hosts_of, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        lambda df: df.unique(subset=["host"]),
+    ).materialize()
+
+    m = 1 << p
+    if mode == "bitset":
+        # exact/verification mode: O(n) id map on the driver by design
+        host_list = sorted(r["host"] for r in all_hosts.take_all())
+        hid = {h: i for i, h in enumerate(host_list)}
+        width = (len(host_list) + 7) // 8
+    else:
+        hid = None
+        width = m
+
+    def init_stage(batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        n = len(hosts)
+        arr = np.zeros((n, width), dtype=np.uint8)
+        if mode == "bitset":
+            ids = np.array([hid[h] for h in hosts], dtype=np.int64)
+            arr[np.arange(n), ids >> 3] = np.uint8(1) << (ids & 7).astype(np.uint8)
+            cnt = np.ones(n, dtype=np.float64)
+        else:
+            h = token_hashes(hosts)
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rest = (h << np.uint64(p)).astype(np.uint64)
+            rank = np.full(n, 64 - p + 1, dtype=np.uint8)
+            nz = rest != 0
+            if nz.any():
+                bl = np.zeros(int(nz.sum()), dtype=np.int64)
+                r = rest[nz]
+                for shift in (32, 16, 8, 4, 2, 1):
+                    ge = r >= (np.uint64(1) << np.uint64(shift))
+                    bl += np.where(ge, shift, 0)
+                    r = np.where(ge, r >> np.uint64(shift), r)
+                rank[nz] = np.minimum(64 - (bl + 1) + 1, 64 - p + 1)
+            arr[np.arange(n), idx] = rank
+            cnt = _hll_estimate_rows(arr, m)
+        mass = arr.sum(axis=1, dtype=np.int64) if mode == "hll" else None
+        if mode == "bitset":
+            mass = np.unpackbits(arr, axis=1).sum(axis=1, dtype=np.int64)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "blob": pa.array([row.tobytes() for row in arr], pa.binary()),
+                "mass": pa.array(mass, pa.int64()),
+                "cnt": pa.array(cnt, pa.float64()),
+                "harmonic": pa.array(np.zeros(n), pa.float64()),
+            }
+        )
+
+    state = ops.materialize_cut(
+        all_hosts.map_batches(init_stage, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    pairs_schema = pa.schema([("source_host", pa.string()), ("target_host", pa.string())])
+    state_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("blob", pa.binary()),
+            ("mass", pa.int64()),
+            ("cnt", pa.float64()),
+            ("harmonic", pa.float64()),
+        ]
+    )
+    blob_schema = pa.schema([("host", pa.string()), ("blob", pa.binary())])
+
+    union_ufunc = np.bitwise_or if mode == "bitset" else np.maximum
+
+    for it in range(1, max_iters + 1):
+
+        def merge_round(df: pl.DataFrame, r: int = it) -> pl.DataFrame:
+            df = df.sort("host")
+            hosts = df.get_column("host").to_numpy()
+            starts = np.flatnonzero(
+                np.concatenate(([True], hosts[1:] != hosts[:-1]))
+            )
+            arr = np.frombuffer(b"".join(df.get_column("blob").to_list()), dtype=np.uint8)
+            arr = arr.reshape(len(df), width)
+            merged = union_ufunc.reduceat(arr, starts, axis=0)
+            # exactly one state row per host carries the scalars;
+            # contribution rows are null → NaN under fmax
+            old_cnt = np.fmax.reduceat(
+                df.get_column("cnt").to_numpy().astype(np.float64), starts
+            )
+            old_mass = np.fmax.reduceat(
+                df.get_column("mass").cast(pl.Float64).to_numpy(), starts
+            ).astype(np.int64)
+            old_harm = np.fmax.reduceat(
+                df.get_column("harmonic").to_numpy().astype(np.float64), starts
+            )
+            if mode == "bitset":
+                new_mass = np.unpackbits(merged, axis=1).sum(axis=1, dtype=np.int64)
+                new_cnt = new_mass.astype(np.float64)
+            else:
+                new_mass = merged.sum(axis=1, dtype=np.int64)
+                new_cnt = _hll_estimate_rows(merged, m)
+            new_harm = old_harm + (new_cnt - old_cnt) / float(r)
+            return pl.DataFrame(
+                {
+                    "host": pl.Series(hosts[starts].tolist(), dtype=pl.String),
+                    "blob": pl.Series([row.tobytes() for row in merged], dtype=pl.Binary),
+                    "mass": pl.Series(new_mass, dtype=pl.Int64),
+                    "cnt": pl.Series(new_cnt, dtype=pl.Float64),
+                    "harmonic": pl.Series(new_harm, dtype=pl.Float64),
+                    "delta": pl.Series(new_mass - old_mass, dtype=pl.Int64),
+                }
+            )
+
+        own = state.map_batches(
+            lambda b: pl.from_arrow(b)
+            .select("host", "blob", "mass", "cnt", "harmonic")
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        contrib = tagged_union_join(
+            pairs, own, "source_host", "host",
+            left_schema=pairs_schema, right_schema=state_schema,
+        ).map_batches(
+            lambda b: pl.from_arrow(b)
+            .select(
+                pl.col("target_host").alias("host"),
+                "blob",
+                pl.lit(None, dtype=pl.Int64).alias("mass"),
+                pl.lit(None, dtype=pl.Float64).alias("cnt"),
+                pl.lit(None, dtype=pl.Float64).alias("harmonic"),
+            )
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        state = ops.materialize_cut(
+            hash_group_apply(own.union(contrib), ["host"], merge_round)
+        )
+        changed = state.sum("delta") or 0
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"host_harmonic_centrality did not converge in {max_iters} rounds"
+        )
+
+    return state.map_batches(
+        lambda b: pl.from_arrow(b)
+        .select("host", pl.col("cnt").alias("n_reachable"), "harmonic")
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )

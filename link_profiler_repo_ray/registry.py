@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_clustering": graph.host_clustering,
         "related_hosts_cocitation": graph.related_hosts_cocitation,
         "host_degree_assortativity": graph.host_degree_assortativity,
+        "host_harmonic_centrality": graph.host_harmonic_centrality,
         "referring_domains_exact": graph.referring_domains_exact,
         "referring_domains_hll": graph.referring_domains_hll,
         "link_intersect": lambda sf: graph.link_intersect(sf, "h1.example.com", "h2.example.com"),

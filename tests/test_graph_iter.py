@@ -507,3 +507,85 @@ def test_assortativity_star_is_minus_one():
     got = graph.host_degree_assortativity("", edges=edges).to_pandas()
     assert int(got.n_edges[0]) == 5
     assert int(got.assortativity_micro[0]) == -1_000_000
+
+
+def _ref_harmonic(pairs: "pl.DataFrame") -> dict[str, tuple[int, float]]:
+    """Per-node BFS oracle: H(v) = sum over u != v of 1/d(u -> v),
+    n_reachable(v) = |{u : d(u -> v) < inf}| (v included at d=0)."""
+    from collections import deque
+
+    hosts = sorted(
+        set(pairs.get_column("source_host")) | set(pairs.get_column("target_host"))
+    )
+    fwd = {h: set() for h in hosts}
+    for s, t in pairs.select(["source_host", "target_host"]).iter_rows():
+        fwd[s].add(t)
+    out = {}
+    for v in hosts:
+        # BFS FROM every u over fwd edges is O(n*m); equivalently BFS
+        # from v over reversed edges
+        rev = {h: set() for h in hosts}
+        for s, ts in fwd.items():
+            for t in ts:
+                rev[t].add(s)
+        dist = {v: 0}
+        dq = deque([v])
+        while dq:
+            x = dq.popleft()
+            for u in rev[x]:
+                if u not in dist:
+                    dist[u] = dist[x] + 1
+                    dq.append(u)
+        h = sum(1.0 / d for d in dist.values() if d > 0)
+        out[v] = (len(dist), h)
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_harmonic_centrality_bitset_matches_bfs_oracle():
+    from link_profiler_repo_ray.pipelines import graph
+
+    got = pl.from_pandas(graph.host_harmonic_centrality(SF).to_pandas())
+    pairs = pl.from_pandas(graph.host_graph(SF).to_pandas())
+    want = _ref_harmonic(pairs)
+    assert got.height == len(want)
+    for h, n, harm in got.select(["host", "n_reachable", "harmonic"]).iter_rows():
+        wn, wh = want[h]
+        assert n == wn, h
+        assert abs(harm - wh) < 1e-9, h
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_harmonic_centrality_planted_random_digraph():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    rng = np.random.RandomState(7)
+    n = 40
+    src, dst = [], []
+    for _ in range(160):
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            src.append(f"h{a}.x.com")
+            dst.append(f"h{b}.x.com")
+    edges = rd.from_arrow(pa.table({"source_host": src, "target_host": dst}))
+    got = pl.from_pandas(graph.host_harmonic_centrality("", edges=edges).to_pandas())
+    pairs = pl.DataFrame({"source_host": src, "target_host": dst}).unique()
+    want = _ref_harmonic(pairs)
+    assert got.height == len(want)
+    for h, cnt, harm in got.select(["host", "n_reachable", "harmonic"]).iter_rows():
+        wn, wh = want[h]
+        assert cnt == wn, h
+        assert abs(harm - wh) < 1e-9, h
+
+    # the HLL scale path tracks the exact counts within sketch error
+    hll = pl.from_pandas(
+        graph.host_harmonic_centrality("", edges=edges, mode="hll", p=10).to_pandas()
+    )
+    assert hll.height == len(want)
+    for h, cnt, harm in hll.select(["host", "n_reachable", "harmonic"]).iter_rows():
+        wn, wh = want[h]
+        assert abs(cnt - wn) / wn < 0.15, h
+        assert abs(harm - wh) / max(wh, 1e-9) < 0.15, h
