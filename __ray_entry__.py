@@ -181,12 +181,24 @@ def entry() -> Any:
 #                                split) + text_extract (same exact
 #                                string-slice discipline over the
 #                                documents scan)
+#   badwords_filter           -> doc_quality's sibling (token_stats
+#                                scan; the blocklist membership count
+#                                is doc_quality's stopword machinery
+#                                with a different list)
+#   watermark_lateness        -> events_by_day (same events parse) +
+#                                sessionize (same ordered-scan-per-
+#                                partition discipline); the planted
+#                                arrival permutation is one closed-form
+#                                integer expression restated verbatim
+#                                in the oracle
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
     "line_dedup",
     "events_rolling_window",
     "chunk_documents",
+    "badwords_filter",
+    "watermark_lateness",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -1016,6 +1028,17 @@ e AS (SELECT source, sum(term)::BIGINT AS kl_micro FROM terms GROUP BY source)
 SELECT srctot.source, srctot.ns AS n_tokens, srctot.nd AS n_distinct_tokens,
        e.kl_micro, CAST(e.kl_micro AS DOUBLE) / 1000000.0 AS kl_nats
 FROM srctot JOIN e USING (source)""",
+        "badwords_filter": """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('slow', 'dup', 'spam', 'crash')))::BIGINT AS n_blocked
+  FROM documents)
+SELECT doc_id, n_tokens, n_blocked,
+       CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS blocked_fraction,
+       (CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= 0.05 AS keep
+FROM t""",
         # chunk i starts at i*96, carries up to 128 tokens (overlap 32)
         "chunk_documents": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1387,6 +1410,24 @@ s AS (SELECT user_id, event_id, ts,
       FROM e)
 SELECT user_id, session_id, count(*)::BIGINT AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
 FROM s GROUP BY 1, 2""",
+        # arrival = each 8-event block reversed (planted bounded disorder);
+        # watermark = running max ts over strictly-earlier arrivals
+        "watermark_lateness": """
+WITH a AS (
+  SELECT event_type, ts, (event_id // 8) * 8 + (7 - event_id % 8) AS arrival
+  FROM events),
+o AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY arrival
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM a)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN ts < wm THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       coalesce(max(CASE WHEN ts < wm THEN date_diff('microsecond', ts, wm) END), 0)::BIGINT
+         AS max_lateness_us,
+       coalesce(sum(CASE WHEN ts < wm THEN date_diff('microsecond', ts, wm) END), 0)::BIGINT
+         AS sum_lateness_us
+FROM o GROUP BY event_type""",
         # RANGE frame peers-inclusive — polars rolling(closed="both") parity
         "events_rolling_window": """
 WITH e AS (

@@ -272,6 +272,104 @@ def events_rolling_window(sf_dir: str, days: int = 7) -> rd.Dataset:
     return hash_group_apply(ev, ["user_id"], roll, pre=pre)
 
 
+def watermark_lateness(sf_dir: str, bucket_size: int = 4096) -> rd.Dataset:
+    """Streaming watermark / out-of-order accounting: replay the event
+    stream in ARRIVAL order, hold a low watermark = max event time seen
+    so far, and count per event type how many events arrive late (their
+    ``ts`` below the watermark set by strictly-earlier arrivals) plus
+    max/total lateness in microseconds — what a windowed streaming
+    engine needs to size its allowed-lateness (the §2.9 concern made
+    measurable).
+
+    The testdata stream is time-ordered, so bounded network disorder is
+    planted closed-form (the c4_filters decorator discipline): arrival
+    sequence ``(event_id // 8)·8 + (7 − event_id % 8)`` — each 8-event
+    block arrives reversed, so up to 7 events overtake their
+    predecessors.  The oracle restates the permutation verbatim.
+
+    A running max over a total order is a PREFIX SCAN, distributed the
+    classic two-pass way: (1) per-arrival-bucket max(ts) partials via
+    one tiny hash aggregate, prefix-maxed on the DRIVER (one scalar per
+    bucket — the PageRank dangling-mass pattern, O(n/bucket_size));
+    (2) one bucket-keyed exchange where each partition sorts its
+    bucket, cum-maxes locally, offsets by the carried-in prefix, and
+    emits per-type integer partials.  Events cross exactly one
+    exchange; lateness stays integer µs throughout.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def with_arrival(df: pl.DataFrame) -> pl.DataFrame:
+        return df.with_columns(
+            arrival=(pl.col("event_id") // 8) * 8 + (7 - pl.col("event_id") % 8)
+        ).with_columns(bucket=pl.col("arrival") // bucket_size)
+
+    # pass 1: per-bucket max(ts) — tiny rows to the driver
+    bmax = hash_aggregate(
+        ev.map_batches(
+            lambda b: with_arrival(pl.from_arrow(b))
+            .group_by("bucket")
+            .agg(pl.col("ts").max())
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["bucket"],
+        combine=[pl.col("ts").max()],
+        merge=[pl.col("ts").max()],
+    )
+    btab = (
+        pl.from_arrow(pa.concat_tables(ray.get(bmax.to_arrow_refs())))
+        .group_by("bucket")
+        .agg(pl.col("ts").max())
+        .sort("bucket")
+    )
+    # watermark entering bucket k = max over buckets < k (None for k=0)
+    prefix = dict(
+        zip(
+            btab.get_column("bucket").to_list(),
+            btab.get_column("ts").cum_max().shift(1).to_list(),
+        )
+    )
+
+    def scan(df: pl.DataFrame) -> pl.DataFrame:
+        df = with_arrival(df).sort(["bucket", "arrival"])
+        wm_in = pl.col("bucket").replace_strict(prefix, return_dtype=pl.Datetime("us"))
+        wm_prev = (
+            pl.col("ts").cum_max().shift(1).over("bucket").fill_null(wm_in)
+        )
+        df = df.with_columns(
+            wm=pl.max_horizontal(wm_in, wm_prev),
+        ).with_columns(
+            late_us=pl.when(pl.col("ts") < pl.col("wm"))
+            .then((pl.col("wm") - pl.col("ts")).dt.total_microseconds())
+            .otherwise(None)
+        )
+        return df.group_by("event_type").agg(
+            pl.len().cast(pl.Int64).alias("n_events"),
+            pl.col("late_us").is_not_null().sum().cast(pl.Int64).alias("n_late"),
+            pl.col("late_us").max().fill_null(0).cast(pl.Int64).alias("max_lateness_us"),
+            pl.col("late_us").sum().fill_null(0).cast(pl.Int64).alias("sum_lateness_us"),
+        )
+
+    parts = hash_group_apply(ev, ["bucket"], scan, pre=with_arrival)
+    return hash_aggregate(
+        parts,
+        ["event_type"],
+        combine=[
+            pl.col("n_events").sum(),
+            pl.col("n_late").sum(),
+            pl.col("max_lateness_us").max(),
+            pl.col("sum_lateness_us").sum(),
+        ],
+        merge=[
+            pl.col("n_events").sum(),
+            pl.col("n_late").sum(),
+            pl.col("max_lateness_us").max(),
+            pl.col("sum_lateness_us").sum(),
+        ],
+    )
+
+
 def event_funnel(
     sf_dir: str, steps: tuple[str, ...] = ("view", "click", "purchase")
 ) -> rd.Dataset:

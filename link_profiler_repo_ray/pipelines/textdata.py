@@ -2600,6 +2600,50 @@ def token_entropy(sf_dir: str) -> rd.Dataset:
     )
 
 
+_BADWORDS = ("slow", "dup", "spam", "crash")
+
+
+def badwords_filter(sf_dir: str, threshold: float = 0.05) -> rd.Dataset:
+    """C4-style blocklist filter (Raffel et al. 2020 §2.2 drop any page
+    containing a "List of Dirty, Naughty …" word; RefinedWeb scores a
+    fraction instead of a hard drop — this computes both): per document
+    the blocked-token count, its fraction of all tokens, and the keep
+    flag ``blocked_fraction <= threshold``.
+
+    Entirely per-document and vectorized (one ``list.eval`` membership
+    count per batch, compiled once); the fraction is a single
+    int→double division so the DuckDB oracle is bit-exact.  The
+    blocklist stands in for the real multi-thousand-term list, which
+    at scale ships once per actor exactly like this constant does.
+    """
+    bad = list(_BADWORDS)
+
+    def run(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select("doc_id", pl.col("text").str.split(" ").alias("ws"))
+            .select(
+                "doc_id",
+                pl.col("ws").list.len().cast(pl.Int64).alias("n_tokens"),
+                pl.col("ws")
+                .list.eval(pl.element().is_in(bad))
+                .list.sum()
+                .cast(pl.Int64)
+                .alias("n_blocked"),
+            )
+            .with_columns(
+                blocked_fraction=pl.col("n_blocked").cast(pl.Float64)
+                / pl.col("n_tokens").cast(pl.Float64)
+            )
+            .with_columns(keep=pl.col("blocked_fraction") <= threshold)
+            .to_arrow()
+        )
+
+    return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def chunk_documents(sf_dir: str, size: int = 128, stride: int = 96) -> rd.Dataset:
     """Sliding-window token chunking — the context-window prep step
     between a cleaned corpus and an embedding/trainer stage (each chunk

@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl_divergence": textdata.source_kl_divergence,
         "line_dedup": textdata.line_dedup,
         "chunk_documents": textdata.chunk_documents,
+        "badwords_filter": textdata.badwords_filter,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
         "ccnet_buckets": textdata.ccnet_buckets,
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": relational.event_funnel,
         "cohort_retention": relational.cohort_retention,
         "events_rolling_window": relational.events_rolling_window,
+        "watermark_lateness": relational.watermark_lateness,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
         "value_percentiles": relational.value_percentiles,

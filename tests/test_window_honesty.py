@@ -64,6 +64,8 @@ SIBLINGS = {
     "line_dedup": "token_stats",
     "events_rolling_window": "sessionize",
     "chunk_documents": "token_stats",
+    "badwords_filter": "token_stats",
+    "watermark_lateness": "events_by_day",
 }
 
 
