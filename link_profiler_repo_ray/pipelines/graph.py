@@ -1353,7 +1353,9 @@ def host_harmonic_centrality(
     2013), THE neighborhood-function algorithm for web-scale graphs:
     ``H(v) = Σ_{u≠v} 1/d(u→v)`` computed from the growing in-ball
     ``ball_r(v) = ball_{r-1}(v) ∪ ⋃_{(u,v)∈E} ball_{r-1}(u)`` as
-    ``H(v) += (|ball_r| − |ball_{r-1}|)/r`` per round.
+    ``H(v) += (|ball_r| − |ball_{r-1}|)/r`` per round; the same
+    increments also yield the distance sum (``+ r·Δ``), hence Bavelas
+    closeness, for free.
 
     Two interchangeable counter families behind one iteration:
 
@@ -1449,6 +1451,7 @@ def host_harmonic_centrality(
                 "mass": pa.array(mass, pa.int64()),
                 "cnt": pa.array(cnt, pa.float64()),
                 "harmonic": pa.array(np.zeros(n), pa.float64()),
+                "sum_dist": pa.array(np.zeros(n), pa.float64()),
             }
         )
 
@@ -1464,6 +1467,7 @@ def host_harmonic_centrality(
             ("mass", pa.int64()),
             ("cnt", pa.float64()),
             ("harmonic", pa.float64()),
+            ("sum_dist", pa.float64()),
         ]
     )
     blob_schema = pa.schema([("host", pa.string()), ("blob", pa.binary())])
@@ -1492,6 +1496,9 @@ def host_harmonic_centrality(
             old_harm = np.fmax.reduceat(
                 df.get_column("harmonic").to_numpy().astype(np.float64), starts
             )
+            old_sd = np.fmax.reduceat(
+                df.get_column("sum_dist").to_numpy().astype(np.float64), starts
+            )
             if mode == "bitset":
                 new_mass = np.unpackbits(merged, axis=1).sum(axis=1, dtype=np.int64)
                 new_cnt = new_mass.astype(np.float64)
@@ -1499,6 +1506,7 @@ def host_harmonic_centrality(
                 new_mass = merged.sum(axis=1, dtype=np.int64)
                 new_cnt = _hll_estimate_rows(merged, m)
             new_harm = old_harm + (new_cnt - old_cnt) / float(r)
+            new_sd = old_sd + (new_cnt - old_cnt) * float(r)
             return pl.DataFrame(
                 {
                     "host": pl.Series(hosts[starts].tolist(), dtype=pl.String),
@@ -1506,13 +1514,14 @@ def host_harmonic_centrality(
                     "mass": pl.Series(new_mass, dtype=pl.Int64),
                     "cnt": pl.Series(new_cnt, dtype=pl.Float64),
                     "harmonic": pl.Series(new_harm, dtype=pl.Float64),
+                    "sum_dist": pl.Series(new_sd, dtype=pl.Float64),
                     "delta": pl.Series(new_mass - old_mass, dtype=pl.Int64),
                 }
             )
 
         own = state.map_batches(
             lambda b: pl.from_arrow(b)
-            .select("host", "blob", "mass", "cnt", "harmonic")
+            .select("host", "blob", "mass", "cnt", "harmonic", "sum_dist")
             .to_arrow(),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -1528,6 +1537,7 @@ def host_harmonic_centrality(
                 pl.lit(None, dtype=pl.Int64).alias("mass"),
                 pl.lit(None, dtype=pl.Float64).alias("cnt"),
                 pl.lit(None, dtype=pl.Float64).alias("harmonic"),
+                pl.lit(None, dtype=pl.Float64).alias("sum_dist"),
             )
             .to_arrow(),
             batch_format="pyarrow",
@@ -1546,7 +1556,17 @@ def host_harmonic_centrality(
 
     return state.map_batches(
         lambda b: pl.from_arrow(b)
-        .select("host", pl.col("cnt").alias("n_reachable"), "harmonic")
+        .select(
+            "host",
+            pl.col("cnt").alias("n_reachable"),
+            "harmonic",
+            # Bavelas closeness restricted to the in-ball (the standard
+            # disconnected-graph convention): (reachable-1)/sum-of-dists
+            pl.when(pl.col("sum_dist") > 0)
+            .then((pl.col("cnt") - 1) / pl.col("sum_dist"))
+            .otherwise(0.0)
+            .alias("closeness"),
+        )
         .to_arrow(),
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -537,7 +537,9 @@ def _ref_harmonic(pairs: "pl.DataFrame") -> dict[str, tuple[int, float]]:
                     dist[u] = dist[x] + 1
                     dq.append(u)
         h = sum(1.0 / d for d in dist.values() if d > 0)
-        out[v] = (len(dist), h)
+        sd = sum(d for d in dist.values())
+        close = (len(dist) - 1) / sd if sd > 0 else 0.0
+        out[v] = (len(dist), h, close)
     return out
 
 
@@ -549,10 +551,13 @@ def test_harmonic_centrality_bitset_matches_bfs_oracle():
     pairs = pl.from_pandas(graph.host_graph(SF).to_pandas())
     want = _ref_harmonic(pairs)
     assert got.height == len(want)
-    for h, n, harm in got.select(["host", "n_reachable", "harmonic"]).iter_rows():
-        wn, wh = want[h]
+    for h, n, harm, close in got.select(
+        ["host", "n_reachable", "harmonic", "closeness"]
+    ).iter_rows():
+        wn, wh, wc = want[h]
         assert n == wn, h
         assert abs(harm - wh) < 1e-9, h
+        assert abs(close - wc) < 1e-9, h
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -575,10 +580,13 @@ def test_harmonic_centrality_planted_random_digraph():
     pairs = pl.DataFrame({"source_host": src, "target_host": dst}).unique()
     want = _ref_harmonic(pairs)
     assert got.height == len(want)
-    for h, cnt, harm in got.select(["host", "n_reachable", "harmonic"]).iter_rows():
-        wn, wh = want[h]
+    for h, cnt, harm, close in got.select(
+        ["host", "n_reachable", "harmonic", "closeness"]
+    ).iter_rows():
+        wn, wh, wc = want[h]
         assert cnt == wn, h
         assert abs(harm - wh) < 1e-9, h
+        assert abs(close - wc) < 1e-9, h
 
     # the HLL scale path tracks the exact counts within sketch error
     hll = pl.from_pandas(
@@ -586,6 +594,6 @@ def test_harmonic_centrality_planted_random_digraph():
     )
     assert hll.height == len(want)
     for h, cnt, harm in hll.select(["host", "n_reachable", "harmonic"]).iter_rows():
-        wn, wh = want[h]
+        wn, wh, _ = want[h]
         assert abs(cnt - wn) / wn < 0.15, h
         assert abs(harm - wh) / max(wh, 1e-9) < 0.15, h
