@@ -191,6 +191,11 @@ def entry() -> Any:
 #                                arrival permutation is one closed-form
 #                                integer expression restated verbatim
 #                                in the oracle
+#   source_quality_rollup     -> token_stats (same scan/split) +
+#                                mixture_sample's sibling family (the
+#                                per-source integer rollup); entropy
+#                                terms are token_entropy's machinery,
+#                                blocklist count badwords_filter's
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
@@ -199,6 +204,7 @@ _YIELD_WINDOW_SLOT = (
     "chunk_documents",
     "badwords_filter",
     "watermark_lateness",
+    "source_quality_rollup",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -1049,6 +1055,40 @@ SELECT doc_id,
        (least(s + 128, len(ws)) - s)::BIGINT AS n_chunk_tokens,
        array_to_string(ws[s+1 : least(s + 128, len(ws))], ' ') AS chunk_text
 FROM c""",
+        # token_entropy's micro-nat terms + badwords_filter's blocklist
+        # count, rolled up per source; rates are single int→double divisions
+        "source_quality_rollup": """
+WITH tf AS (
+  SELECT doc_id, source, w, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2, 3),
+tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM tf GROUP BY doc_id),
+ent AS (
+  SELECT tf.doc_id, tf.source, any_value(tot.n) AS n_tokens,
+         sum(CAST(floor(
+           (CAST(tf.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             * ln(CAST(tf.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             * -1000000.0 + 0.5) AS BIGINT))::BIGINT AS entropy_micro
+  FROM tf JOIN tot USING (doc_id) GROUP BY 1, 2),
+blk AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '),
+         x -> x IN ('slow', 'dup', 'spam', 'crash')))::BIGINT AS n_blocked
+  FROM documents),
+s AS (
+  SELECT ent.source,
+         count(*)::BIGINT AS n_docs,
+         sum(ent.n_tokens)::BIGINT AS n_tokens,
+         sum(blk.n_blocked)::BIGINT AS n_blocked,
+         sum(ent.entropy_micro)::BIGINT AS entropy_micro_sum,
+         sum(CASE WHEN ent.entropy_micro < 2900000 THEN 1 ELSE 0 END)::BIGINT
+           AS n_low_entropy
+  FROM ent JOIN blk USING (doc_id) GROUP BY 1)
+SELECT source, n_docs, n_tokens, n_blocked, entropy_micro_sum, n_low_entropy,
+       CAST(n_blocked AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS blocked_rate,
+       CAST(entropy_micro_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0
+         AS mean_entropy_nats,
+       CAST(n_low_entropy AS DOUBLE) / CAST(n_docs AS DOUBLE) AS low_entropy_share
+FROM s""",
         # same planted line decorator as c4_filters (pipelines/textdata.py);
         # keep = corpus-first occurrence by encoded (doc_id, line_id) key
         "line_dedup": """

@@ -2879,6 +2879,101 @@ def source_kl_divergence(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def source_quality_rollup(sf_dir: str, low_entropy_micro: int = 2_900_000) -> rd.Dataset:
+    """Per-source quality decision table — the FineWeb/RefinedWeb
+    practice of judging whole sources (domains) by aggregate document
+    statistics before spending tokens on them: doc/token volume,
+    blocklist hit rate, mean lexical entropy, and the low-entropy doc
+    share, one row per source.
+
+    ONE documents scan computes every per-doc signal in the batch
+    (token counts, blocklist hits via the :data:`_BADWORDS` membership
+    count, Shannon-entropy micro-nats via :func:`token_entropy`'s exact
+    integer quantization — the low-entropy flag is an INTEGER compare,
+    so no float crosses the exchange), then a source-keyed
+    ``hash_aggregate`` of pure integer partials; the two rate columns
+    are single int→double divisions in a finish stage (pyarrow true
+    division — the polars ``/const``-to-reciprocal rewrite again).
+    """
+    bad = list(_BADWORDS)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ent = (
+            df.select("doc_id", "source", pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .group_by(["doc_id", "source", "w"])
+            .len("c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .with_columns(n=pl.col("c").sum().over("doc_id").cast(pl.Int64))
+        )
+        p = pl.col("c").cast(pl.Float64) / pl.col("n").cast(pl.Float64)
+        ent = (
+            ent.with_columns(term=(p * p.log() * -1000000.0 + 0.5).floor().cast(pl.Int64))
+            .group_by(["doc_id", "source"])
+            .agg(
+                pl.col("n").first().alias("n_tokens"),
+                pl.col("term").sum().alias("entropy_micro"),
+            )
+        )
+        blocked = df.select(
+            "doc_id",
+            pl.col("text")
+            .str.split(" ")
+            .list.eval(pl.element().is_in(bad))
+            .list.sum()
+            .cast(pl.Int64)
+            .alias("n_blocked"),
+        )
+        return (
+            ent.join(blocked, on="doc_id", how="inner")
+            .group_by("source")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("n_tokens").sum().alias("n_tokens"),
+                pl.col("n_blocked").sum().alias("n_blocked"),
+                pl.col("entropy_micro").sum().alias("entropy_micro_sum"),
+                (pl.col("entropy_micro") < low_entropy_micro)
+                .sum()
+                .cast(pl.Int64)
+                .alias("n_low_entropy"),
+            )
+            .to_arrow()
+        )
+
+    agg = hash_aggregate(
+        documents_dataset(sf_dir, ["doc_id", "source", "text"]).map_batches(
+            per_doc, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["source"],
+        combine=[
+            pl.col("n_docs").sum(),
+            pl.col("n_tokens").sum(),
+            pl.col("n_blocked").sum(),
+            pl.col("entropy_micro_sum").sum(),
+            pl.col("n_low_entropy").sum(),
+        ],
+        merge=[
+            pl.col("n_docs").sum(),
+            pl.col("n_tokens").sum(),
+            pl.col("n_blocked").sum(),
+            pl.col("entropy_micro_sum").sum(),
+            pl.col("n_low_entropy").sum(),
+        ],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        f = lambda c: pc.cast(batch.column(c), pa.float64())  # noqa: E731
+        batch = batch.append_column("blocked_rate", pc.divide(f("n_blocked"), f("n_tokens")))
+        mean_micro = pc.divide(f("entropy_micro_sum"), f("n_docs"))
+        batch = batch.append_column("mean_entropy_nats", pc.divide(mean_micro, 1000000.0))
+        return batch.append_column(
+            "low_entropy_share", pc.divide(f("n_low_entropy"), f("n_docs"))
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def mixture_sample(sf_dir: str) -> rd.Dataset:
     """Source-mixture token budgeting — the static data-mixing step of
     a training-data pipeline (Pile-style domain weights / DoReMi-lite

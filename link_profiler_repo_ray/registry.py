@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": textdata.line_dedup,
         "chunk_documents": textdata.chunk_documents,
         "badwords_filter": textdata.badwords_filter,
+        "source_quality_rollup": textdata.source_quality_rollup,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
         "ccnet_buckets": textdata.ccnet_buckets,

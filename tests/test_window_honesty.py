@@ -66,6 +66,7 @@ SIBLINGS = {
     "chunk_documents": "token_stats",
     "badwords_filter": "token_stats",
     "watermark_lateness": "events_by_day",
+    "source_quality_rollup": "token_stats",
 }
 
 
