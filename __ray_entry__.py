@@ -196,6 +196,10 @@ def entry() -> Any:
 #                                per-source integer rollup); entropy
 #                                terms are token_entropy's machinery,
 #                                blocklist count badwords_filter's
+#   crawl_tier_assignment     -> domain_value_scores (the IDENTICAL
+#                                per-host score rollup) + the
+#                                value_percentiles histogram-rank rule
+#                                for its two threshold scalars
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
@@ -205,6 +209,7 @@ _YIELD_WINDOW_SLOT = (
     "badwords_filter",
     "watermark_lateness",
     "source_quality_rollup",
+    "crawl_tier_assignment",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -440,6 +445,40 @@ scored AS (
 SELECT target_host, inbound_links, referring_domains, dofollow_links,
        value_score, (value_score >= 50) AS valuable
 FROM scored""",
+        # tier thresholds = lower-interpolation ranks floor(q·(n−1)) over
+        # the per-host value scores (the value_percentiles rule)
+        "crawl_tier_assignment": graph_cte
+        + """
+, perhost AS (
+  SELECT target_host,
+         count(*)::BIGINT AS inbound_links,
+         count(DISTINCT source_host)::BIGINT AS referring_domains,
+         sum(CASE WHEN link_type = 'dofollow' THEN 1 ELSE 0 END)::BIGINT AS dofollow_links
+  FROM edges GROUP BY target_host),
+scored AS (
+  SELECT target_host,
+         (CASE WHEN inbound_links >= 100 THEN 30 ELSE 0 END
+          + CASE WHEN referring_domains >= 5 THEN 25 ELSE 0 END
+          + CASE WHEN dofollow_links >= 50 THEN 40 ELSE 0 END
+          + CASE WHEN inbound_links >= 20 THEN 15 ELSE 0 END)::BIGINT AS value_score
+  FROM perhost),
+o AS (SELECT value_score, row_number() OVER (ORDER BY value_score) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM scored),
+t AS (SELECT max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                      THEN value_score END) AS t50,
+             max(CASE WHEN rn = CAST(floor(0.8 * (n - 1)) AS BIGINT)
+                      THEN value_score END) AS t80
+      FROM o),
+tiers AS (
+  SELECT target_host AS host, value_score,
+         (CASE WHEN value_score >= t80 THEN 0
+               WHEN value_score >= t50 THEN 1 ELSE 2 END)::BIGINT AS tier
+  FROM scored CROSS JOIN t)
+SELECT host, value_score, tier,
+       (CASE tier WHEN 0 THEN 6 WHEN 1 THEN 24 ELSE 168 END)::BIGINT
+         AS recrawl_interval_hours
+FROM tiers""",
         "expired_domain_finder": graph_cte
         + """
 , perhost AS (

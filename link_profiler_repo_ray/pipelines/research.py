@@ -122,6 +122,82 @@ def domain_value_scores(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     return per_host.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def crawl_tier_assignment(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Tiered-recrawl scheduling table: split hosts into crawl tiers by
+    value-score quantile — tier 0 (≥ p80, 6 h refresh), tier 1 (≥ p50,
+    24 h), tier 2 (weekly) — the standing decision a tiered crawler
+    (fresh tier / deep tier) re-derives each scheduling epoch from
+    :func:`domain_value_scores`.
+
+    Thresholds use the repo's exact bounded-domain histogram rule
+    (value_percentiles / ccnet_buckets): one tiny (score, count)
+    exchange, a single-block cumulative scan picks the
+    lower-interpolation ranks ``floor(q·(n−1))``, and the two driver
+    scalars gate a stateless vectorized bucket map — per-host rows
+    never leave their partition twice.
+    """
+    scores = domain_value_scores(sf_dir, multiplier).materialize()
+
+    hist = hash_aggregate(
+        scores.map_batches(
+            lambda t: pl.from_arrow(t)
+            .group_by("value_score")
+            .len("cnt")
+            .with_columns(pl.col("cnt").cast(pl.Int64))
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["value_score"],
+        combine=[pl.col("cnt").sum()],
+        merge=[pl.col("cnt").sum()],
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).sort("value_score").with_columns(
+            cum=pl.col("cnt").cum_sum(), n=pl.col("cnt").sum()
+        )
+        outs = []
+        for q in (0.5, 0.8):
+            rank = (pl.lit(q) * (pl.col("n") - 1).cast(pl.Float64)).floor().cast(pl.Int64)
+            outs.append(
+                df.filter(
+                    ((pl.col("cum") - pl.col("cnt")) <= rank) & (rank < pl.col("cum"))
+                ).select(pl.col("value_score").alias("v"))
+            )
+        return pl.concat(outs).to_arrow()
+
+    t50, t80 = [
+        r["v"]
+        for r in hist.repartition(1)
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .take(2)
+    ]
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        tier = (
+            pl.when(pl.col("value_score") >= t80)
+            .then(0)
+            .when(pl.col("value_score") >= t50)
+            .then(1)
+            .otherwise(2)
+            .cast(pl.Int64)
+        )
+        return (
+            pl.from_arrow(batch)
+            .select(pl.col("target_host").alias("host"), "value_score")
+            .with_columns(tier.alias("tier"))
+            .with_columns(
+                pl.col("tier")
+                .replace_strict({0: 6, 1: 24, 2: 168}, return_dtype=pl.Int64)
+                .alias("recrawl_interval_hours")
+            )
+            .to_arrow()
+        )
+
+    return scores.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def expired_domain_finder(
     sf_dir: str,
     min_value_score: int = 50,

@@ -67,6 +67,7 @@ SIBLINGS = {
     "badwords_filter": "token_stats",
     "watermark_lateness": "events_by_day",
     "source_quality_rollup": "token_stats",
+    "crawl_tier_assignment": "domain_value_scores",
 }
 
 
