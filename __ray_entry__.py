@@ -200,6 +200,10 @@ def entry() -> Any:
 #                                per-host score rollup) + the
 #                                value_percentiles histogram-rank rule
 #                                for its two threshold scalars
+#   token_zipf_fit            -> vocab_top_tokens (same token-count
+#                                exchange + capped top-k rank) +
+#                                token_entropy's micro-unit
+#                                quantization discipline
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
@@ -210,6 +214,7 @@ _YIELD_WINDOW_SLOT = (
     "watermark_lateness",
     "source_quality_rollup",
     "crawl_tier_assignment",
+    "token_zipf_fit",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -1073,6 +1078,46 @@ e AS (SELECT source, sum(term)::BIGINT AS kl_micro FROM terms GROUP BY source)
 SELECT srctot.source, srctot.ns AS n_tokens, srctot.nd AS n_distinct_tokens,
        e.kl_micro, CAST(e.kl_micro AS DOUBLE) / 1000000.0 AS kl_nats
 FROM srctot JOIN e USING (source)""",
+        # rank by (count desc, token asc) capped at 5000; OLS terms
+        # quantized to integer micro-units, slope/intercept from the
+        # pinned float expression over the integer sums
+        "token_zipf_fit": """
+WITH tf AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank FROM tf
+  QUALIFY rank <= 5000),
+q AS (
+  SELECT
+    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y,
+    CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+      AS BIGINT) AS xy,
+    CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5)
+      AS BIGINT) AS xx
+  FROM r),
+s AS (
+  SELECT count(*)::BIGINT AS v, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(xy)::BIGINT AS sxy, sum(xx)::BIGINT AS sxx
+  FROM q),
+f AS (
+  SELECT v, sx, sy, sxy, sxx,
+         CAST(v AS DOUBLE) AS n,
+         CAST(sx AS DOUBLE) / 1000000.0 AS fx,
+         CAST(sy AS DOUBLE) / 1000000.0 AS fy,
+         CAST(sxy AS DOUBLE) / 1000000.0 AS fxy,
+         CAST(sxx AS DOUBLE) / 1000000.0 AS fxx
+  FROM s),
+g AS (
+  SELECT v, sx, sy, sxy, sxx, n, fx, fy,
+         (n * fxy - fx * fy) / (n * fxx - fx * fx) AS slope
+  FROM f)
+SELECT v AS n_tokens_fit, sx AS sum_x_micro, sy AS sum_y_micro,
+       sxy AS sum_xy_micro, sxx AS sum_xx_micro,
+       slope AS zipf_slope,
+       (fy - slope * fx) / n AS zipf_intercept
+FROM g""",
         "badwords_filter": """
 WITH t AS (
   SELECT doc_id,

@@ -2879,6 +2879,121 @@ def source_kl_divergence(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def dup_cluster_stats(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Near-duplicate cluster-size histogram — the dedup report a
+    curation run ships (how much of the corpus sits in 2-clusters vs
+    boilerplate mega-clusters decides whether keep-one-per-cluster is
+    safe): ``(cluster_size, n_clusters, n_docs)`` over
+    :func:`near_dup_survivors`'s connected components.
+
+    Two tiny hash aggregates over the (doc, survivor) labels — counts
+    only, nothing document-sized moves.  Pytest-oracled via the same
+    union-find as the survivor test (components aren't
+    SQL-expressible).
+    """
+    labels = near_dup_survivors(sf_dir, threshold=threshold)
+    sizes = hash_aggregate(
+        labels.map_batches(
+            lambda t: pl.from_arrow(t)
+            .group_by("survivor_id")
+            .len("n")
+            .with_columns(pl.col("n").cast(pl.Int64))
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["survivor_id"],
+        combine=[pl.col("n").sum()],
+        merge=[pl.col("n").sum()],
+    )
+    return hash_aggregate(
+        sizes.map_batches(
+            lambda t: pl.from_arrow(t)
+            .group_by(pl.col("n").alias("cluster_size"))
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_clusters"),
+                pl.col("n").sum().alias("n_docs"),
+            )
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["cluster_size"],
+        combine=[pl.col("n_clusters").sum(), pl.col("n_docs").sum()],
+        merge=[pl.col("n_clusters").sum(), pl.col("n_docs").sum()],
+    )
+
+
+def token_zipf_fit(sf_dir: str, top_v: int = 5000) -> rd.Dataset:
+    """Zipf-law fit over the corpus vocabulary — OLS of ``ln(freq)``
+    on ``ln(rank)`` for the top-``top_v`` tokens (rank by count desc,
+    token asc).  Natural text sits near slope −1; a far-off slope is a
+    corpus-level quality smell (template floods flatten it, keyword
+    stuffing steepens it) — the corpus-wide sibling of
+    :func:`token_entropy`'s per-doc view.
+
+    Token counts come from the same (token, count) exchange as
+    `vocab_top_tokens`; ranking is bounded by construction
+    (``ops.block_topk`` thins every block to ≤ top_v rows, so the
+    single-block fit stage handles ≤ top_v rows regardless of corpus
+    size — the inverted_index capped-width discipline).  Every OLS
+    term is quantized to integer micro-units (``floor(x·1e6 + 0.5)``,
+    numpy log = libm = DuckDB ``ln``), so the sums are order-free and
+    the DuckDB oracle reproduces slope and intercept bit-for-bit from
+    the same pinned float expression.
+    """
+    import numpy as np
+
+    def tf_stage(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .group_by("w")
+            .len("c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    freq = hash_aggregate(
+        documents_dataset(sf_dir, ["text"]).map_batches(
+            tf_stage, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["w"],
+        combine=[pl.col("c").sum()],
+        merge=[pl.col("c").sum()],
+    )
+    top = ops.block_topk(freq, ["c", "w"], [True, False], top_v)
+
+    def fit(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).sort(["c", "w"], descending=[True, False])
+        c = df.get_column("c").to_numpy().astype(np.float64)
+        rank = np.arange(1, len(c) + 1, dtype=np.float64)
+        x = np.log(rank)
+        y = np.log(c)
+        sx = int(np.floor(x * 1000000.0 + 0.5).astype(np.int64).sum())
+        sy = int(np.floor(y * 1000000.0 + 0.5).astype(np.int64).sum())
+        sxy = int(np.floor(x * y * 1000000.0 + 0.5).astype(np.int64).sum())
+        sxx = int(np.floor(x * x * 1000000.0 + 0.5).astype(np.int64).sum())
+        n = float(len(c))
+        fx, fy, fxy, fxx = (s / 1000000.0 for s in (sx, sy, sxy, sxx))
+        slope = (n * fxy - fx * fy) / (n * fxx - fx * fx)
+        intercept = (fy - slope * fx) / n
+        return pa.table(
+            {
+                "n_tokens_fit": pa.array([len(c)], pa.int64()),
+                "sum_x_micro": pa.array([sx], pa.int64()),
+                "sum_y_micro": pa.array([sy], pa.int64()),
+                "sum_xy_micro": pa.array([sxy], pa.int64()),
+                "sum_xx_micro": pa.array([sxx], pa.int64()),
+                "zipf_slope": pa.array([slope], pa.float64()),
+                "zipf_intercept": pa.array([intercept], pa.float64()),
+            }
+        )
+
+    return top.map_batches(fit, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def source_quality_rollup(sf_dir: str, low_entropy_micro: int = 2_900_000) -> rd.Dataset:
     """Per-source quality decision table — the FineWeb/RefinedWeb
     practice of judging whole sources (domains) by aggregate document

@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": textdata.chunk_documents,
         "badwords_filter": textdata.badwords_filter,
         "source_quality_rollup": textdata.source_quality_rollup,
+        "token_zipf_fit": textdata.token_zipf_fit,
+        "dup_cluster_stats": textdata.dup_cluster_stats,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
         "ccnet_buckets": textdata.ccnet_buckets,

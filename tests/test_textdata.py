@@ -270,3 +270,32 @@ def test_token_heavy_hitters_vs_exact(tmp_path):
     assert res == res2
     ests = [r["est_count"] for r in res]
     assert ests == sorted(ests, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_cluster_stats_matches_union_find():
+    """Cluster-size histogram vs the union-find component sizes."""
+    import collections
+
+    from link_profiler_repo_ray.pipelines import textdata
+
+    pairs = textdata.minhash_lsh_dups(SF, threshold=0.8).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_sizes = collections.Counter(find(x) for x in parent)
+    want = collections.Counter(comp_sizes.values())
+
+    got = textdata.dup_cluster_stats(SF, threshold=0.8).to_pandas()
+    assert dict(zip(got.cluster_size, got.n_clusters)) == dict(want)
+    assert (got.n_docs == got.cluster_size * got.n_clusters).all()

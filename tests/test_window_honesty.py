@@ -68,6 +68,7 @@ SIBLINGS = {
     "watermark_lateness": "events_by_day",
     "source_quality_rollup": "token_stats",
     "crawl_tier_assignment": "domain_value_scores",
+    "token_zipf_fit": "vocab_top_tokens",
 }
 
 
