@@ -49,6 +49,7 @@ __all__ = [
     "referring_domains_exact",
     "referring_domains_hll",
     "host_harmonic_centrality",
+    "host_effective_diameter",
     "link_intersect",
     "link_velocity",
 ]
@@ -1348,6 +1349,7 @@ def host_harmonic_centrality(
     mode: str = "bitset",
     p: int = 10,
     max_iters: int = 64,
+    round_totals: list | None = None,
 ) -> rd.Dataset:
     """Harmonic centrality of every host — HyperBall (Boldi & Vigna
     2013), THE neighborhood-function algorithm for web-scale graphs:
@@ -1547,6 +1549,10 @@ def host_harmonic_centrality(
             hash_group_apply(own.union(contrib), ["host"], merge_round)
         )
         changed = state.sum("delta") or 0
+        if round_totals is not None:
+            # N(r) = sum_v |ball_r(v)| — the neighbourhood function,
+            # one driver scalar per round (effective-diameter input)
+            round_totals.append(float(state.sum("cnt")))
         if changed == 0:
             break
     else:
@@ -1570,4 +1576,56 @@ def host_harmonic_centrality(
         .to_arrow(),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def host_effective_diameter(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+    mode: str = "bitset",
+    p: int = 10,
+    max_iters: int = 64,
+    q: float = 0.9,
+) -> rd.Dataset:
+    """Effective diameter of the host graph — HyperBall's original
+    purpose (Boldi & Vigna 2013 measured exactly this on web crawls):
+    the smallest distance ``d`` (linearly interpolated) such that at
+    least ``q`` of all reachable ordered pairs are within distance
+    ``d``.  Reuses :func:`host_harmonic_centrality`'s iteration; the
+    neighbourhood function ``N(r) = Σ_v |ball_r(v)|`` costs one driver
+    scalar per round, so this adds NOTHING to the exchange volume.
+    """
+    totals: list = []
+    state = host_harmonic_centrality(
+        sf_dir,
+        multiplier,
+        edges=edges,
+        mode=mode,
+        p=p,
+        max_iters=max_iters,
+        round_totals=totals,
+    )
+    n_hosts = state.count()  # N(0): every ball starts as {v}
+    ns = [float(n_hosts)] + totals
+    target = q * ns[-1]
+    d_eff = 0.0
+    for d in range(len(ns)):
+        if ns[d] >= target:
+            if d == 0 or ns[d] == ns[d - 1]:
+                d_eff = float(d)
+            else:
+                d_eff = (d - 1) + (target - ns[d - 1]) / (ns[d] - ns[d - 1])
+            break
+    # converged round repeats N(diam) → true diameter is one less
+    diameter = max(len(totals) - 1, 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_hosts": pa.array([n_hosts], pa.int64()),
+                "diameter": pa.array([diameter], pa.int64()),
+                "effective_diameter": pa.array([d_eff], pa.float64()),
+                "reachable_pairs": pa.array([ns[-1]], pa.float64()),
+            }
+        )
     )

@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_hosts_cocitation": graph.related_hosts_cocitation,
         "host_degree_assortativity": graph.host_degree_assortativity,
         "host_harmonic_centrality": graph.host_harmonic_centrality,
+        "host_effective_diameter": graph.host_effective_diameter,
         "referring_domains_exact": graph.referring_domains_exact,
         "referring_domains_hll": graph.referring_domains_hll,
         "link_intersect": lambda sf: graph.link_intersect(sf, "h1.example.com", "h2.example.com"),

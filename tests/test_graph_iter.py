@@ -597,3 +597,58 @@ def test_harmonic_centrality_planted_random_digraph():
         wn, wh, _ = want[h]
         assert abs(cnt - wn) / wn < 0.15, h
         assert abs(harm - wh) / max(wh, 1e-9) < 0.15, h
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_effective_diameter_matches_bfs_oracle():
+    """N(r) and the interpolated effective diameter vs exact all-pairs
+    BFS distances on a planted random digraph."""
+    from collections import deque
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    rng = np.random.RandomState(11)
+    n = 30
+    src, dst = [], []
+    for _ in range(90):
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            src.append(f"h{a}.x.com")
+            dst.append(f"h{b}.x.com")
+    edges = rd.from_arrow(pa.table({"source_host": src, "target_host": dst}))
+    got = graph.host_effective_diameter("", edges=edges).to_pandas().iloc[0]
+
+    hosts = sorted(set(src) | set(dst))
+    fwd = {h: set() for h in hosts}
+    for s, t in zip(src, dst):
+        fwd[s].add(t)
+    dists = []
+    for v in hosts:
+        dist = {v: 0}
+        dq = deque([v])
+        while dq:
+            x = dq.popleft()
+            for u in fwd[x]:
+                if u not in dist:
+                    dist[u] = dist[x] + 1
+                    dq.append(u)
+        dists.extend(dist.values())
+    diameter = max(dists)
+    ns = [sum(1 for d in dists if d <= r) for r in range(diameter + 1)]
+    target = 0.9 * ns[-1]
+    for d in range(len(ns)):
+        if ns[d] >= target:
+            want_eff = (
+                float(d)
+                if d == 0 or ns[d] == ns[d - 1]
+                else (d - 1) + (target - ns[d - 1]) / (ns[d] - ns[d - 1])
+            )
+            break
+
+    assert got["n_hosts"] == len(hosts)
+    assert got["diameter"] == diameter
+    assert got["reachable_pairs"] == float(ns[-1])
+    assert abs(got["effective_diameter"] - want_eff) < 1e-9
