@@ -204,6 +204,10 @@ def entry() -> Any:
 #                                exchange + capped top-k rank) +
 #                                token_entropy's micro-unit
 #                                quantization discipline
+#   source_lang_mix           -> mixture_sample's per-source rollup
+#                                family over the same documents scan;
+#                                the share is the blocked_rate
+#                                int→double discipline
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
@@ -215,6 +219,7 @@ _YIELD_WINDOW_SLOT = (
     "source_quality_rollup",
     "crawl_tier_assignment",
     "token_zipf_fit",
+    "source_lang_mix",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -1078,6 +1083,13 @@ e AS (SELECT source, sum(term)::BIGINT AS kl_micro FROM terms GROUP BY source)
 SELECT srctot.source, srctot.ns AS n_tokens, srctot.nd AS n_distinct_tokens,
        e.kl_micro, CAST(e.kl_micro AS DOUBLE) / 1000000.0 AS kl_nats
 FROM srctot JOIN e USING (source)""",
+        "source_lang_mix": """
+WITH c AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1, 2),
+t AS (SELECT source, sum(n_docs)::BIGINT AS n_source_docs FROM c GROUP BY source)
+SELECT c.source, c.lang, c.n_docs, t.n_source_docs,
+       CAST(c.n_docs AS DOUBLE) / CAST(t.n_source_docs AS DOUBLE) AS lang_share
+FROM c JOIN t USING (source)""",
         # rank by (count desc, token asc) capped at 5000; OLS terms
         # quantized to integer micro-units, slope/intercept from the
         # pinned float expression over the integer sums

@@ -50,6 +50,7 @@ __all__ = [
     "referring_domains_hll",
     "host_harmonic_centrality",
     "host_effective_diameter",
+    "host_pagerank_personalized",
     "link_intersect",
     "link_velocity",
 ]
@@ -1628,4 +1629,149 @@ def host_effective_diameter(
                 "reachable_pairs": pa.array([ns[-1]], pa.float64()),
             }
         )
+    )
+
+
+def host_pagerank_personalized(
+    sf_dir: str,
+    seeds: tuple = ("h0.example.com",),
+    multiplier: int = 1,
+    damping: float = 0.85,
+    iters: int = 20,
+    edges: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Personalized PageRank: teleport restricted to a seed host set —
+    the topic/spam-biased authority variant (a link-spam analyst seeds
+    known-good hosts and reads off how much authority flows to a
+    candidate; TrustRank's propagation shape).  Update per iteration:
+    ``r = (1−d)·t + d·(push + dangling·t)`` with ``t`` uniform over
+    ``seeds`` and zero elsewhere — identical exchange structure to
+    :func:`host_pagerank` (one partitioned join + one hash aggregate +
+    one left join per iteration; the dangling mass is the only
+    driver-side scalar), only the teleport vector differs.
+    """
+    from ..ops import tagged_union_join
+
+    hg = host_graph(sf_dir, multiplier, edges=edges).materialize()
+    outw = hash_aggregate(
+        hg,
+        ["source_host"],
+        combine=[pl.col("n_links").sum().alias("out_total")],
+        merge=[pl.col("out_total").sum()],
+    )
+    hg_schema = pa.schema(
+        [("source_host", pa.string()), ("target_host", pa.string()), ("n_links", pa.int64())]
+    )
+    outw_schema = pa.schema([("source_host", pa.string()), ("out_total", pa.int64())])
+    weighted = tagged_union_join(
+        hg, outw, "source_host", "source_host",
+        left_schema=hg_schema, right_schema=outw_schema,
+    ).map_batches(
+        lambda b: pl.from_arrow(b)
+        .select(
+            "source_host",
+            "target_host",
+            (pl.col("n_links") / pl.col("out_total")).alias("w"),
+        )
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def hosts_of(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.concat(
+            [
+                df.select(pl.col("source_host").alias("host")),
+                df.select(pl.col("target_host").alias("host")),
+            ]
+        ).unique().to_arrow()
+
+    seed_list = list(seeds)
+    t_seed = 1.0 / len(seed_list)
+    all_hosts = hash_group_apply(
+        hg.map_batches(hosts_of, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+        lambda df: df.unique(subset=["host"]).with_columns(
+            pl.when(pl.col("host").is_in(seed_list))
+            .then(t_seed)
+            .otherwise(0.0)
+            .alias("t")
+        ),
+    ).materialize()
+    outw = outw.materialize()
+
+    ranks = all_hosts.map_batches(
+        lambda b: pl.from_arrow(b).select("host", pl.col("t").alias("rank")).to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    ranks_schema = pa.schema([("host", pa.string()), ("rank", pa.float64())])
+    w_schema = pa.schema(
+        [("source_host", pa.string()), ("target_host", pa.string()), ("w", pa.float64())]
+    )
+    hosts_t_schema = pa.schema([("host", pa.string()), ("t", pa.float64())])
+    outw_schema2 = pa.schema([("source_host", pa.string()), ("out_total", pa.int64())])
+
+    for _ in range(iters):
+        dangling = (
+            tagged_union_join(
+                ranks, outw, "host", "source_host", how="left",
+                left_schema=ranks_schema, right_schema=outw_schema2,
+            )
+            .map_batches(
+                lambda b: pl.from_arrow(b)
+                .filter(pl.col("out_total").is_null())
+                .select("rank")
+                .to_arrow(),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .sum("rank")
+            or 0.0
+        )
+        contrib = tagged_union_join(
+            weighted, ranks, "source_host", "host",
+            left_schema=w_schema, right_schema=ranks_schema,
+        ).map_batches(
+            lambda b: pl.from_arrow(b)
+            .select(
+                pl.col("target_host").alias("host"),
+                (pl.col("w") * pl.col("rank")).alias("push"),
+            )
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sums = hash_aggregate(
+            contrib,
+            ["host"],
+            combine=[pl.col("push").sum().alias("push")],
+            merge=[pl.col("push").sum()],
+        )
+        sums_schema = pa.schema([("host", pa.string()), ("push", pa.float64())])
+        ranks = tagged_union_join(
+            all_hosts, sums, "host", "host", how="left",
+            left_schema=hosts_t_schema, right_schema=sums_schema,
+        ).map_batches(
+            lambda b, dang=dangling: pl.from_arrow(b)
+            .select(
+                "host",
+                (
+                    (1.0 - damping) * pl.col("t")
+                    + damping * (pl.col("push").fill_null(0.0) + dang * pl.col("t"))
+                ).alias("rank"),
+            )
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ranks = ops.materialize_cut(ranks)
+
+    return ranks.map_batches(
+        lambda b: pl.from_arrow(b)
+        .select("host", pl.col("rank").round(8))
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )

@@ -2879,6 +2879,53 @@ def source_kl_divergence(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def source_lang_mix(sf_dir: str) -> rd.Dataset:
+    """Language composition per source — the per-domain language-mix
+    table a multilingual curation run filters on (CCNet splits by
+    (lang, domain); this is the decision input): doc counts per
+    (source, lang) and each language's share of its source.
+
+    One scan of integer partials, one tiny (source, lang)-keyed
+    aggregate; the share is a single int→double division (pyarrow,
+    oracle-exact).
+    """
+    agg = hash_aggregate(
+        documents_dataset(sf_dir, ["source", "lang"]).map_batches(
+            lambda t: pl.from_arrow(t)
+            .group_by(["source", "lang"])
+            .len("n_docs")
+            .with_columns(pl.col("n_docs").cast(pl.Int64))
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["source", "lang"],
+        combine=[pl.col("n_docs").sum()],
+        merge=[pl.col("n_docs").sum()],
+    )
+
+    # per-source totals are a handful of rows — join them back inside a
+    # second tiny keyed exchange rather than broadcasting
+    def share(df: pl.DataFrame) -> pl.DataFrame:
+        out = df.group_by(["source", "lang"]).agg(pl.col("n_docs").sum())
+        return out.with_columns(
+            n_source_docs=pl.col("n_docs").sum().over("source").cast(pl.Int64)
+        )
+
+    withtot = hash_group_apply(agg, ["source"], share)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "lang_share",
+            pc.divide(
+                pc.cast(batch.column("n_docs"), pa.float64()),
+                pc.cast(batch.column("n_source_docs"), pa.float64()),
+            ),
+        )
+
+    return withtot.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dup_cluster_stats(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     """Near-duplicate cluster-size histogram — the dedup report a
     curation run ships (how much of the corpus sits in 2-clusters vs

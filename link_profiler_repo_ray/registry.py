@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_anchors_referrers": graph.top_anchors_referrers,
         "host_graph": graph.host_graph,
         "host_pagerank": graph.host_pagerank,
+        "host_pagerank_personalized": graph.host_pagerank_personalized,
         "host_hits": graph.host_hits,
         "host_components": graph.host_components,
         "host_triangles": graph.host_triangles,
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_rollup": textdata.source_quality_rollup,
         "token_zipf_fit": textdata.token_zipf_fit,
         "dup_cluster_stats": textdata.dup_cluster_stats,
+        "source_lang_mix": textdata.source_lang_mix,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
         "ccnet_buckets": textdata.ccnet_buckets,

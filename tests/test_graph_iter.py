@@ -652,3 +652,46 @@ def test_effective_diameter_matches_bfs_oracle():
     assert got["diameter"] == diameter
     assert got["reachable_pairs"] == float(ns[-1])
     assert abs(got["effective_diameter"] - want_eff) < 1e-9
+
+
+def _ref_ppr(pairs: pl.DataFrame, seeds, damping: float, iters: int) -> dict[str, float]:
+    hosts = sorted(
+        set(pairs.get_column("source_host")) | set(pairs.get_column("target_host"))
+    )
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for s, t, c in pairs.iter_rows():
+        W[idx[s], idx[t]] += c
+    out = W.sum(axis=1)
+    P = np.divide(W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0)
+    t_vec = np.zeros(n)
+    for s in seeds:
+        t_vec[idx[s]] = 1.0 / len(seeds)
+    r = t_vec.copy()
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        push = r @ P
+        r = (1 - damping) * t_vec + damping * (push + dangling * t_vec)
+    return dict(zip(hosts, r))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_personalized_pagerank_matches_dense_oracle():
+    from link_profiler_repo_ray.pipelines import graph
+
+    seeds = ("h0.example.com",)
+    got = pl.from_pandas(
+        graph.host_pagerank_personalized(SF, seeds=seeds, iters=15).to_pandas()
+    )
+    pairs = pl.from_pandas(graph.host_graph(SF).to_pandas()).select(
+        ["source_host", "target_host", "n_links"]
+    )
+    want = _ref_ppr(pairs, seeds, damping=0.85, iters=15)
+    assert got.height == len(want)
+    for h, r in zip(got.get_column("host"), got.get_column("rank")):
+        assert abs(r - want[h]) < 1e-8, h
+    # mass stays a (sub-)distribution concentrated near the seed
+    ranks = dict(zip(got.get_column("host"), got.get_column("rank")))
+    assert ranks["h0.example.com"] == max(ranks.values())
+    assert got.get_column("rank").sum() <= 1.0 + 1e-6

@@ -69,6 +69,7 @@ SIBLINGS = {
     "source_quality_rollup": "token_stats",
     "crawl_tier_assignment": "domain_value_scores",
     "token_zipf_fit": "vocab_top_tokens",
+    "source_lang_mix": "token_stats",
 }
 
 
