@@ -208,6 +208,11 @@ def entry() -> Any:
 #                                family over the same documents scan;
 #                                the share is the blocked_rate
 #                                int→double discipline
+#   tar_shard_roundtrip       -> text_extract (the same documents-scan
+#                                identity check) + the WARC round-trip
+#                                pytest family for the container
+#                                discipline (byte-stable shards pinned
+#                                in tests/test_tarshard.py)
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
@@ -220,6 +225,7 @@ _YIELD_WINDOW_SLOT = (
     "crawl_tier_assignment",
     "token_zipf_fit",
     "source_lang_mix",
+    "tar_shard_roundtrip",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -1083,6 +1089,10 @@ e AS (SELECT source, sum(term)::BIGINT AS kl_micro FROM terms GROUP BY source)
 SELECT srctot.source, srctot.ns AS n_tokens, srctot.nd AS n_distinct_tokens,
        e.kl_micro, CAST(e.kl_micro AS DOUBLE) / 1000000.0 AS kl_nats
 FROM srctot JOIN e USING (source)""",
+        # round trip is lossless iff these fingerprint columns match the
+        # parquet exactly
+        "tar_shard_roundtrip": """
+SELECT doc_id, length(text)::BIGINT AS n_chars, source, lang FROM documents""",
         "source_lang_mix": """
 WITH c AS (
   SELECT source, lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1, 2),

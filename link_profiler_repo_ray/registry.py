@@ -41,7 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         social,
         textdata,
     )
-    from .sources import cdx, serpkw, sitemap, warc
+    from .sources import cdx, serpkw, sitemap, tarshard, warc
 
     return {
         # CDX index sources (S4/S5)
@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_seed_frontier": cdx.cdx_seed_frontier,
         # sitemap sources
         "sitemap_parse": sitemap.sitemap_parse,
+        "tar_shard_roundtrip": tarshard.tar_shard_roundtrip,
         "sitemap_seed_frontier": sitemap.sitemap_seed_frontier,
         # WARC sink + CDX index builder (S4 writer side; offsets/digests
         # are real file facts, so correctness is pytest-pinned by

@@ -70,6 +70,7 @@ SIBLINGS = {
     "crawl_tier_assignment": "domain_value_scores",
     "token_zipf_fit": "vocab_top_tokens",
     "source_lang_mix": "token_stats",
+    "tar_shard_roundtrip": "text_extract",
 }
 
 
