@@ -213,6 +213,11 @@ def entry() -> Any:
 #                                pytest family for the container
 #                                discipline (byte-stable shards pinned
 #                                in tests/test_tarshard.py)
+#   bigram_logprob            -> contamination_ngrams (same n-gram
+#                                construction in-window) + token_stats
+#                                (same scan); the Σ k·term integer
+#                                discipline is unigram_logprob's,
+#                                hash-checked in-repo
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
@@ -226,6 +231,7 @@ _YIELD_WINDOW_SLOT = (
     "token_zipf_fit",
     "source_lang_mix",
     "tar_shard_roundtrip",
+    "bigram_logprob",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -1403,6 +1409,31 @@ dc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, w),
 s AS (SELECT doc_id, sum(c * term)::BIGINT AS logprob_micro, sum(c)::BIGINT AS n_tokens
       FROM dc JOIN lp USING (w) GROUP BY doc_id)
 SELECT doc_id, n_tokens, logprob_micro, logprob_micro::DOUBLE / n_tokens AS mean_logprob_micro
+FROM s""",
+        # Jelinek-Mercer interpolated bigram LM: per-bigram log term
+        # quantized once to micro-nats, doc score = Σ k·term (order-free)
+        "bigram_logprob": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (SELECT unnest(ws) AS tok FROM w),
+uni AS (SELECT tok, count(*)::BIGINT AS cw FROM toks GROUP BY tok),
+n AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uni),
+bg AS (
+  SELECT doc_id, ws[i] AS v, ws[i+1] AS wt
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) >= 2)),
+big AS (SELECT v, wt, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+cv AS (SELECT v, sum(c)::BIGINT AS cv FROM big GROUP BY v),
+lm AS (
+  SELECT big.v, big.wt,
+         CAST(floor(ln(0.75 * (CAST(big.c AS DOUBLE) / CAST(cv.cv AS DOUBLE))
+                       + 0.25 * (CAST(uni.cw AS DOUBLE) / n.n))
+                    * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM big JOIN cv USING (v) JOIN uni ON uni.tok = big.wt CROSS JOIN n),
+dc AS (SELECT doc_id, v, wt, count(*)::BIGINT AS k FROM bg GROUP BY 1, 2, 3),
+s AS (SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+             sum(k * lm.term)::BIGINT AS logprob_micro
+      FROM dc JOIN lm USING (v, wt) GROUP BY doc_id)
+SELECT doc_id, n_bigrams, logprob_micro,
+       logprob_micro::DOUBLE / n_bigrams AS mean_logprob_micro
 FROM s""",
         "exact_substring_dups": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -2879,6 +2879,109 @@ def source_kl_divergence(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bigram_logprob(sf_dir: str, lam: float = 0.75) -> rd.Dataset:
+    """Interpolated bigram-LM document scoring — one Markov order above
+    :func:`unigram_logprob`, the same shape as CCNet's KenLM filter:
+    per-position probability ``λ·p(w|v) + (1−λ)·p(w)`` (Jelinek-Mercer
+    smoothing), summed in log space per document.
+
+    Each distinct bigram's log term is quantized ONCE to integer
+    micro-nats, so every per-doc sum is ``Σ k·term`` — exact,
+    order-free, oracle-identical.  Bigram counts reduce through one
+    (v, w)-keyed exchange; like unigram_logprob the quantized LM table
+    is then built driver-side and broadcast (``ray.put``, zero-copy
+    reads) — the acknowledged bound; at a 10^8-pair table swap the
+    broadcast for a (v, w)-keyed ``tagged_union_join`` against the
+    per-doc bigram partials.
+    """
+    import math
+
+    def bigrams(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.filter(pl.col("ws").list.len() >= 2)
+            .with_columns(
+                v=pl.col("ws").list.slice(0, pl.col("ws").list.len() - 1),
+                wt=pl.col("ws").list.slice(1, pl.col("ws").list.len() - 1),
+            )
+            .explode(["v", "wt"])
+        )
+
+    def big_stage(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select(pl.col("text").str.split(" ").alias("ws"))
+        return bigrams(df).group_by(["v", "wt"]).len("c").with_columns(
+            pl.col("c").cast(pl.Int64)
+        ).to_arrow()
+
+    def uni_stage(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .group_by("w")
+            .len("c")
+            .with_columns(pl.col("c").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    docs = documents_dataset(sf_dir, ["doc_id", "text"])
+    big = hash_aggregate(
+        docs.map_batches(big_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["v", "wt"],
+        combine=[pl.col("c").sum()],
+        merge=[pl.col("c").sum()],
+    )
+    uni = hash_aggregate(
+        docs.map_batches(uni_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["w"],
+        combine=[pl.col("c").sum()],
+        merge=[pl.col("c").sum()],
+    )
+
+    import numpy as np
+
+    uni_df = pl.from_arrow(pa.concat_tables(ray.get(uni.to_arrow_refs())))
+    n_total = float(uni_df["c"].sum())
+    big_df = pl.from_arrow(pa.concat_tables(ray.get(big.to_arrow_refs())))
+    big_df = big_df.with_columns(cv=pl.col("c").sum().over("v").cast(pl.Int64)).join(
+        uni_df.rename({"w": "wt", "c": "cw"}), on="wt", how="inner"
+    )
+    pbi = big_df["c"].to_numpy().astype(np.float64) / big_df["cv"].to_numpy().astype(
+        np.float64
+    )
+    puni = big_df["cw"].to_numpy().astype(np.float64) / n_total
+    term = np.floor(
+        np.log(lam * pbi + (1.0 - lam) * puni) * 1000000.0 + 0.5
+    ).astype(np.int64)
+    ref = ray.put(
+        big_df.select("v", "wt").with_columns(term=pl.Series(term, dtype=pl.Int64))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = ray.get(ref)
+        df = pl.from_arrow(batch).select(
+            "doc_id", pl.col("text").str.split(" ").alias("ws")
+        )
+        return (
+            bigrams(df)
+            .group_by(["doc_id", "v", "wt"])
+            .len("k")
+            .with_columns(pl.col("k").cast(pl.Int64))
+            .join(lm, on=["v", "wt"], how="inner")
+            .group_by("doc_id")
+            .agg(
+                pl.col("k").sum().alias("n_bigrams"),
+                (pl.col("k") * pl.col("term")).sum().alias("logprob_micro"),
+            )
+            .with_columns(
+                mean_logprob_micro=pl.col("logprob_micro").cast(pl.Float64)
+                / pl.col("n_bigrams")
+            )
+            .to_arrow()
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def source_lang_mix(sf_dir: str) -> rd.Dataset:
     """Language composition per source — the per-domain language-mix
     table a multilingual curation run filters on (CCNet splits by

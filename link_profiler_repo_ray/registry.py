@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_mix": textdata.source_lang_mix,
         "repetition_metrics": textdata.repetition_metrics,
         "unigram_logprob": textdata.unigram_logprob,
+        "bigram_logprob": textdata.bigram_logprob,
         "ccnet_buckets": textdata.ccnet_buckets,
         "dsir_scores": textdata.dsir_scores,
         "dsir_select": textdata.dsir_select,

@@ -71,6 +71,7 @@ SIBLINGS = {
     "token_zipf_fit": "vocab_top_tokens",
     "source_lang_mix": "token_stats",
     "tar_shard_roundtrip": "text_extract",
+    "bigram_logprob": "contamination_ngrams",
 }
 
 
