@@ -3318,6 +3318,59 @@ def mixture_sample(sf_dir: str) -> rd.Dataset:
 
 # --- int8 embedding quantization (scale-path storage) ---------------------
 
+def embedding_random_projection(sf_dir: str, out_dim: int = 16) -> rd.Dataset:
+    """Johnson-Lindenstrauss random projection of the embedding table
+    to ``out_dim`` dims — the standard pre-LSH / pre-index reduction at
+    scale (project once, bucket/search in the small space; Achlioptas
+    2003's database-friendly variant).
+
+    The projection matrix is DETERMINISTIC (sparse ±1/0 Achlioptas
+    entries derived per (i, j) from the repo's splitmix64-style hash —
+    no RNG state, so every task regenerates the identical matrix from
+    two ints instead of shipping it) and the map is stateless
+    per-batch matmul: zero exchanges, zero broadcasts.  Pytest asserts
+    determinism and the JL pairwise-distance band; no SQL oracle
+    (matmul), rows-only driver check.
+    """
+
+    def proj_matrix(d: int) -> "np.ndarray":
+        import numpy as _np
+
+        i = _np.arange(d, dtype=_np.uint64)[:, None]
+        j = _np.arange(out_dim, dtype=_np.uint64)[None, :]
+        z = i * _np.uint64(0x9E3779B97F4A7C15) + j * _np.uint64(0xC2B2AE3D27D4EB4F)
+        z = (z ^ (z >> _np.uint64(30))) * _np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _np.uint64(27))) * _np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> _np.uint64(31))
+        u = (z >> _np.uint64(8)).astype(_np.float64) / float(1 << 56)
+        # Achlioptas sparse: +√3 w.p. 1/6, −√3 w.p. 1/6, else 0
+        r = _np.zeros((d, out_dim))
+        r[u < 1.0 / 6.0] = _np.sqrt(3.0)
+        r[u > 5.0 / 6.0] = -_np.sqrt(3.0)
+        return r / _np.sqrt(out_dim)
+
+    def project(batch: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(batch.column("embedding"))
+        if emb.shape[0] == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "projected": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        low = emb @ proj_matrix(emb.shape[1])
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "projected": pa.array(list(low), pa.list_(pa.float64())),
+            }
+        )
+
+    return embeddings_dataset(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def embedding_quantize(sf_dir: str) -> rd.Dataset:
     """Per-dimension uint8 quantization of the embedding table —
     the storage scale path (a 100-TB embedding store holds int8 codes,

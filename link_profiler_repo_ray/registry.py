@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": textdata.embedding_near_dups_bucketed,
         "embedding_near_dups_exact": textdata.embedding_near_dups,
         "embedding_quantize": textdata.embedding_quantize,
+        "embedding_random_projection": textdata.embedding_random_projection,
         "vocab_top_tokens": textdata.vocab_top_tokens,
         "token_heavy_hitters": textdata.token_heavy_hitters,
         "inverted_index": textdata.inverted_index,

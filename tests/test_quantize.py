@@ -66,3 +66,39 @@ def test_quantized_topk_recall(codes):
         total += len(exact)
     recall = hits / total
     assert recall >= 0.9, recall  # int8/dim keeps neighborhoods intact
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_random_projection_deterministic_and_jl():
+    """Same output across runs (hash-derived matrix, no RNG state) and
+    pairwise distances preserved within the JL band for a sparse
+    16-dim Achlioptas projection."""
+    import numpy as np
+
+    from link_profiler_repo_ray.pipelines import textdata
+
+    a = textdata.embedding_random_projection(SF).to_pandas().sort_values("vec_id")
+    b = textdata.embedding_random_projection(SF).to_pandas().sort_values("vec_id")
+    pa_ = np.stack(a["projected"].to_numpy())
+    pb = np.stack(b["projected"].to_numpy())
+    assert np.array_equal(pa_, pb)
+
+    import pandas as pd
+
+    full = pd.read_parquet(f"{SF}/embeddings.parquet")
+    full = full.sort_values("vec_id")
+    X = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(3)
+    idx = rng.choice(len(X), size=60, replace=False)
+    ratios = []
+    for i in range(0, len(idx) - 1, 2):
+        u, v = idx[i], idx[i + 1]
+        d_hi = np.linalg.norm(X[u] - X[v])
+        d_lo = np.linalg.norm(pa_[u] - pa_[v])
+        if d_hi > 0:
+            ratios.append(d_lo / d_hi)
+    ratios = np.array(ratios)
+    # 16 dims is coarse — individual pairs vary, but the MEDIAN ratio
+    # must sit near 1 and no pair may collapse or explode wildly
+    assert 0.7 < np.median(ratios) < 1.3
+    assert (ratios > 0.2).all() and (ratios < 2.5).all()
