@@ -218,6 +218,9 @@ def entry() -> Any:
 #                                (same scan); the Σ k·term integer
 #                                discipline is unigram_logprob's,
 #                                hash-checked in-repo
+#   events_distinct_users     -> events_by_day (same events parse) +
+#                                link_profiles (the identical
+#                                pre-distinct combiner rollup, A4)
 _YIELD_WINDOW_SLOT = (
     "token_entropy",
     "source_kl_divergence",
@@ -232,6 +235,7 @@ _YIELD_WINDOW_SLOT = (
     "source_lang_mix",
     "tar_shard_roundtrip",
     "bigram_logprob",
+    "events_distinct_users",
     "mixture_sample",
     "host_triangles",
     "host_reciprocal_links",
@@ -1587,6 +1591,9 @@ s AS (SELECT user_id, event_id, ts,
       FROM e)
 SELECT user_id, session_id, count(*)::BIGINT AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
 FROM s GROUP BY 1, 2""",
+        "events_distinct_users": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type""",
         # arrival = each 8-event block reversed (planted bounded disorder);
         # watermark = running max ts over strictly-earlier arrivals
         "watermark_lateness": """

@@ -272,6 +272,27 @@ def events_rolling_window(sf_dir: str, days: int = 7) -> rd.Dataset:
     return hash_group_apply(ev, ["user_id"], roll, pre=pre)
 
 
+def events_distinct_users(sf_dir: str) -> rd.Dataset:
+    """Exact distinct-user cardinality per event type — the relational
+    sibling of A4's referring-domain count (same pre-distinct combiner
+    discipline: each block contributes its DISTINCT (type, user) pairs,
+    so a hot type moves O(users) rows once, never O(events))."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pre(df: pl.DataFrame) -> pl.DataFrame:
+        return df.unique(subset=["event_type", "user_id"])
+
+    def count(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.unique(subset=["event_type", "user_id"])
+            .group_by("event_type")
+            .agg(pl.len().cast(pl.Int64).alias("n_users"))
+        )
+
+    # key by event_type so each type's pairs co-locate once
+    return hash_group_apply(ev, ["event_type"], count, pre=pre)
+
+
 def watermark_lateness(sf_dir: str, bucket_size: int = 4096) -> rd.Dataset:
     """Streaming watermark / out-of-order accounting: replay the event
     stream in ARRIVAL order, hold a low watermark = max event time seen

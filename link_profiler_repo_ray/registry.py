@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": relational.cohort_retention,
         "events_rolling_window": relational.events_rolling_window,
         "watermark_lateness": relational.watermark_lateness,
+        "events_distinct_users": relational.events_distinct_users,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
         "value_percentiles": relational.value_percentiles,

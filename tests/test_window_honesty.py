@@ -72,6 +72,7 @@ SIBLINGS = {
     "source_lang_mix": "token_stats",
     "tar_shard_roundtrip": "text_extract",
     "bigram_logprob": "contamination_ngrams",
+    "events_distinct_users": "events_by_day",
 }
 
 
