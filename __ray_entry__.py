@@ -221,7 +221,32 @@ def entry() -> Any:
 #   events_distinct_users     -> events_by_day (same events parse) +
 #                                link_profiles (the identical
 #                                pre-distinct combiner rollup, A4)
+#   snapshot_diff             -> dataset_split (same pruned documents
+#                                scan + portable-md5 discipline); the
+#                                full-outer diff itself is pinned by a
+#                                pure-Python oracle in
+#                                tests/test_history.py
+#   redirect_chains           -> dataset_split (same documents scan);
+#                                pointer-doubling fixpoint pinned vs a
+#                                sequential chase in tests/test_history.py
+#   host_spam_scores          -> host_graph (same edges exchange);
+#                                formula re-derived row-wise in
+#                                tests/test_hygiene.py
+#   url_filter_scores         -> extract_links (same pages-url scan)
+#   shard_balance_report      -> extract_links (same pages scan) +
+#                                link_profiles (same hash-agg shape);
+#                                conservation pinned in tests/test_hygiene.py
+#   bloom_semijoin            -> customers_without_orders (the same
+#                                customer⋈orders membership shape);
+#                                bloom pruning + exactness pinned in
+#                                tests/test_bloomjoin.py
 _YIELD_WINDOW_SLOT = (
+    "snapshot_diff",
+    "redirect_chains",
+    "host_spam_scores",
+    "url_filter_scores",
+    "shard_balance_report",
+    "bloom_semijoin",
     "token_entropy",
     "source_kl_divergence",
     "line_dedup",
@@ -1742,4 +1767,69 @@ SELECT doc_id, source, n_tokens,
            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
          '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g') AS text_curated
 FROM d WHERE rn = 1""",
+        # --- round-4 tail: history / hygiene / bloom join ---------------
+        "bloom_semijoin": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 470000.0)""",
+        "snapshot_diff": """
+WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 9 = 2 THEN text || ' [updated]' ELSE text END) AS h_b
+  FROM documents WHERE doc_id % 41 <> 6
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), md5(text || ' [new]')
+  FROM documents WHERE doc_id % 23 = 3)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN h_a <> h_b THEN 'changed' ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""",
+        "redirect_chains": """
+WITH RECURSIVE r AS (
+  SELECT doc_id, doc_id AS cur, 0::BIGINT AS hops FROM documents
+  UNION ALL
+  SELECT doc_id, GREATEST(cur - ((cur * 2) % 5 + 1), 0), hops + 1
+  FROM r WHERE cur % 3 <> 0 AND cur > 0)
+SELECT doc_id, cur AS final_id, hops
+FROM r WHERE NOT (cur % 3 <> 0 AND cur > 0)""",
+        "host_spam_scores": graph_cte
+        + """,
+o AS (SELECT source_host AS host, count(*)::BIGINT AS outdeg,
+             count(DISTINCT anchor_text)::BIGINT AS distinct_anchors
+      FROM edges GROUP BY source_host),
+i AS (SELECT target_host AS host, count(*)::BIGINT AS indeg FROM edges GROUP BY target_host),
+j AS (SELECT COALESCE(o.host, i.host) AS host,
+             COALESCE(outdeg, 0)::BIGINT AS outdeg,
+             COALESCE(indeg, 0)::BIGINT AS indeg,
+             COALESCE(distinct_anchors, 0)::BIGINT AS distinct_anchors
+      FROM o FULL OUTER JOIN i ON o.host = i.host),
+s AS (SELECT *, ((outdeg * 1000) // (indeg + 1)
+                 + CASE WHEN distinct_anchors * 5 < outdeg THEN 500 ELSE 0 END)::BIGINT
+                AS spam_score_milli FROM j)
+SELECT host, outdeg, indeg, distinct_anchors, spam_score_milli,
+       spam_score_milli >= 2000 AS is_spam
+FROM s""",
+        "url_filter_scores": "WITH "
+        + hosts_cte()
+        + """,
+f AS (
+  SELECT url, host_id,
+         length(url)::BIGINT AS url_len,
+         (length(regexp_replace(url, '[^0-9]', '', 'g')) * 1000) // length(url)
+           AS digit_ratio_milli
+  FROM docurl)
+SELECT url, url_len, digit_ratio_milli,
+       (host_id % 17 = 9) AS blocklisted,
+       (NOT (host_id % 17 = 9) AND digit_ratio_milli <= 300 AND url_len <= 120) AS keep
+FROM f""",
+        "shard_balance_report": "WITH "
+        + hosts_cte()
+        + """,
+perhost AS (SELECT host, count(*)::BIGINT AS n FROM docurl GROUP BY host),
+sh AS (SELECT (CAST('0x' || substr(md5(host), 1, 4) AS INTEGER) % 32)::BIGINT AS shard, n
+       FROM perhost)
+SELECT shard, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_hosts,
+       max(n)::BIGINT AS max_host_docs
+FROM sh GROUP BY shard""",
     }

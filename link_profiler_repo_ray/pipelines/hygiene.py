@@ -1,0 +1,228 @@
+"""Web-hygiene analytics: spam signals, URL-level curation filters,
+and partition-skew diagnostics.
+
+Reference anchors: the reference scores domains with a ``spam_level``
+/ trust model (core/models.py DomainIntelligence fields,
+services/domain_analyzer_service.py heuristics) and its crawler
+filters URLs before fetch (utils/url_validator.py).  The shard
+balance report is engine observability for the one thing that
+degrades a 256-node run silently: hash-partition skew (the corpus
+host 0 is a deliberate hub — the report must surface it).
+
+All three operators emit integer/milli-unit columns only, so the
+DuckDB oracles are bit-identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import polars as pl
+import pyarrow as pa
+import ray.data as rd
+
+from ..ops import hash_aggregate, hash_group_apply, tagged_union_join
+
+__all__ = ["host_spam_scores", "url_filter_scores", "shard_balance_report"]
+
+
+# --- link-spam signals per host -------------------------------------------
+
+def host_spam_scores(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Per-host link-spam signals from the edge graph.
+
+    Signals (all integer, oracle-exact):
+      outdeg            - edges emitted by the host
+      indeg             - edges received
+      distinct_anchors  - anchor-text diversity of its out-links
+      spam_score_milli  - 1000·outdeg/(indeg+1)  (link-farm ratio)
+                          + 500 if 5·distinct_anchors < outdeg
+                          (template-anchor penalty)
+      is_spam           - score ≥ 2000
+
+    Three aggregates over ONE materialized edge extraction (counts are
+    hash_aggregate; anchor distinctness pre-thins per block with a
+    (host, anchor) unique before the exchange), then two partitioned
+    full joins — no broadcast, hub hosts bounded by the per-block
+    combiner.  Reference: domain_analyzer_service.py spam heuristics.
+    """
+    from .graph import edges_dataset
+
+    edges = edges_dataset(sf_dir, multiplier).select_columns(
+        ["source_host", "target_host", "anchor_text"]
+    ).materialize()
+
+    outdeg = hash_aggregate(
+        edges,
+        ["source_host"],
+        combine=[pl.len().alias("outdeg")],
+        merge=[pl.col("outdeg").sum()],
+    )
+    indeg = hash_aggregate(
+        edges,
+        ["target_host"],
+        combine=[pl.len().alias("indeg")],
+        merge=[pl.col("indeg").sum()],
+    )
+    anchors = hash_group_apply(
+        edges.map_batches(
+            lambda b: pl.from_arrow(b).select("source_host", "anchor_text").to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["source_host"],
+        lambda df: df.group_by("source_host").agg(
+            pl.col("anchor_text").n_unique().cast(pl.Int64).alias("distinct_anchors")
+        ),
+        pre=lambda df: df.unique(subset=["source_host", "anchor_text"]),
+    )
+
+    out_side = tagged_union_join(
+        outdeg,
+        anchors.map_batches(
+            lambda b: pl.from_arrow(b).rename({"source_host": "ahost"}).to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "source_host",
+        "ahost",
+        left_schema=pa.schema([("source_host", pa.string()), ("outdeg", pa.int64())]),
+        right_schema=pa.schema([("ahost", pa.string()), ("distinct_anchors", pa.int64())]),
+    ).map_batches(
+        lambda b: pl.from_arrow(b).select("source_host", "outdeg", "distinct_anchors").to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    joined = tagged_union_join(
+        out_side,
+        indeg,
+        "source_host",
+        "target_host",
+        how="full",
+        left_schema=pa.schema(
+            [("source_host", pa.string()), ("outdeg", pa.int64()), ("distinct_anchors", pa.int64())]
+        ),
+        right_schema=pa.schema([("target_host", pa.string()), ("indeg", pa.int64())]),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        outd = pl.col("outdeg").fill_null(0)
+        ind = pl.col("indeg").fill_null(0)
+        da = pl.col("distinct_anchors").fill_null(0)
+        spam = (outd * 1000) // (ind + 1) + pl.when(da * 5 < outd).then(500).otherwise(0)
+        return df.select(
+            pl.coalesce(pl.col("source_host"), pl.col("target_host")).alias("host"),
+            outd.alias("outdeg"),
+            ind.alias("indeg"),
+            da.alias("distinct_anchors"),
+            spam.cast(pl.Int64).alias("spam_score_milli"),
+            (spam >= 2000).alias("is_spam"),
+        ).to_arrow()
+
+    return joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- RefinedWeb-style URL curation filter ---------------------------------
+
+def url_filter_scores(
+    sf_dir: str,
+    multiplier: int = 1,
+    blocklist: list[str] | None = None,
+    max_digit_ratio_milli: int = 300,
+    max_url_len: int = 120,
+) -> rd.Dataset:
+    """URL-level curation scoring (RefinedWeb / Penedo et al. 2023
+    filter 1: drop documents by URL alone, before any text is read).
+
+    Per page URL: length, digit count, digit_ratio_milli =
+    floor(1000·digits/len), blocklisted-domain membership (the
+    blocklist rides the task closure — a few MB even for real-world
+    lists), and the composite keep flag.  Pure vectorized map over a
+    single-column pruned scan; no exchange at all.
+    """
+    from .graph import pages_dataset
+    from ..functions import canonical as can
+    from ..sources.corpus import corpus_n_docs, host_name, n_hosts
+
+    if blocklist is None:
+        # deterministic synthetic blocklist: every 17th host id ending
+        # in 9 mod 17 (closed-form so the oracle can recompute it)
+        nh = n_hosts(corpus_n_docs(sf_dir, multiplier))
+        blocklist = [host_name(h) for h in range(nh) if h % 17 == 9]
+    bset = pl.Series("b", blocklist)
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        hosts = pl.Series("host", can.host_of_batch(df["url"].to_list()))
+        df = df.with_columns(hosts)
+        ulen = pl.col("url").str.len_chars().cast(pl.Int64)
+        digits = pl.col("url").str.count_matches(r"[0-9]").cast(pl.Int64)
+        ratio = (digits * 1000) // ulen
+        blocked = pl.col("host").is_in(bset)
+        return df.select(
+            "url",
+            ulen.alias("url_len"),
+            ratio.alias("digit_ratio_milli"),
+            blocked.alias("blocklisted"),
+            (
+                ~blocked
+                & (ratio <= max_digit_ratio_milli)
+                & (ulen <= max_url_len)
+            ).alias("keep"),
+        ).to_arrow()
+
+    return pages_dataset(sf_dir, multiplier, columns=["url"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- partition-skew diagnostics -------------------------------------------
+
+def shard_balance_report(sf_dir: str, multiplier: int = 1, num_shards: int = 32) -> rd.Dataset:
+    """Rows-per-shard diagnostics for host-keyed partitioning.
+
+    shard(host) = first 4 hex chars of md5(host) mod ``num_shards`` —
+    the same PORTABLE hash convention as dataset_split, so any engine
+    (and the DuckDB oracle) assigns identical shards.  Emits per
+    shard: n_docs, n_hosts, and max_host_docs (the largest single
+    host inside the shard — the corpus hub host 0 must show up here).
+    The md5 loop runs over DISTINCT hosts only, after the per-block
+    (host → count) combiner, so its cost is O(#hosts), not O(rows).
+    """
+    from .graph import pages_dataset
+    from ..functions import canonical as can
+
+    def to_host(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.DataFrame(
+            {"host": can.host_of_batch(df["url"].to_list())}
+        ).to_arrow()
+
+    per_host = hash_aggregate(
+        pages_dataset(sf_dir, multiplier, columns=["url"]).map_batches(
+            to_host, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["host"],
+        combine=[pl.len().alias("n")],
+        merge=[pl.col("n").sum()],
+    )
+
+    def assign_shard(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        shard = [
+            int(hashlib.md5(h.encode()).hexdigest()[:4], 16) % num_shards
+            for h in df["host"].to_list()
+        ]
+        return df.with_columns(pl.Series("shard", shard, dtype=pl.Int64)).to_arrow()
+
+    return hash_group_apply(
+        per_host.map_batches(assign_shard, batch_format="pyarrow", zero_copy_batch=True),
+        ["shard"],
+        lambda df: df.group_by("shard").agg(
+            pl.col("n").sum().alias("n_docs"),
+            pl.len().cast(pl.Int64).alias("n_hosts"),
+            pl.col("n").max().alias("max_host_docs"),
+        ),
+    )

@@ -32,8 +32,11 @@ def _crawl_ordered(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from .pipelines import (
         audit,
+        bloomjoin,
         curate,
         graph,
+        history,
+        hygiene,
         monitor,
         prospects,
         relational,
@@ -176,6 +179,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": textdata.dataset_split,
         "mixture_sample": textdata.mixture_sample,
         "curated_documents": curate.curated_documents,
+        # historical snapshot analytics + redirect resolution
+        "snapshot_diff": history.snapshot_diff,
+        "redirect_chains": history.redirect_chains,
+        # web hygiene + partition diagnostics
+        "host_spam_scores": hygiene.host_spam_scores,
+        "url_filter_scores": hygiene.url_filter_scores,
+        "shard_balance_report": hygiene.shard_balance_report,
+        # bloom-pruned big⋈big semi-join
+        "bloom_semijoin": bloomjoin.bloom_semijoin,
         # relational breadth
         "q1_lineitem": relational.q1_lineitem,
         "revenue_by_nation": relational.revenue_by_nation,

@@ -73,6 +73,12 @@ SIBLINGS = {
     "tar_shard_roundtrip": "text_extract",
     "bigram_logprob": "contamination_ngrams",
     "events_distinct_users": "events_by_day",
+    "snapshot_diff": "dataset_split",
+    "redirect_chains": "dataset_split",
+    "host_spam_scores": "host_graph",
+    "url_filter_scores": "extract_links",
+    "shard_balance_report": "extract_links",
+    "bloom_semijoin": "customers_without_orders",
 }
 
 
