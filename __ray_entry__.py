@@ -240,6 +240,9 @@ def entry() -> Any:
 #                                customer⋈orders membership shape);
 #                                bloom pruning + exactness pinned in
 #                                tests/test_bloomjoin.py
+#   robots_block_rates        -> crawl_bfs (the same robots parse +
+#                                matcher gating admission in-window);
+#                                rate arithmetic oracled in-repo
 _YIELD_WINDOW_SLOT = (
     "snapshot_diff",
     "redirect_chains",
@@ -247,6 +250,7 @@ _YIELD_WINDOW_SLOT = (
     "url_filter_scores",
     "shard_balance_report",
     "bloom_semijoin",
+    "robots_block_rates",
     "token_entropy",
     "source_kl_divergence",
     "line_dedup",
@@ -1832,4 +1836,17 @@ sh AS (SELECT (CAST('0x' || substr(md5(host), 1, 4) AS INTEGER) % 32)::BIGINT AS
 SELECT shard, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_hosts,
        max(n)::BIGINT AS max_host_docs
 FROM sh GROUP BY shard""",
+        # ground truth for the robots audit: corpus robots bodies are
+        # closed-form (host_id % 7 == 3 => "Disallow: /doc/", which
+        # covers every corpus URL); the engine parses and evaluates the
+        # actual robots text per URL
+        "robots_block_rates": "WITH "
+        + hosts_cte()
+        + """,
+g AS (SELECT host, count(*)::BIGINT AS n_urls,
+             sum(CASE WHEN host_id % 7 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_blocked
+      FROM docurl GROUP BY host)
+SELECT host, n_urls, n_blocked,
+       ((n_blocked * 1000) // n_urls)::BIGINT AS block_rate_milli
+FROM g""",
     }

@@ -35,7 +35,7 @@ import ray.data as rd
 from .. import ops
 from ..ops import hash_aggregate, tagged_union_join
 
-__all__ = ["BloomFilter64", "bloom_semijoin"]
+__all__ = ["BloomFilter64", "bloom_semijoin", "contamination_bloom"]
 
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -194,4 +194,129 @@ def bloom_semijoin(sf_dir: str, price_floor: float = 470000.0) -> rd.Dataset:
         lambda b: pl.from_arrow(b).select("c_custkey", "c_name").to_arrow(),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+# --- bloom-pruned decontamination (the contamination_ngrams scale path) ---
+
+def contamination_bloom(
+    sf_dir: str,
+    n: int = 7,
+    test_mod: int = 43,
+    m_bits: int = 1 << 22,
+    k: int = 4,
+) -> rd.Dataset:
+    """Train/test n-gram decontamination with a bloom of the held-out
+    set — the 100-TB path for ``textdata.contamination_ngrams``.
+
+    The exact operator exchanges every training (doc_id, ngram) pair;
+    at corpus scale that is the corpus re-keyed by shingle.  The
+    benchmark side, however, is tiny and fixed (eval suites are a few
+    MB) — the published decontamination recipes (GPT-3 appendix C's
+    13-gram filter, Lee et al. 2021) therefore probe a compact index
+    of TEST n-grams instead of co-partitioning both sides.  Here:
+
+    1. shingle both sides vectorized, keyed by the 64-bit ngram hash
+       (8-byte exchange keys; the string-keyed exact operator documents
+       this exact swap);
+    2. fold TEST hashes into a BloomFilter64 (OR-reduced partials, one
+       broadcast);
+    3. probe every train block — only bloom hits survive (the pruned
+       fraction never leaves the scan);
+    4. exact-verify the surviving candidates against the distinct test
+       hashes through ONE partitioned exchange, so false positives die
+       and the result matches the exact operator row-for-row (modulo
+       2⁻⁶⁴ hash collisions; tests/test_bloomjoin.py pins equality).
+
+    Returns (doc_id, n_shared_ngrams) for contaminated training docs.
+    """
+    import os as _os
+
+    from .. import ops as _ops
+    from ..ops import hash_group_apply
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ex = (
+            df.select(
+                "doc_id",
+                pl.col("doc_id").mod(test_mod).eq(0).alias("is_test"),
+                pl.col("text").str.split(" ").alias("w"),
+            )
+            .explode("w")
+            .with_columns(
+                pl.concat_str(
+                    [pl.col("w")]
+                    + [pl.col("w").shift(-j).over("doc_id") for j in range(1, n)],
+                    separator=" ",
+                    ignore_nulls=False,
+                ).alias("ngram")
+            )
+            .drop_nulls("ngram")
+            .select(
+                "doc_id",
+                "is_test",
+                pl.col("ngram").hash(seed=0).reinterpret(signed=True).alias("h"),
+            )
+            .unique()
+        )
+        return ex.to_arrow()
+
+    docs = _ops.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    shingled = docs.map_batches(
+        shingle, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    test_h = shingled.map_batches(
+        lambda b: pl.from_arrow(b).filter(pl.col("is_test")).select("h").to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bloom_ref = ray.put(_build_bloom(test_h, "h", m_bits, k))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bf: BloomFilter64 = ray.get(bloom_ref)
+        df = pl.from_arrow(batch).filter(~pl.col("is_test"))
+        if df.height == 0:
+            return df.select("doc_id", "h").to_arrow()
+        keep = bf.contains(df["h"].to_numpy())
+        return df.filter(pl.Series(keep)).select("doc_id", "h").to_arrow()
+
+    candidates = shingled.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    distinct_test = hash_aggregate(
+        test_h.map_batches(
+            lambda b: pl.from_arrow(b).rename({"h": "th"}).to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["th"],
+        combine=[pl.len().alias("c")],
+        merge=[pl.col("c").sum()],
+    ).select_columns(["th"])
+
+    verified = tagged_union_join(
+        candidates,
+        distinct_test,
+        "h",
+        "th",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("h", pa.int64())]),
+        right_schema=pa.schema([("th", pa.int64())]),
+    )
+
+    return hash_group_apply(
+        verified.map_batches(
+            lambda b: pl.from_arrow(b).select("doc_id", "h").to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["doc_id"],
+        lambda df: df.group_by("doc_id").agg(
+            pl.col("h").n_unique().cast(pl.Int64).alias("n_shared_ngrams")
+        ),
+        pre=lambda df: df.unique(subset=["doc_id", "h"]),
     )

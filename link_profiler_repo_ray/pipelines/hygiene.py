@@ -23,7 +23,87 @@ import ray.data as rd
 
 from ..ops import hash_aggregate, hash_group_apply, tagged_union_join
 
-__all__ = ["host_spam_scores", "url_filter_scores", "shard_balance_report"]
+__all__ = [
+    "host_spam_scores",
+    "url_filter_scores",
+    "shard_balance_report",
+    "robots_block_rates",
+]
+
+
+# --- robots.txt compliance audit ------------------------------------------
+
+class _RobotsAuditStage:
+    """Actor-pool stage: parse every host's robots.txt ONCE per actor
+    (``RobotsIndex`` in ``__init__`` — the T2 cache as a batch stage),
+    then evaluate each URL with the real stdlib rule matcher in
+    ``__call__``.  Per-URL evaluation is a Python call by necessity
+    (RobotFileParser is per-path), which is exactly why it runs inside
+    a concurrent actor pool rather than on the driver."""
+
+    def __init__(self, robots_by_host: dict[str, str]):
+        from ..state.politeness import RobotsIndex
+
+        self.idx = RobotsIndex(robots_by_host)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import canonical as can
+
+        urls = batch.column("url").to_pylist()
+        hosts = can.host_of_batch(urls)
+        allowed = [self.idx.allowed(h, u) for h, u in zip(hosts, urls)]
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "blocked": pa.array([not a for a in allowed], pa.bool_()),
+            }
+        )
+
+
+def robots_block_rates(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Per-host robots.txt block rates over the whole page corpus —
+    the compliance-audit view of S3 (how much of what we hold would
+    robots deny TODAY?), a recrawl-policy input the reference's
+    robots cache (utils/robots_parser.py) implies but never reports.
+
+    The corpus robots bodies are closed-form (host_id % 7 == 3 ⇒
+    "Disallow: /doc/"), so the DuckDB oracle can state the expected
+    rates; the ENGINE parses the actual robots text and evaluates
+    every URL through urllib's matcher inside an actor pool.
+    """
+    from ..sources.corpus import corpus_n_docs, robots_map
+    from ..ops import auto_concurrency
+    from .graph import pages_dataset
+
+    robots = robots_map(corpus_n_docs(sf_dir, multiplier))
+
+    evaluated = pages_dataset(sf_dir, multiplier, columns=["url"]).map_batches(
+        _RobotsAuditStage,
+        fn_constructor_args=(robots,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=auto_concurrency(),
+    )
+
+    per_host = hash_aggregate(
+        evaluated,
+        ["host"],
+        combine=[
+            pl.len().alias("n_urls"),
+            pl.col("blocked").cast(pl.Int64).sum().alias("n_blocked"),
+        ],
+        merge=[pl.col("n_urls").sum(), pl.col("n_blocked").sum()],
+    )
+
+    return per_host.map_batches(
+        lambda b: pl.from_arrow(b)
+        .with_columns(
+            ((pl.col("n_blocked") * 1000) // pl.col("n_urls")).alias("block_rate_milli")
+        )
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 # --- link-spam signals per host -------------------------------------------

@@ -186,8 +186,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_spam_scores": hygiene.host_spam_scores,
         "url_filter_scores": hygiene.url_filter_scores,
         "shard_balance_report": hygiene.shard_balance_report,
-        # bloom-pruned big⋈big semi-join
+        "robots_block_rates": hygiene.robots_block_rates,
+        # bloom-pruned big⋈big semi-join + decontamination scale path
         "bloom_semijoin": bloomjoin.bloom_semijoin,
+        "contamination_bloom": bloomjoin.contamination_bloom,
         # relational breadth
         "q1_lineitem": relational.q1_lineitem,
         "revenue_by_nation": relational.revenue_by_nation,

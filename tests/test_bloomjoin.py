@@ -100,3 +100,21 @@ class TestBloomSemijoin:
         true_rate = np.isin(custs, keys).mean()
         assert true_rate < 1.0  # the floor must actually filter
         assert passed <= true_rate + 0.01  # fp adds at most ~1%
+
+
+class TestContaminationBloom:
+    def test_equals_exact_operator(self, ray_session):
+        """The bloom scale path must reproduce contamination_ngrams
+        exactly (bloom FPs are killed by the verify exchange)."""
+        from link_profiler_repo_ray.pipelines.bloomjoin import contamination_bloom
+        from link_profiler_repo_ray.pipelines.textdata import contamination_ngrams
+
+        got = contamination_bloom(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = (
+            contamination_ngrams(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["n_shared_ngrams"].tolist() == want["n_shared_ngrams"].tolist()

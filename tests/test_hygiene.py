@@ -67,3 +67,19 @@ class TestShardBalanceReport:
         )
         row = df.loc[df["shard"] == hub_shard]
         assert row["max_host_docs"].iloc[0] >= hub_count
+
+
+class TestRobotsBlockRates:
+    def test_parsed_rates_match_ground_truth(self, ray_session):
+        """The engine parses real robots text; the corpus rule is
+        closed-form, so rates are all-or-nothing per host."""
+        from link_profiler_repo_ray.pipelines.hygiene import robots_block_rates
+
+        df = robots_block_rates(SF).to_pandas()
+        assert len(df) > 0
+        for r in df.itertuples():
+            hid = int(r.host.split(".")[0][1:])
+            expect = 1000 if hid % 7 == 3 else 0
+            assert r.block_rate_milli == expect, r
+            assert r.n_blocked == (r.n_urls if expect else 0)
+        assert (df["block_rate_milli"] == 1000).any()  # rule actually fires

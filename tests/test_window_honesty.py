@@ -79,6 +79,7 @@ SIBLINGS = {
     "url_filter_scores": "extract_links",
     "shard_balance_report": "extract_links",
     "bloom_semijoin": "customers_without_orders",
+    "robots_block_rates": "crawl_bfs",
 }
 
 
