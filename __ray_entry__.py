@@ -243,7 +243,18 @@ def entry() -> Any:
 #   robots_block_rates        -> crawl_bfs (the same robots parse +
 #                                matcher gating admission in-window);
 #                                rate arithmetic oracled in-repo
+#   profiles_incremental      -> link_profiles (the same pair-index
+#                                rollup in-window); the delta-merge
+#                                equality vs a full recompute is
+#                                pinned in tests/test_history.py
+#   range_partition_plan      -> value_percentiles... which itself
+#                                yields; its own in-window sibling is
+#                                events_by_day (same events scan) —
+#                                the exact-histogram rank rule the
+#                                plan reuses is hash-verified in-repo
 _YIELD_WINDOW_SLOT = (
+    "profiles_incremental",
+    "range_partition_plan",
     "snapshot_diff",
     "redirect_chains",
     "host_spam_scores",
@@ -1849,4 +1860,29 @@ g AS (SELECT host, count(*)::BIGINT AS n_urls,
 SELECT host, n_urls, n_blocked,
        ((n_blocked * 1000) // n_urls)::BIGINT AS block_rate_milli
 FROM g""",
+        # profiles after the recrawl delta (source docs d%41==6 dropped):
+        # ground truth is a full recompute over surviving edges; the
+        # ENGINE applies the signed delta to its stored pair index
+        "profiles_incremental": graph_cte
+        + """
+SELECT target_url,
+       count(*)::BIGINT AS total_backlinks,
+       count(DISTINCT source_host)::BIGINT AS unique_referring_domains,
+       sum(CASE WHEN link_type = 'dofollow' THEN 1 ELSE 0 END)::BIGINT AS dofollow_backlinks,
+       sum(CASE WHEN link_type = 'nofollow' THEN 1 ELSE 0 END)::BIGINT AS nofollow_backlinks,
+       sum(CASE WHEN link_type = 'sponsored' THEN 1 ELSE 0 END)::BIGINT AS sponsored_backlinks,
+       sum(CASE WHEN link_type = 'ugc' THEN 1 ELSE 0 END)::BIGINT AS ugc_backlinks
+FROM edges WHERE sdoc % 41 <> 6 GROUP BY target_url""",
+        "range_partition_plan": """
+WITH c AS (SELECT (floor(value * 100 + 0.5))::BIGINT AS cents FROM events),
+s AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS r FROM c),
+p AS (SELECT count(*)::BIGINT AS n FROM c),
+b AS (SELECT cents AS bound FROM s
+      WHERE r IN (SELECT (k * n) // 8 FROM generate_series(1, 7) g(k), p)),
+a AS (SELECT c.cents,
+             (SELECT count(*) FROM b WHERE c.cents >= b.bound)::BIGINT AS part
+      FROM c)
+SELECT part, count(*)::BIGINT AS n_rows,
+       min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM a GROUP BY part""",
     }

@@ -35,7 +35,7 @@ import ray.data as rd
 from .. import ops
 from ..ops import hash_group_apply, tagged_union_join
 
-__all__ = ["snapshot_diff", "redirect_chains"]
+__all__ = ["snapshot_diff", "redirect_chains", "profiles_incremental"]
 
 
 def _documents(sf_dir: str, columns=None) -> rd.Dataset:
@@ -224,3 +224,92 @@ def redirect_chains(sf_dir: str, max_iters: int = 40) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# --- incremental view maintenance of link profiles ------------------------
+
+_LINK_TYPES = ("dofollow", "nofollow", "sponsored", "ugc")
+
+
+def profiles_incremental(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """Link profiles AFTER a recrawl delta, by INCREMENTAL maintenance
+    — apply the delta to a stored pair index instead of recomputing
+    the web graph.
+
+    At 10^10 URLs a recrawl touches a sliver of the corpus; rebuilding
+    every profile from scratch is the classic mistake.  The
+    maintainable state is the (target_url, source_host) PAIR index
+    with counts (the same partial link_profiles pre-aggregates):
+    counts are summable AND subtractable, and distinct-referrer
+    cardinality — which is NOT subtractable from the rolled-up
+    profile — falls out as the count of pairs with n > 0.
+
+    Delta model: the snapshot_diff recrawl drops docs with
+    ``doc_id % 41 == 6``; their out-edges enter the delta stream with
+    sign −1.  Plan: one pair-keyed exchange builds the stored index,
+    the (tiny) delta aggregates through the same exchange shape, the
+    union re-merges per pair, dead pairs (n = 0) drop, and one
+    target-keyed exchange rolls up profiles.  Equality with a full
+    recompute over the surviving docs is pytest-pinned; the SQL
+    oracle recomputes profiles over edges whose source doc survives.
+    """
+    from .graph import edges_dataset
+    from ..ops import hash_aggregate
+
+    edges = edges_dataset(sf_dir, multiplier).select_columns(
+        ["source_url", "target_url", "source_host", "link_type"]
+    ).materialize()
+
+    def pair_combine(sign: int):
+        return [
+            (pl.len().cast(pl.Int64) * sign).alias("n"),
+            *[
+                ((pl.col("link_type") == t).sum().cast(pl.Int64) * sign).alias(
+                    f"{t}_backlinks"
+                )
+                for t in _LINK_TYPES
+            ],
+        ]
+
+    _MERGE = [
+        pl.col("n").sum(),
+        *[pl.col(f"{t}_backlinks").sum() for t in _LINK_TYPES],
+    ]
+
+    # stored state: the full pair index of snapshot A
+    pairs_state = hash_aggregate(
+        edges, ["target_url", "source_host"], combine=pair_combine(+1), merge=_MERGE
+    )
+
+    # delta stream: out-edges of the docs the recrawl removed, sign -1
+    def removed_only(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        d = pl.col("source_url").str.extract(r"/doc/(\d+)$", 1).cast(pl.Int64)
+        return df.filter(d % 41 == 6).to_arrow()
+
+    pairs_delta = hash_aggregate(
+        edges.map_batches(removed_only, batch_format="pyarrow", zero_copy_batch=True),
+        ["target_url", "source_host"],
+        combine=pair_combine(-1),
+        merge=_MERGE,
+    )
+
+    merged = hash_aggregate(
+        pairs_state.union(pairs_delta),
+        ["target_url", "source_host"],
+        combine=_MERGE,
+        merge=_MERGE,
+    ).map_batches(
+        lambda b: pl.from_arrow(b).filter(pl.col("n") > 0).to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def profile(df: pl.DataFrame) -> pl.DataFrame:
+        return df.group_by("target_url").agg(
+            pl.col("n").sum().alias("total_backlinks"),
+            pl.len().cast(pl.Int64).alias("unique_referring_domains"),
+            *[pl.col(f"{t}_backlinks").sum() for t in _LINK_TYPES],
+        )
+
+    return hash_group_apply(merged, ["target_url"], profile)

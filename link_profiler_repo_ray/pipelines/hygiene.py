@@ -28,6 +28,7 @@ __all__ = [
     "url_filter_scores",
     "shard_balance_report",
     "robots_block_rates",
+    "range_partition_plan",
 ]
 
 
@@ -306,3 +307,77 @@ def shard_balance_report(sf_dir: str, multiplier: int = 1, num_shards: int = 32)
             pl.col("n").max().alias("max_host_docs"),
         ),
     )
+
+
+# --- equi-depth range-partition planner ------------------------------------
+
+def range_partition_plan(sf_dir: str, num_parts: int = 8) -> rd.Dataset:
+    """Plan ``num_parts`` range partitions over event value and report
+    the balance each would actually get — the planning step behind
+    every distributed sort / range shuffle (Ray's sort, like
+    TeraSort's, samples split points; a bad split plan is how a sort
+    stage ends up with one straggler reducer).
+
+    Exact, not sampled: money is integer cents, so the per-block
+    (cents → count) histogram aggregate is exact and the exchange
+    carries |distinct cents| rows, never events (the value_percentiles
+    discipline).  Bounds are the lower-interpolation quantiles at rank
+    (k·n)//P; rows then land in part = #{bounds ≤ v}, so duplicate
+    bound values (heavy ties) produce EMPTY partitions rather than
+    silently splitting a tied value across two reducers — exactly the
+    skew the report exists to surface.  The final plan step runs over
+    the full (bounded) histogram in one task; at an unbounded domain
+    the histogram swaps for the MRL sketch (value_quantiles_sketch).
+    """
+    import os
+
+    import numpy as np
+
+    from ..ops import read_parquet
+
+    ev = read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+
+    def cents_hist(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(((pl.col("value") * 100 + 0.5).floor().cast(pl.Int64)).alias("cents"))
+            .group_by("cents")
+            .len("cnt")
+            .with_columns(pl.col("cnt").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    hist = hash_aggregate(
+        ev.map_batches(cents_hist, batch_format="pyarrow", zero_copy_batch=True),
+        ["cents"],
+        combine=[pl.col("cnt").sum()],
+        merge=[pl.col("cnt").sum()],
+    )
+
+    def plan(df: pl.DataFrame) -> pl.DataFrame:
+        df = df.sort("cents")
+        cents = df["cents"].to_numpy()
+        cnt = df["cnt"].to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        ranks = [(k * n) // num_parts for k in range(1, num_parts)]
+        # value at rank t = first cents whose cumulative count exceeds t
+        bounds = cents[np.searchsorted(cum, np.array(ranks), side="right")]
+        part = np.searchsorted(np.sort(bounds), cents, side="right")
+        out = pl.DataFrame(
+            {"part": part.astype("int64"), "cents": cents, "cnt": cnt}
+        )
+        return out.group_by("part").agg(
+            pl.col("cnt").sum().alias("n_rows"),
+            pl.col("cents").min().alias("lo_cents"),
+            pl.col("cents").max().alias("hi_cents"),
+        )
+
+    # one logical group: the plan needs the whole ordered histogram —
+    # bounded by |distinct cents|, not |events|
+    keyed = hist.map_batches(
+        lambda b: pl.from_arrow(b).with_columns(pl.lit(0).alias("g")).to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hash_group_apply(keyed, ["g"], lambda df: plan(df.drop("g")))

@@ -182,11 +182,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # historical snapshot analytics + redirect resolution
         "snapshot_diff": history.snapshot_diff,
         "redirect_chains": history.redirect_chains,
+        "profiles_incremental": history.profiles_incremental,
         # web hygiene + partition diagnostics
         "host_spam_scores": hygiene.host_spam_scores,
         "url_filter_scores": hygiene.url_filter_scores,
         "shard_balance_report": hygiene.shard_balance_report,
         "robots_block_rates": hygiene.robots_block_rates,
+        "range_partition_plan": hygiene.range_partition_plan,
         # bloom-pruned big⋈big semi-join + decontamination scale path
         "bloom_semijoin": bloomjoin.bloom_semijoin,
         "contamination_bloom": bloomjoin.contamination_bloom,

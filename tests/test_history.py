@@ -80,3 +80,44 @@ class TestRedirectChains:
         assert got == expected
         # chains must be non-trivial for the doubling to be exercised
         assert max(h for _, h in expected.values()) >= 3
+
+
+class TestProfilesIncremental:
+    def test_delta_merge_equals_full_recompute(self, ray_session):
+        """The IVM property: stored pair index + signed delta ==
+        profiles recomputed from scratch over the surviving docs."""
+        import polars as pl
+
+        from link_profiler_repo_ray.pipelines.graph import edges_dataset, link_profiles
+        from link_profiler_repo_ray.pipelines.history import profiles_incremental
+
+        def survivors_only(batch):
+            df = pl.from_arrow(batch)
+            d = pl.col("source_url").str.extract(r"/doc/(\d+)$", 1).cast(pl.Int64)
+            return df.filter(d % 41 != 6).to_arrow()
+
+        full = (
+            link_profiles(
+                SF,
+                edges=edges_dataset(SF).map_batches(
+                    survivors_only, batch_format="pyarrow", zero_copy_batch=True
+                ),
+            )
+            .to_pandas()
+            .sort_values("target_url")
+            .reset_index(drop=True)
+        )
+        inc = (
+            profiles_incremental(SF)
+            .to_pandas()
+            .sort_values("target_url")
+            .reset_index(drop=True)
+        )
+        assert sorted(full.columns) == sorted(inc.columns)
+        inc = inc[full.columns]
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(full, inc, check_dtype=False)
+        # the delta must actually remove something
+        base = link_profiles(SF).to_pandas()
+        assert inc["total_backlinks"].sum() < base["total_backlinks"].sum()

@@ -83,3 +83,24 @@ class TestRobotsBlockRates:
             assert r.block_rate_milli == expect, r
             assert r.n_blocked == (r.n_urls if expect else 0)
         assert (df["block_rate_milli"] == 1000).any()  # rule actually fires
+
+
+class TestRangePartitionPlan:
+    def test_balance_and_coverage(self, ray_session):
+        import duckdb
+
+        from link_profiler_repo_ray.pipelines.hygiene import range_partition_plan
+
+        df = range_partition_plan(SF).to_pandas().sort_values("part")
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()[0]
+        assert df["n_rows"].sum() == n  # every event lands somewhere
+        # ranges are disjoint and ordered
+        his = df["hi_cents"].tolist()
+        los = df["lo_cents"].tolist()
+        for i in range(len(df) - 1):
+            assert his[i] <= los[i + 1]
+        # equi-depth within tie slack: no partition more than 2x ideal
+        assert df["n_rows"].max() <= 2 * (n / 8) + 1

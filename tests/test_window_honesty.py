@@ -80,6 +80,8 @@ SIBLINGS = {
     "shard_balance_report": "extract_links",
     "bloom_semijoin": "customers_without_orders",
     "robots_block_rates": "crawl_bfs",
+    "profiles_incremental": "link_profiles",
+    "range_partition_plan": "events_by_day",
 }
 
 
