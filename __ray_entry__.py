@@ -252,9 +252,17 @@ def entry() -> Any:
 #                                events_by_day (same events scan) —
 #                                the exact-histogram rank rule the
 #                                plan reuses is hash-verified in-repo
+#   events_rollup             -> events_by_day (the same finest-level
+#                                day aggregate in-window; the coarser
+#                                levels re-aggregate it)
+#   anchor_fuzzy_pairs        -> extract_links (same edges parse);
+#                                blocking completeness + exact-check
+#                                semantics pinned in tests/test_hygiene.py
 _YIELD_WINDOW_SLOT = (
     "profiles_incremental",
     "range_partition_plan",
+    "events_rollup",
+    "anchor_fuzzy_pairs",
     "snapshot_diff",
     "redirect_chains",
     "host_spam_scores",
@@ -1885,4 +1893,22 @@ a AS (SELECT c.cents,
 SELECT part, count(*)::BIGINT AS n_rows,
        min(cents) AS lo_cents, max(cents) AS hi_cents
 FROM a GROUP BY part""",
+        "events_rollup": """
+WITH e AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type, day, count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_value_cents
+FROM e GROUP BY 1, 2
+UNION ALL
+SELECT event_type, 'ALL', count(*)::BIGINT, sum(cents)::BIGINT FROM e GROUP BY 1
+UNION ALL
+SELECT 'ALL', 'ALL', count(*)::BIGINT, sum(cents)::BIGINT FROM e""",
+        # the oracle IS the quadratic plan the blocked operator avoids
+        "anchor_fuzzy_pairs": graph_cte
+        + """,
+an AS (SELECT DISTINCT anchor_text AS a FROM edges)
+SELECT x.a AS a, y.a AS b, 1::BIGINT AS dist
+FROM an x JOIN an y ON x.a < y.a
+WHERE levenshtein(x.a, y.a) <= 1""",
     }

@@ -29,6 +29,7 @@ __all__ = [
     "shard_balance_report",
     "robots_block_rates",
     "range_partition_plan",
+    "anchor_fuzzy_pairs",
 ]
 
 
@@ -381,3 +382,97 @@ def range_partition_plan(sf_dir: str, num_parts: int = 8) -> rd.Dataset:
         zero_copy_batch=True,
     )
     return hash_group_apply(keyed, ["g"], lambda df: plan(df.drop("g")))
+
+
+# --- fuzzy self-join by deletion-neighborhood blocking ---------------------
+
+def _ed_le_1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check for a ≠ b (two short strings)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a+1 chars: allow exactly one skip in b
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif not skipped:
+            skipped = True
+            j += 1
+        else:
+            return False
+    return True
+
+
+def anchor_fuzzy_pairs(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """All pairs of DISTINCT anchor texts at edit distance ≤ 1 — the
+    fuzzy self-join behind typo-cluster normalization (near-identical
+    anchors/URLs that exact dedup misses).
+
+    The scalable plan is DELETION-NEIGHBORHOOD BLOCKING (the FastSS /
+    SymSpell construction): every string s emits block keys
+    {s} ∪ {s minus position i}; any two strings within edit distance 1
+    (substitution, insertion, or deletion) provably share at least one
+    key, so candidates form inside key-partitions — never an all-pairs
+    product — and an exact ≤1 check kills the block-collision false
+    positives (e.g. "ab"/"ba" share deletion key "a" at distance 2).
+    The DuckDB oracle IS the all-pairs levenshtein join, which is the
+    O(V²) plan this operator exists to avoid.
+    """
+    from .graph import edges_dataset
+
+    anchors = hash_aggregate(
+        edges_dataset(sf_dir, multiplier).select_columns(["anchor_text"]),
+        ["anchor_text"],
+        combine=[pl.len().alias("c")],
+        merge=[pl.col("c").sum()],
+    ).select_columns(["anchor_text"])
+
+    def deletion_keys(batch: pa.Table) -> pa.Table:
+        keys, strs = [], []
+        for s in batch.column("anchor_text").to_pylist():
+            keys.append(s)
+            strs.append(s)
+            for i in range(len(s)):
+                keys.append(s[:i] + s[i + 1 :])
+                strs.append(s)
+        return pa.table({"k": pa.array(keys, pa.string()), "s": pa.array(strs, pa.string())})
+
+    blocked = anchors.map_batches(
+        deletion_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pairs_in_block(df: pl.DataFrame) -> pl.DataFrame:
+        df = df.unique()
+        out_a, out_b = [], []
+        for _, sub in df.group_by("k"):
+            ss = sorted(sub["s"].to_list())
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    if _ed_le_1(ss[i], ss[j]):
+                        out_a.append(ss[i])
+                        out_b.append(ss[j])
+        return pl.DataFrame({"a": out_a, "b": out_b}, schema={"a": pl.Utf8, "b": pl.Utf8})
+
+    candidate_pairs = hash_group_apply(blocked, ["k"], pairs_in_block)
+
+    # a pair can match under several shared keys — one dedup exchange
+    deduped = hash_aggregate(
+        candidate_pairs,
+        ["a", "b"],
+        combine=[pl.len().alias("c")],
+        merge=[pl.col("c").sum()],
+    )
+    return deduped.map_batches(
+        lambda b: pl.from_arrow(b)
+        .select("a", "b", pl.lit(1, dtype=pl.Int64).alias("dist"))
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -35,6 +35,7 @@ __all__ = [
     "cohort_retention",
     "events_asof_join",
     "events_range_join",
+    "events_rollup",
     "value_percentiles",
     "value_quantiles_sketch",
 ]
@@ -921,3 +922,78 @@ def events_range_join(sf_dir: str) -> rd.Dataset:
         ],
         merge=[pl.col("n_events").sum(), pl.col("sum_value_cents").sum()],
     )
+
+
+# --- GROUPING SETS rollup: three levels from one scan ---------------------
+
+def events_rollup(sf_dir: str) -> rd.Dataset:
+    """(event_type, day) counts with per-type subtotals and a grand
+    total — SQL's GROUP BY ROLLUP, emitted from ONE scan.
+
+    The scale discipline: the input is aggregated once to the finest
+    level (the only exchange that sees event rows); the coarser levels
+    re-aggregate the FINEST AGGREGATE (|types × days| rows), never the
+    input.  'ALL' markers replace SQL's NULL grouping keys so the rows
+    stay hashable by the driver's value compare.
+    """
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return df.select(
+            pl.col("event_type"),
+            pl.col("ts").dt.truncate("1d").dt.strftime("%Y-%m-%d").alias("day"),
+            _cents("value").alias("cents"),
+        ).to_arrow()
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        add_day, batch_format="pyarrow", zero_copy_batch=True
+    )
+    _agg = [
+        pl.col("n_events").sum(),
+        pl.col("sum_value_cents").sum(),
+    ]
+    finest = hash_aggregate(
+        ev,
+        ["event_type", "day"],
+        combine=[
+            pl.len().cast(pl.Int64).alias("n_events"),
+            pl.col("cents").sum().alias("sum_value_cents"),
+        ],
+        merge=_agg,
+    ).map_batches(
+        lambda b: pl.from_arrow(b)
+        .select("event_type", "day", "n_events", "sum_value_cents")
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    sub = hash_aggregate(finest, ["event_type"], combine=_agg, merge=_agg).map_batches(
+        lambda b: pl.from_arrow(b)
+        .select(
+            "event_type",
+            pl.lit("ALL").alias("day"),
+            "n_events",
+            "sum_value_cents",
+        )
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    grand = hash_group_apply(
+        finest.map_batches(
+            lambda b: pl.from_arrow(b).with_columns(pl.lit(0).alias("g")).to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["g"],
+        lambda df: df.select(
+            pl.lit("ALL").alias("event_type"),
+            pl.lit("ALL").alias("day"),
+            pl.col("n_events").sum(),
+            pl.col("sum_value_cents").sum(),
+        ),
+    )
+
+    return finest.union(sub, grand)

@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_balance_report": hygiene.shard_balance_report,
         "robots_block_rates": hygiene.robots_block_rates,
         "range_partition_plan": hygiene.range_partition_plan,
+        "anchor_fuzzy_pairs": hygiene.anchor_fuzzy_pairs,
         # bloom-pruned big⋈big semi-join + decontamination scale path
         "bloom_semijoin": bloomjoin.bloom_semijoin,
         "contamination_bloom": bloomjoin.contamination_bloom,
@@ -207,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": relational.events_distinct_users,
         "events_asof_join": relational.events_asof_join,
         "events_range_join": relational.events_range_join,
+        "events_rollup": relational.events_rollup,
         "value_percentiles": relational.value_percentiles,
         "value_quantiles_sketch": relational.value_quantiles_sketch,
     }

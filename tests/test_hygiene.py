@@ -104,3 +104,34 @@ class TestRangePartitionPlan:
             assert his[i] <= los[i + 1]
         # equi-depth within tie slack: no partition more than 2x ideal
         assert df["n_rows"].max() <= 2 * (n / 8) + 1
+
+
+class TestAnchorFuzzyPairs:
+    def test_ed_le_1_unit(self):
+        from link_profiler_repo_ray.pipelines.hygiene import _ed_le_1
+
+        assert _ed_le_1("link 1", "link 2")      # substitution
+        assert _ed_le_1("link 1", "link 12")     # insertion
+        assert _ed_le_1("link 12", "link 1")     # deletion
+        assert not _ed_le_1("ab", "ba")          # the blocking FP case
+        assert not _ed_le_1("link 1", "link 234")
+
+    def test_blocking_finds_all_pairs(self, ray_session):
+        """Deletion blocking + exact check == brute-force truth."""
+        import itertools
+
+        from link_profiler_repo_ray.pipelines.graph import edges_dataset
+        from link_profiler_repo_ray.pipelines.hygiene import _ed_le_1, anchor_fuzzy_pairs
+
+        anchors = sorted(
+            set(edges_dataset(SF).to_pandas()["anchor_text"])
+        )
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(anchors, 2)
+            if _ed_le_1(a, b)
+        }
+        got_df = anchor_fuzzy_pairs(SF).to_pandas()
+        got = set(zip(got_df["a"], got_df["b"]))
+        assert got == want
+        assert len(want) > 0

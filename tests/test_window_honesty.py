@@ -82,6 +82,8 @@ SIBLINGS = {
     "robots_block_rates": "crawl_bfs",
     "profiles_incremental": "link_profiles",
     "range_partition_plan": "events_by_day",
+    "events_rollup": "events_by_day",
+    "anchor_fuzzy_pairs": "extract_links",
 }
 
 
