@@ -81,6 +81,15 @@ def main(argv=None) -> int:
     cu.add_argument("--out", required=True)
     cu.add_argument("--budget", type=int, default=512, help="tokens per packed sequence")
 
+    co = sub.add_parser(
+        "compact",
+        help="compact a crawl's page-delta log into a host-sharded, "
+        "URL-deduplicated, manifest-tracked table (idempotent)",
+    )
+    co.add_argument("--pages-dir", required=True, help="crawl output's pages/ directory")
+    co.add_argument("--out", required=True)
+    co.add_argument("--shards", type=int, default=16)
+
     # generic job-type dispatch (the reference's 12-type registry,
     # crawl_service.py:215-264 → registry.queries())
     q = sub.add_parser("query")
@@ -181,6 +190,11 @@ def main(argv=None) -> int:
             # driver list (round-1 advice: the CLI printed 0 for
             # "not collected")
             print(json.dumps(out))
+        elif args.cmd == "compact":
+            from .pipelines.compact import compact_pages
+
+            m = compact_pages(args.pages_dir, args.out, num_shards=args.shards)
+            print(json.dumps({k: m[k] for k in ("num_shards", "total_rows", "total_bytes")}))
         elif args.cmd == "curate":
             from .pipelines.curate import curate_corpus
 
