@@ -258,11 +258,15 @@ def entry() -> Any:
 #   anchor_fuzzy_pairs        -> extract_links (same edges parse);
 #                                blocking completeness + exact-check
 #                                semantics pinned in tests/test_hygiene.py
+#   ai_calibration            -> ai_content_scores (the same model
+#                                stage in-window) + quality_funnel
+#                                (the same g3 gate in-window)
 _YIELD_WINDOW_SLOT = (
     "profiles_incremental",
     "range_partition_plan",
     "events_rollup",
     "anchor_fuzzy_pairs",
+    "ai_calibration",
     "snapshot_diff",
     "redirect_chains",
     "host_spam_scores",
@@ -1911,4 +1915,18 @@ an AS (SELECT DISTINCT anchor_text AS a FROM edges)
 SELECT x.a AS a, y.a AS b, 1::BIGINT AS dist
 FROM an x JOIN an y ON x.a < y.a
 WHERE levenshtein(x.a, y.a) <= 1""",
+        "ai_calibration": """
+WITH f AS (
+  SELECT n_chars AS nc_table, string_split(text, ' ') AS ws,
+         length(text)::BIGINT AS nc,
+         (length(text) - length(replace(text, 'e', '')))::BIGINT AS n_e
+  FROM documents),
+s AS (SELECT ((17 + 3 * nc + 7 * n_e) % 101)::BIGINT AS score,
+             (nc_table >= 150 AND len(ws) >= 30
+              AND len(list_distinct(ws))::DOUBLE / len(ws) >= 0.65) AS heuristic_pass
+      FROM f)
+SELECT CASE WHEN score >= 75 THEN 'high_quality' WHEN score >= 40 THEN 'low_quality'
+            WHEN score >= 15 THEN 'spam' ELSE 'irrelevant' END AS ai_classification,
+       heuristic_pass, count(*)::BIGINT AS n_docs
+FROM s GROUP BY 1, 2""",
     }

@@ -38,7 +38,60 @@ from .. import ops
 from ..stages import AIScoreStage
 from . import graph
 
-__all__ = ["ai_content_scores", "audit_scores", "technical_audit", "full_seo_audit"]
+__all__ = [
+    "ai_content_scores",
+    "ai_calibration",
+    "audit_scores",
+    "technical_audit",
+    "full_seo_audit",
+]
+
+
+def ai_calibration(sf_dir: str) -> rd.Dataset:
+    """Model-vs-heuristic calibration table: the AI classifier's label
+    crossed with the curation gate verdict, counted.
+
+    An ML-driven curation pipeline runs BOTH a model scorer (T10) and
+    cheap heuristic gates (the quality_funnel g3: length ≥ 150,
+    ≥ 30 tokens, unique-token ratio ≥ 0.65); this confusion rollup is
+    how a curator decides whether the model can replace the gates (or
+    vice versa) before spending a 100-TB inference pass.  One actor
+    pool scores, the gate is computed in the same batch, and only
+    (label, pass) pairs cross a tiny exchange.
+    """
+    docs = ops.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "n_chars"]
+    )
+
+    def gate_and_thin(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        ws = pl.col("text").str.split(" ")
+        n_tok = ws.list.len().cast(pl.Int64)
+        uniq_ratio = ws.list.n_unique().cast(pl.Float64) / n_tok
+        return df.select(
+            "ai_classification",
+            (
+                (pl.col("n_chars") >= 150)
+                & (n_tok >= 30)
+                & (uniq_ratio >= 0.65)
+            ).alias("heuristic_pass"),
+        ).to_arrow()
+
+    scored = docs.map_batches(
+        AIScoreStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=ops.auto_concurrency(),
+    ).map_batches(gate_and_thin, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ..ops import hash_aggregate
+
+    return hash_aggregate(
+        scored,
+        ["ai_classification", "heuristic_pass"],
+        combine=[pl.len().cast(pl.Int64).alias("n_docs")],
+        merge=[pl.col("n_docs").sum()],
+    )
 
 
 def ai_content_scores(sf_dir: str) -> rd.Dataset:

@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_suggest_rollup": serpkw.keyword_suggest_rollup,
         # AI content scoring (T10) + technical audit job types
         "ai_content_scores": audit.ai_content_scores,
+        "ai_calibration": audit.ai_calibration,
         "technical_audit": audit.technical_audit,
         "full_seo_audit": audit.full_seo_audit,
         # social-media / web3 / content-gap job types

@@ -84,6 +84,7 @@ SIBLINGS = {
     "range_partition_plan": "events_by_day",
     "events_rollup": "events_by_day",
     "anchor_fuzzy_pairs": "extract_links",
+    "ai_calibration": "ai_content_scores",
 }
 
 
