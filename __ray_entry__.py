@@ -261,7 +261,16 @@ def entry() -> Any:
 #   ai_calibration            -> ai_content_scores (the same model
 #                                stage in-window) + quality_funnel
 #                                (the same g3 gate in-window)
+#   ngram_novelty             -> exact_substring_dups (the same
+#                                distinct-shingle exchange; only the
+#                                min-owner window differs)
+#   bm25_topk                 -> inverted_index + tfidf_top_terms
+#                                (the same filtered-postings/df
+#                                exchange; scoring is one closed-form
+#                                expression over those rows)
 _YIELD_WINDOW_SLOT = (
+    "ngram_novelty",
+    "bm25_topk",
     "profiles_incremental",
     "range_partition_plan",
     "events_rollup",
@@ -1491,6 +1500,55 @@ s AS (SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
 SELECT doc_id, n_bigrams, logprob_micro,
        logprob_micro::DOUBLE / n_bigrams AS mean_logprob_micro
 FROM s""",
+        "ngram_novelty": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))) AS ngram
+  FROM w),
+f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ngram) AS first_doc FROM g),
+s AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+             sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::BIGINT AS n_novel
+      FROM f GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.n_ngrams, 0)::BIGINT AS n_ngrams,
+       COALESCE(s.n_novel, 0)::BIGINT AS n_novel,
+       CASE WHEN COALESCE(s.n_ngrams, 0) = 0 THEN 0.0
+            ELSE s.n_novel::DOUBLE / s.n_ngrams::DOUBLE END AS novelty_frac
+FROM documents d LEFT JOIN s USING (doc_id)""",
+        "bm25_topk": """
+WITH qmap(query_id, w) AS (VALUES
+  (0, 'hash'), (0, 'join'), (0, 'merge'),
+  (1, 'window'), (1, 'sort'), (1, 'order'), (1, 'key'),
+  (2, 'customer'), (2, 'line'), (2, 'value'), (2, 'scan')),
+dls AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents),
+corp AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot FROM dls),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (SELECT t.doc_id, t.w, count(*)::BIGINT AS tf
+       FROM toks t WHERE t.w IN (SELECT DISTINCT w FROM qmap)
+       GROUP BY t.doc_id, t.w),
+scored AS (
+  SELECT tf.doc_id, tf.w,
+         CAST(floor(
+           ln((CAST(corp.n AS DOUBLE) - CAST(count(*) OVER (PARTITION BY tf.w) AS DOUBLE) + 0.5)
+              / (CAST(count(*) OVER (PARTITION BY tf.w) AS DOUBLE) + 0.5) + 1.0)
+           * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * (CAST(d.dl AS DOUBLE)
+                                    / (CAST(corp.tot AS DOUBLE) / CAST(corp.n AS DOUBLE))))))
+           * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+  FROM tf JOIN dls d USING (doc_id) CROSS JOIN corp),
+agg AS (SELECT q.query_id::BIGINT AS query_id, s.doc_id,
+               count(*)::BIGINT AS n_terms, sum(s.s_micro)::BIGINT AS score_micro
+        FROM scored s JOIN qmap q USING (w)
+        GROUP BY q.query_id, s.doc_id),
+r AS (SELECT query_id, doc_id, n_terms, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rank
+      FROM agg)
+SELECT query_id, rank::BIGINT AS rank, doc_id, n_terms, score_micro,
+       score_micro::DOUBLE * 0.000001 AS score
+FROM r WHERE rank <= 10""",
         "exact_substring_dups": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 base AS (SELECT doc_id, GREATEST(len(ws) - 5, 0)::BIGINT AS n_windows FROM w),

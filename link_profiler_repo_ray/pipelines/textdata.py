@@ -74,6 +74,7 @@ __all__ = [
     "dsir_scores",
     "dsir_select",
     "exact_substring_dups",
+    "ngram_novelty",
     "media_features_png",
 ]
 
@@ -674,6 +675,109 @@ def exact_substring_dups(sf_dir: str, n: int = 6) -> rd.Dataset:
                 .otherwise(pl.col("n_dup_windows").cast(pl.Float64) / pl.col("n_windows"))
             )
             .select("doc_id", "n_windows", "n_dup_windows", "dup_window_frac")
+            .to_arrow()
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_novelty(sf_dir: str, n: int = 3) -> rd.Dataset:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct ``n``-grams whose GLOBAL first occurrence (minimum
+    ``doc_id`` over the corpus) is this document — the
+    first-occurrence contribution score used when curating corpora by
+    marginal new content (the retention rule behind keep-first
+    dedup pipelines such as SlimPajama's, applied as a per-document
+    score instead of a drop decision).
+
+    Two thin exchanges plus one partitioned join; document text never
+    crosses any of them beyond the n-grams themselves:
+
+    1. ngram exchange — distinct (doc_id, ngram) rows (block-local
+       distinct IS global: a doc lives wholly in one block)
+       hash-partitioned by ngram; the first-occurrence owner is a
+       window ``min(doc_id)`` WITHIN the partition, and the partition
+       immediately pre-reduces to per-doc partial counters
+       (``n_ngrams``, ``n_novel``) so only counters leave.
+    2. doc exchange — sums the partials per document.
+    3. one ``tagged_union_join`` back to the full doc_id list so
+       documents shorter than ``n`` tokens emit an explicit zero row.
+
+    ``novelty_frac`` is a single int→double division, bit-identical
+    cross-engine.  At 100 TB the same swap as
+    :func:`exact_substring_dups` applies — key the exchange by a
+    64-bit ngram hash so exchange keys are 8 bytes — and min-doc_id
+    stays a plain associative aggregate under the hashed key.
+    """
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return (
+            df.select("doc_id", pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .with_columns(
+                pl.concat_str(
+                    [pl.col("w")] + [pl.col("w").shift(-k).over("doc_id") for k in range(1, n)],
+                    separator=" ",
+                    ignore_nulls=False,
+                ).alias("ngram")
+            )
+            .drop_nulls("ngram")
+            .select("doc_id", "ngram")
+            .unique()
+            .to_arrow()
+        )
+
+    def novel_partials(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.with_columns(first_doc=pl.col("doc_id").min().over("ngram"))
+            .group_by("doc_id")
+            .agg(
+                n_ngrams=pl.len().cast(pl.Int64),
+                n_novel=(pl.col("doc_id") == pl.col("first_doc")).sum().cast(pl.Int64),
+            )
+        )
+
+    partials = hash_group_apply(
+        documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+            shingle, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["ngram"],
+        novel_partials,
+    )
+    per_doc = hash_aggregate(
+        partials,
+        ["doc_id"],
+        combine=[pl.col("n_ngrams").sum(), pl.col("n_novel").sum()],
+        merge=[pl.col("n_ngrams").sum(), pl.col("n_novel").sum()],
+    )
+    joined = tagged_union_join(
+        documents_dataset(sf_dir, ["doc_id"]),
+        per_doc,
+        "doc_id",
+        "doc_id",
+        how="left",
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_ngrams", pa.int64()), ("n_novel", pa.int64())]
+        ),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .with_columns(
+                pl.col("n_ngrams").fill_null(0), pl.col("n_novel").fill_null(0)
+            )
+            .with_columns(
+                novelty_frac=pl.when(pl.col("n_ngrams") == 0)
+                .then(pl.lit(0.0))
+                .otherwise(
+                    pl.col("n_novel").cast(pl.Float64)
+                    / pl.col("n_ngrams").cast(pl.Float64)
+                )
+            )
+            .select("doc_id", "n_ngrams", "n_novel", "novelty_frac")
             .to_arrow()
         )
 

@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         prospects,
         relational,
         research,
+        retrieval,
         social,
         textdata,
     )
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": textdata.dsir_scores,
         "dsir_select": textdata.dsir_select,
         "exact_substring_dups": textdata.exact_substring_dups,
+        "ngram_novelty": textdata.ngram_novelty,
         "lang_id": textdata.lang_id_docs,
         "fingerprints": textdata.fingerprints,
         "dedup_exact": textdata.dedup_exact,
@@ -170,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": textdata.vocab_top_tokens,
         "token_heavy_hitters": textdata.token_heavy_hitters,
         "inverted_index": textdata.inverted_index,
+        "bm25_topk": retrieval.bm25_topk,
         # corpus-curation ops (round 3)
         "clean_text": textdata.clean_text,
         "pii_scrub": textdata.pii_scrub,
