@@ -121,7 +121,12 @@ def bm25_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
         df_d = pl.col("df_").cast(pl.Float64)
         dl_d = pl.col("dl").cast(pl.Float64)
         idf = ((pl.lit(n_f) - df_d + 0.5) / (df_d + 0.5) + 1.0).log()
-        tfn = (tf_d * (_K1 + 1.0)) / (tf_d + _K1 * ((1.0 - _B) + _B * (dl_d / avgdl)))
+        # multiply by the precomputed reciprocal instead of dividing by
+        # avgdl: polars rewrites division-by-scalar into multiply-by-
+        # reciprocal anyway, so forcing the same reciprocal-multiply on
+        # BOTH sides (the oracle SQL restates 1.0/avgdl verbatim) keeps
+        # the expression trees bit-identical instead of 1-ULP apart
+        tfn = (tf_d * (_K1 + 1.0)) / (tf_d + _K1 * ((1.0 - _B) + _B * (dl_d * (1.0 / avgdl))))
         return (
             df.with_columns(df_=pl.len().over("w").cast(pl.Int64))
             .with_columns(s_micro=(idf * tfn * 1_000_000.0 + 0.5).floor().cast(pl.Int64))

@@ -20,71 +20,78 @@ WINDOW = 50
 # upstream parse/rollup (must stay consistent with the rationale in
 # __ray_entry__._YIELD_WINDOW_SLOT)
 SIBLINGS = {
-    "sitemap_seed_frontier": "sitemap_parse",
-    "wayback_domain_age": "wayback_latest_snapshot",
-    "link_health_audit": "extract_links",
-    "expired_domain_finder": "domain_value_scores",
-    "top_valuable_domains": "domain_value_scores",
-    "anomalous_events_windowed": "anomalous_events",
-    "token_stats_bpe": "token_stats",
-    "order_priority_revenue": "revenue_by_nation",
-    "cdx_seed_frontier": "cc_cdx_parse",
-    "events_hopping_window": "events_by_day",
-    "doc_quality": "token_stats",
-    "link_velocity": "host_graph",
-    "top_anchors_referrers": "link_profiles",
-    "clean_text": "pii_scrub",
-    "referring_domains_exact": "link_profiles",
-    "full_seo_audit": "technical_audit",
-    "web3_content_index": "text_extract",
-    "embedding_centroids": "embedding_topk",
-    "embedding_quantize": "embedding_topk",
-    "repetition_metrics": "token_stats",
-    "unigram_logprob": "token_stats",
-    "dsir_scores": "token_stats",
-    "dsir_select": "dataset_split",
-    "ccnet_buckets": "token_stats",
-    "exact_substring_dups": "contamination_ngrams",
-    "media_features_png": "media_features",
-    "events_range_join": "events_asof_join",
-    "c4_filters": "token_stats",
-    "tfidf_top_terms": "vocab_top_tokens",
-    "value_percentiles": "events_by_day",
-    "host_triangles": "host_graph",
-    "host_reciprocal_links": "host_graph",
-    "host_clustering": "host_graph",
-    "related_hosts_cocitation": "link_intersect",
-    "host_degree_assortativity": "host_graph",
-    "event_funnel": "sessionize",
-    "cohort_retention": "sessionize",
-    "inverted_index": "vocab_top_tokens",
-    "mixture_sample": "dataset_split",
-    "token_entropy": "token_stats",
-    "source_kl_divergence": "token_stats",
-    "line_dedup": "token_stats",
-    "events_rolling_window": "sessionize",
-    "chunk_documents": "token_stats",
-    "badwords_filter": "token_stats",
-    "watermark_lateness": "events_by_day",
-    "source_quality_rollup": "token_stats",
-    "crawl_tier_assignment": "domain_value_scores",
-    "token_zipf_fit": "vocab_top_tokens",
-    "source_lang_mix": "token_stats",
-    "tar_shard_roundtrip": "text_extract",
-    "bigram_logprob": "contamination_ngrams",
-    "events_distinct_users": "events_by_day",
-    "snapshot_diff": "dataset_split",
-    "redirect_chains": "dataset_split",
-    "host_spam_scores": "host_graph",
-    "url_filter_scores": "extract_links",
-    "shard_balance_report": "extract_links",
-    "bloom_semijoin": "customers_without_orders",
-    "robots_block_rates": "crawl_bfs",
-    "profiles_incremental": "link_profiles",
-    "range_partition_plan": "events_by_day",
-    "events_rollup": "events_by_day",
-    "anchor_fuzzy_pairs": "extract_links",
-    "ai_calibration": "ai_content_scores",
+    # --- round-5 rotation: r4's window anchors now yield; each points
+    # at a former dependent that took its window slot (same upstream
+    # parse/rollup, justifications inline in __ray_entry__.py) ---
+    "cc_cdx_parse": "cdx_seed_frontier",
+    "wayback_latest_snapshot": "wayback_domain_age",
+    "sitemap_parse": "sitemap_seed_frontier",
+    "keyword_gap": "serp_rank_latest",
+    "ai_content_scores": "ai_calibration",
+    "technical_audit": "full_seo_audit",
+    "content_gap_topics": "ai_calibration",
+    "outreach_campaign_stats": "link_prospects",
+    "seo_metrics": "full_seo_audit",
+    "domain_value_scores": "top_valuable_domains",
+    "customers_without_orders": "bloom_semijoin",
+    "latest_event_per_user": "events_rolling_window",
+    "anomalous_events": "anomalous_events_windowed",
+    "edge_snapshot_merge": "enriched_edges",
+    "domain_intelligence": "enriched_edges",
+    "url_priority_scores": "url_filter_scores",
+    "text_extract": "web3_content_index",
+    "extract_links": "link_health_audit",
+    "crawl_bfs": "robots_block_rates",
+    "link_profiles": "top_anchors_referrers",
+    "host_graph": "host_triangles",
+    "link_intersect": "related_hosts_cocitation",
+    "token_stats": "doc_quality",
+    "dedup_exact": "line_dedup",
+    "word_jaccard_pairs": "inverted_index",
+    "embedding_topk": "embedding_centroids",
+    "media_features": "media_features_png",
+    "embedding_near_dups": "embedding_centroids",
+    "vocab_top_tokens": "inverted_index",
+    "pii_scrub": "clean_text",
+    "domain_balanced_sample": "mixture_sample",
+    "quality_funnel": "doc_quality",
+    "contamination_ngrams": "ngram_novelty",
+    "dataset_split": "mixture_sample",
+    "curated_documents": "clean_text",
+    "q1_lineitem": "order_priority_revenue",
+    "revenue_by_nation": "order_priority_revenue",
+    "events_by_day": "events_rollup",
+    "sessionize": "event_funnel",
+    "events_asof_join": "events_range_join",
+    # --- stayed yielded from r4; siblings re-pointed at the rotated
+    # window members of the same family ---
+    "tfidf_top_terms": "inverted_index",
+    "bm25_topk": "inverted_index",
+    "repetition_metrics": "doc_quality",
+    "dsir_scores": "unigram_logprob",
+    "ccnet_buckets": "unigram_logprob",
+    "dsir_select": "mixture_sample",
+    "token_entropy": "inverted_index",
+    "source_kl_divergence": "token_zipf_fit",
+    "badwords_filter": "doc_quality",
+    "source_lang_mix": "source_quality_rollup",
+    "chunk_documents": "doc_quality",
+    "bigram_logprob": "ngram_novelty",
+    "watermark_lateness": "events_rolling_window",
+    "events_hopping_window": "events_rollup",
+    "events_distinct_users": "events_rollup",
+    "range_partition_plan": "value_percentiles",
+    "host_reciprocal_links": "host_triangles",
+    "host_clustering": "host_triangles",
+    "host_degree_assortativity": "host_triangles",
+    "profiles_incremental": "top_anchors_referrers",
+    "expired_domain_finder": "top_valuable_domains",
+    "anchor_fuzzy_pairs": "link_health_audit",
+    "shard_balance_report": "url_filter_scores",
+    "tar_shard_roundtrip": "web3_content_index",
+    "snapshot_diff": "mixture_sample",
+    "redirect_chains": "mixture_sample",
+    "cohort_retention": "event_funnel",
 }
 
 
