@@ -126,6 +126,9 @@ _YIELD_WINDOW_SLOT = (
     "snapshot_diff",           # -> mixture_sample (same md5 discipline over documents)
     "redirect_chains",         # -> mixture_sample (same documents scan + portable hash)
     "cohort_retention",        # -> event_funnel (same user-keyed exchange)
+    # displaced by embed_documents joining the window (round 5): the
+    # distinct-shingle exchange stays driver-verified via ngram_novelty
+    "exact_substring_dups",    # -> ngram_novelty (same shingle exchange)
 )
 
 
@@ -1339,6 +1342,22 @@ r AS (SELECT query_id, doc_id, n_terms, score_micro,
 SELECT query_id, rank::BIGINT AS rank, doc_id, n_terms, score_micro,
        score_micro::DOUBLE * 0.000001 AS score
 FROM r WHERE rank <= 10""",
+        "embed_documents": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+n AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM toks GROUP BY doc_id),
+h AS (SELECT doc_id,
+        (CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) % 16)::BIGINT AS dim,
+        (CASE WHEN CAST('0x' || substr(md5(w), 5, 1) AS INTEGER) % 2 = 0
+              THEN 1 ELSE -1 END)::BIGINT AS sgn
+      FROM toks),
+g AS (SELECT doc_id, dim, sum(sgn)::BIGINT AS component_int FROM h GROUP BY doc_id, dim),
+dims AS (SELECT g.i::BIGINT AS dim FROM generate_series(0, 15) g(i)),
+allc AS (SELECT n.doc_id, d.dim, COALESCE(g.component_int, 0)::BIGINT AS component_int,
+                n.n_tok
+         FROM n CROSS JOIN dims d LEFT JOIN g ON g.doc_id = n.doc_id AND g.dim = d.dim)
+SELECT doc_id, dim, component_int,
+       CAST(component_int AS DOUBLE) / sqrt(CAST(n_tok AS DOUBLE)) AS value
+FROM allc""",
         "exact_substring_dups": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 base AS (SELECT doc_id, GREATEST(len(ws) - 5, 0)::BIGINT AS n_windows FROM w),

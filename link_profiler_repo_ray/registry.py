@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         audit,
         bloomjoin,
         curate,
+        encode,
         graph,
         history,
         hygiene,
@@ -169,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_exact": textdata.embedding_near_dups,
         "embedding_quantize": textdata.embedding_quantize,
         "embedding_random_projection": textdata.embedding_random_projection,
+        # text -> embedding encoder (closes the chunk->encode->index loop)
+        "embed_documents": encode.embed_documents,
         "vocab_top_tokens": textdata.vocab_top_tokens,
         "token_heavy_hitters": textdata.token_heavy_hitters,
         "inverted_index": textdata.inverted_index,

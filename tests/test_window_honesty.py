@@ -92,6 +92,8 @@ SIBLINGS = {
     "snapshot_diff": "mixture_sample",
     "redirect_chains": "mixture_sample",
     "cohort_retention": "event_funnel",
+    # displaced by embed_documents joining the window (round 5)
+    "exact_substring_dups": "ngram_novelty",
 }
 
 
