@@ -129,6 +129,11 @@ _YIELD_WINDOW_SLOT = (
     # displaced by embed_documents joining the window (round 5): the
     # distinct-shingle exchange stays driver-verified via ngram_novelty
     "exact_substring_dups",    # -> ngram_novelty (same shingle exchange)
+    # displaced by whois_domain_age + domain_intelligence_sources
+    # joining the window (round 5): both share doc_quality's documents
+    # scan + word split
+    "c4_filters",              # -> doc_quality (same scan + word split)
+    "token_stats_bpe",         # -> doc_quality (same documents scan)
 )
 
 
@@ -699,6 +704,58 @@ SELECT 'h' || host_id || '.example.com' AS host,
        round(count(*) * 100.0 / 6, 6) AS confidence,
        count(*)::BIGINT AS n_sources
 FROM src GROUP BY host_id""",
+        "domain_intelligence_sources": """
+WITH params AS (SELECT GREATEST(5, count(*) // 50)::BIGINT AS h FROM documents),
+hosts AS (SELECT g.i AS host_id FROM generate_series(0, 999999) g(i)
+          WHERE g.i < (SELECT h FROM params)),
+src AS (SELECT host_id, g.s AS source_id, ((host_id + g.s) % 4 <> 0) AS available
+        FROM hosts CROSS JOIN generate_series(0, 5) g(s))
+SELECT 'h' || host_id || '.example.com' AS host,
+       source_id::BIGINT AS source_id,
+       CASE source_id WHEN 0 THEN 'google_trends' WHEN 1 THEN 'news_api'
+            WHEN 2 THEN 'reddit' WHEN 3 THEN 'youtube' WHEN 4 THEN 'ssl_labs'
+            ELSE 'security_trails' END AS source_name,
+       available,
+       (CASE WHEN available THEN ((host_id * 7 + source_id) % 3) - 1 END)::BIGINT
+         AS sentiment,
+       (CASE WHEN available THEN (host_id * 11 + source_id * 17) % 50 END)::BIGINT
+         AS mentions,
+       CASE WHEN available THEN 100.0 / 6 ELSE 0.0 END AS source_confidence
+FROM src""",
+        "whois_domain_age": """
+WITH params AS (SELECT GREATEST(5, count(*) // 50)::BIGINT AS h FROM documents),
+ks AS (SELECT g.i AS k FROM generate_series(0, 999999) g(i)
+       WHERE g.i < (SELECT h FROM params)),
+u AS (
+  SELECT 'h' || k || '.example.com' AS domain, k, 0 AS cls FROM ks
+  UNION ALL SELECT 'ext' || k || '.net', k, 1 FROM ks
+  UNION ALL SELECT 'probe' || k || '.test.com', k, 2 FROM ks),
+w AS (
+  SELECT domain, k, cls, (cls <> 2) AS found,
+    CASE cls WHEN 0 THEN 'Example Registrar'
+             WHEN 1 THEN 'Registrar ' || (1 + (k*13+5) % 10) END AS registrar,
+    CASE cls WHEN 0 THEN 'clientTransferProhibited' WHEN 1 THEN 'ok' END AS status,
+    CASE cls WHEN 0 THEN 'Example LLC'
+             WHEN 1 THEN 'Org ' || (1 + (k*31+11) % 100) END AS organization,
+    CASE cls WHEN 0 THEN 'US'
+             WHEN 1 THEN (['US','CA','GB','DE','AU'])[((k*29+3) % 5) + 1] END AS country,
+    CASE cls WHEN 0 THEN TIMESTAMP '2000-01-01'
+             WHEN 1 THEN TIMESTAMP '2024-03-01'
+                         - (365 + (k*97+13) % (365*9)) * INTERVAL 1 DAY END AS creation_ts,
+    CASE cls WHEN 0 THEN TIMESTAMP '2025-01-01'
+             WHEN 1 THEN TIMESTAMP '2024-03-01'
+                         + (30 + (k*53+7) % 1796) * INTERVAL 1 DAY END AS expiration_ts
+  FROM u)
+SELECT domain, found,
+       COALESCE(registrar, '') AS registrar,
+       COALESCE(status, '') AS status,
+       COALESCE(organization, '') AS organization,
+       COALESCE(country, '') AS country,
+       creation_ts, expiration_ts,
+       date_diff('day', creation_ts, TIMESTAMP '2024-03-01')::BIGINT AS domain_age_days,
+       date_diff('day', TIMESTAMP '2024-03-01', expiration_ts)::BIGINT AS days_to_expiry,
+       COALESCE(expiration_ts < TIMESTAMP '2024-03-01', FALSE) AS expired
+FROM w""",
         "edge_snapshot_merge": graph_cte
         + """
 , s1 AS (

@@ -30,6 +30,8 @@ __all__ = [
     "props_json_rollup",
     "enriched_edges",
     "domain_intelligence",
+    "domain_intelligence_sources",
+    "whois_domain_age",
     "edge_snapshot_merge",
     "url_priority_scores",
     "top_valuable_domains",
@@ -496,41 +498,94 @@ def enriched_edges(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     )
 
 
+# the six distinct enrichment feeds the reference fans out per domain
+# (clients/google_trends_client.py:65, news_api_client.py,
+# reddit_client.py, youtube_client.py, plus the ssl / securitytrails
+# feeds inside data_aggregation_service.py:138-215)
+_INTEL_SOURCES = (
+    "google_trends",
+    "news_api",
+    "reddit",
+    "youtube",
+    "ssl_labs",
+    "security_trails",
+)
+
+
+def domain_intelligence_sources(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """A7 provenance layer: one row per (host, enrichment source).
+
+    The reference's ``aggregate_domain_intelligence`` gathers six
+    concurrent source fetches and records WHICH sources answered in
+    ``data_sources`` before merging (data_aggregation_service.py:
+    138-215).  The merged view (:func:`domain_intelligence`) kept only
+    the rollup; this exposes the per-source records with provenance —
+    source name, availability, its sentiment/mention payload, and the
+    source's contribution to the reference's ``len(sources)/6·100``
+    confidence formula.  Sandbox feeds are deterministic functions of
+    (host_id, source_id): source s answers for host h iff
+    ``(h+s) % 4 != 0``; when it answers, sentiment is
+    ``((h·7+s) % 3) − 1`` and mention count ``(h·11+s·17) % 50``.
+    Per-host fan-out happens INSIDE the batch (vectorized long-form
+    expand) — zero exchanges.
+    """
+    from ..sources import corpus as corpus_mod
+
+    n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
+    hosts = ops.int_range(corpus_mod.n_hosts(n_docs), "host_id")
+    names = {i: s for i, s in enumerate(_INTEL_SOURCES)}
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        df = (
+            df.with_columns(pl.lit(list(range(6))).alias("source_id"))
+            .explode("source_id")
+            .with_columns(pl.col("source_id").cast(pl.Int64))
+        )
+        av = (pl.col("host_id") + pl.col("source_id")) % 4 != 0
+        return df.select(
+            ("h" + pl.col("host_id").cast(pl.Utf8) + ".example.com").alias("host"),
+            pl.col("source_id"),
+            pl.col("source_id")
+            .replace_strict(names, return_dtype=pl.Utf8)
+            .alias("source_name"),
+            av.alias("available"),
+            pl.when(av)
+            .then(((pl.col("host_id") * 7 + pl.col("source_id")) % 3) - 1)
+            .otherwise(None)
+            .alias("sentiment"),
+            pl.when(av)
+            .then((pl.col("host_id") * 11 + pl.col("source_id") * 17) % 50)
+            .otherwise(None)
+            .alias("mentions"),
+            pl.when(av).then(pl.lit(100.0 / 6)).otherwise(0.0).alias("source_confidence"),
+        ).to_arrow()
+
+    return hosts.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def domain_intelligence(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     """A7: multi-source domain intelligence fan-out + merge.
 
     The reference fans out 6 source fetches per domain and merges them
     into one record: average sentiment over available sources mapped
     {positive: 1, neutral: 0, negative: −1}, confidence = available
-    sources / 6 · 100 (data_aggregation_service.py:138-215).  Sandbox
-    sources are deterministic functions of (host_id, source_id) — a
-    source s is available for host h iff (h + s) % 4 != 0, its
-    sentiment is ((h·7 + s) % 3) − 1 — so a DuckDB oracle reproduces
-    the merge exactly.  Shape: per-host fan-out happens INSIDE the
-    batch (vectorized long-form expand), merged by one hash aggregate.
+    sources / 6 · 100 (data_aggregation_service.py:138-215).  The
+    merge now DERIVES from the per-source provenance rows
+    (:func:`domain_intelligence_sources`) — filter to the sources that
+    answered, one hash aggregate keyed by host.
     """
-    from ..sources import corpus as corpus_mod
-
-    n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
-    n_hosts = corpus_mod.n_hosts(n_docs)
-    hosts = ops.int_range(n_hosts, "host_id")
-
-    def expand(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        df = df.with_columns(pl.lit(list(range(6))).alias("source_id")).explode("source_id")
-        df = df.with_columns(pl.col("source_id").cast(pl.Int64))
-        return (
-            df.filter((pl.col("host_id") + pl.col("source_id")) % 4 != 0)
-            .with_columns(
-                (((pl.col("host_id") * 7 + pl.col("source_id")) % 3) - 1).alias("sentiment")
-            )
-            .to_arrow()
-        )
-
-    per_source = hosts.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    avail = domain_intelligence_sources(sf_dir, multiplier).map_batches(
+        lambda b: pl.from_arrow(b)
+        .filter(pl.col("available"))
+        .select("host", "sentiment")
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     merged = hash_aggregate(
-        per_source,
-        ["host_id"],
+        avail,
+        ["host"],
         combine=[
             pl.col("sentiment").sum().alias("sent_sum"),
             pl.len().cast(pl.Int64).alias("n_sources"),
@@ -541,13 +596,162 @@ def domain_intelligence(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
     def finish(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch)
         return df.select(
-            ("h" + pl.col("host_id").cast(pl.Utf8) + ".example.com").alias("host"),
+            pl.col("host"),
             (pl.col("sent_sum") / pl.col("n_sources")).round(6).alias("avg_sentiment"),
             (pl.col("n_sources") * 100.0 / 6).round(6).alias("confidence"),
             pl.col("n_sources"),
         ).to_arrow()
 
     return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# pinned "now" for the WHOIS simulation — the corpus reference epoch
+_WHOIS_REF = "2024-03-01T00:00:00"
+
+
+def whois_domain_age(sf_dir: str, multiplier: int = 1) -> rd.Dataset:
+    """M14 second half: WHOIS payload simulation + ISO date extraction.
+
+    The reference never parses live WHOIS either — clients/
+    whois_client.py:131-165 (``_simulate_whois_data``) serves three
+    branches: domains containing 'example.com' get a FIXED payload
+    (creation 2000-01-01, expiration 2025-01-01, registrar 'Example
+    Registrar', status clientTransferProhibited, org 'Example LLC',
+    country US); domains containing 'test.com' simulate NOT FOUND
+    (None); everything else gets a generic payload whose randints are
+    replaced here by the repo's closed forms keyed on the domain
+    ordinal k ('now' pinned to the corpus epoch 2024-03-01):
+
+        registrar   = 'Registrar ' + (1 + (k·13+5) % 10)
+        creation    = now − (365 + (k·97+13) % (365·9)) days
+        expiration  = now + (30 + (k·53+7) % 1796) days
+        country     = [US CA GB DE AU][(k·29+3) % 5]
+        organization= 'Org ' + (1 + (k·31+11) % 100)
+
+    and services/domain_service.py:253-262 (``_extract_whois_date``)
+    parses the dates with ``datetime.fromisoformat(v.replace('Z',
+    '+00:00'))``.  This pipeline does the REAL round trip: build the
+    payload dict, ``json.dumps`` it to a ``whois_raw`` string (the
+    reference stores exactly that, domain_service.py:242), then parse
+    the dates back OUT of the JSON with the reference's expression
+    before computing domain age / expiry.
+
+    Domain universe: per corpus host ordinal k, one domain per branch
+    — ``h{k}.example.com``, ``ext{k}.net``, ``probe{k}.test.com`` —
+    so all three reference branches are exercised.  Per-domain
+    metadata scale (3 × #hosts rows); the JSON round trip is a
+    per-row loop by necessity, inside map_batches.
+    """
+    import json
+    from datetime import datetime, timedelta
+
+    from ..sources import corpus as corpus_mod
+
+    n_docs = corpus_mod.corpus_n_docs(sf_dir, multiplier)
+    ks = ops.int_range(corpus_mod.n_hosts(n_docs), "k")
+    ref = datetime.fromisoformat(_WHOIS_REF)
+
+    def simulate(domain: str, k: int) -> str | None:
+        """clients/whois_client.py:131's branches, randints -> closed forms."""
+        if "example.com" in domain:
+            return json.dumps(
+                {
+                    "domain_name": domain,
+                    "registrar": "Example Registrar",
+                    "creation_date": "2000-01-01T00:00:00Z",
+                    "expiration_date": "2025-01-01T00:00:00Z",
+                    "name_servers": ["ns1.example.com", "ns2.example.com"],
+                    "status": "clientTransferProhibited",
+                    "emails": ["abuse@example.com"],
+                    "organization": "Example LLC",
+                    "country": "US",
+                }
+            )
+        if "test.com" in domain:
+            return None  # simulated not-found
+        creation = ref - timedelta(days=365 + (k * 97 + 13) % (365 * 9))
+        expiration = ref + timedelta(days=30 + (k * 53 + 7) % 1796)
+        return json.dumps(
+            {
+                "domain_name": domain,
+                "registrar": f"Registrar {1 + (k * 13 + 5) % 10}",
+                "creation_date": creation.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "expiration_date": expiration.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "name_servers": [f"ns1.{domain}", f"ns2.{domain}"],
+                "status": "ok",
+                "emails": [f"admin@{domain}"],
+                "organization": f"Org {1 + (k * 31 + 11) % 100}",
+                "country": ("US", "CA", "GB", "DE", "AU")[(k * 29 + 3) % 5],
+            }
+        )
+
+    def extract_date(payload: dict, key: str):
+        """domain_service.py:253-262 verbatim semantics (Z -> +00:00),
+        tz dropped for naive-timestamp storage."""
+        v = payload.get(key)
+        if not v:
+            return None
+        try:
+            return datetime.fromisoformat(v.replace("Z", "+00:00")).replace(tzinfo=None)
+        except ValueError:
+            return None
+
+    def run(batch: pa.Table) -> pa.Table:
+        kk = batch.column("k").to_pylist()
+        rows = [(f"h{k}.example.com", k) for k in kk]
+        rows += [(f"ext{k}.net", k) for k in kk]
+        rows += [(f"probe{k}.test.com", k) for k in kk]
+        out: dict[str, list] = {c: [] for c in (
+            "domain", "found", "registrar", "status", "organization", "country",
+            "creation_ts", "expiration_ts", "domain_age_days", "days_to_expiry",
+            "expired",
+        )}
+        for domain, k in rows:
+            raw = simulate(domain, k)
+            out["domain"].append(domain)
+            if raw is None:
+                # sentinel ''/False for the string/bool fields (the
+                # driver compare stringifies object columns, so NULLs
+                # there are nondeterministic across engines); numeric/
+                # timestamp fields stay NULL
+                out["found"].append(False)
+                for c in ("registrar", "status", "organization", "country"):
+                    out[c].append("")
+                for c in ("creation_ts", "expiration_ts", "domain_age_days",
+                          "days_to_expiry"):
+                    out[c].append(None)
+                out["expired"].append(False)
+                continue
+            payload = json.loads(raw)
+            creation = extract_date(payload, "creation_date")
+            expiration = extract_date(payload, "expiration_date")
+            out["found"].append(True)
+            out["registrar"].append(payload["registrar"])
+            out["status"].append(payload["status"])
+            out["organization"].append(payload["organization"])
+            out["country"].append(payload["country"])
+            out["creation_ts"].append(creation)
+            out["expiration_ts"].append(expiration)
+            out["domain_age_days"].append((ref - creation).days if creation else None)
+            out["days_to_expiry"].append((expiration - ref).days if expiration else None)
+            out["expired"].append(expiration < ref if expiration else None)
+        return pa.table(
+            {
+                "domain": pa.array(out["domain"], pa.string()),
+                "found": pa.array(out["found"], pa.bool_()),
+                "registrar": pa.array(out["registrar"], pa.string()),
+                "status": pa.array(out["status"], pa.string()),
+                "organization": pa.array(out["organization"], pa.string()),
+                "country": pa.array(out["country"], pa.string()),
+                "creation_ts": pa.array(out["creation_ts"], pa.timestamp("us")),
+                "expiration_ts": pa.array(out["expiration_ts"], pa.timestamp("us")),
+                "domain_age_days": pa.array(out["domain_age_days"], pa.int64()),
+                "days_to_expiry": pa.array(out["days_to_expiry"], pa.int64()),
+                "expired": pa.array(out["expired"], pa.bool_()),
+            }
+        )
+
+    return ks.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def edge_snapshot_merge(sf_dir: str, multiplier: int = 1) -> rd.Dataset:

@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enriched_edges": research.enriched_edges,
         "edge_snapshot_merge": research.edge_snapshot_merge,
         "domain_intelligence": research.domain_intelligence,
+        "domain_intelligence_sources": research.domain_intelligence_sources,
+        "whois_domain_age": research.whois_domain_age,
         "dns_enrichment": research.dns_enrichment,
         "url_priority_scores": research.url_priority_scores,
         "top_valuable_domains": research.top_valuable_domains,

@@ -94,6 +94,9 @@ SIBLINGS = {
     "cohort_retention": "event_funnel",
     # displaced by embed_documents joining the window (round 5)
     "exact_substring_dups": "ngram_novelty",
+    # displaced by whois_domain_age + domain_intelligence_sources (round 5)
+    "c4_filters": "doc_quality",
+    "token_stats_bpe": "doc_quality",
 }
 
 
