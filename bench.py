@@ -63,6 +63,43 @@ def effective_cores(n_procs: int = 32) -> float:
     return round(n_procs * single / wall, 1) if wall > 0 else float(n_procs)
 
 
+def _scaled_docs_dir(sf_dir: str, mult: int) -> str:
+    """Materialize (once, cached) a ``mult``× documents table under
+    /tmp: replica k shifts every ASCII letter by k (a per-replica
+    vocabulary bijection) and offsets doc_id by k·N — distinct
+    content, same per-doc token structure, no cross-replica dups."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(f"{src}:{os.path.getmtime(src)}:{mult}".encode()).hexdigest()[:10]
+    dest = f"/tmp/lpr_docs_x{mult}_{tag}"
+    out = os.path.join(dest, "documents.parquet")
+    if os.path.exists(out):
+        return dest
+    t = pq.read_table(src)
+    n = t.num_rows
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    parts = [t]
+    for k in range(1, mult):
+        shifted = lower[k % 26:] + lower[: k % 26]
+        tbl = str.maketrans(lower, shifted)
+        texts = [s.translate(tbl) for s in t.column("text").to_pylist()]
+        cols = {c: t.column(c) for c in t.schema.names}
+        cols["doc_id"] = pa.array(
+            [d + k * n for d in t.column("doc_id").to_pylist()], t.schema.field("doc_id").type
+        )
+        cols["text"] = pa.array(texts, t.schema.field("text").type)
+        parts.append(pa.table(cols))
+    os.makedirs(dest, exist_ok=True)
+    tmp = out + ".tmp"
+    pq.write_table(pa.concat_tables(parts), tmp)
+    os.replace(tmp, out)
+    return dest
+
+
 def run_bench() -> dict:
     import ray
 
@@ -278,6 +315,33 @@ def run_bench() -> dict:
     # 7. relational aggregate
     timed("q1_lineitem", lambda: relational.q1_lineitem(SF_DIR).count())
 
+    # 8. dedup/LLM family at multiplier scale (round-4 verdict item 5):
+    # the same four text ops at 1x and at LPR_BENCH_TEXT_MULT x docs —
+    # flat per-doc cost is the property that matters at 100 TB.  The
+    # scaled corpus is DISTINCT content (per-replica caesar-shifted
+    # vocabulary: same per-doc structure and within-replica planted
+    # dups, no cross-replica duplicates, vocab grows with the corpus),
+    # so pair-emitting ops scale linearly, not quadratically.
+    tmult = int(os.environ.get("LPR_BENCH_TEXT_MULT", "4"))
+    if tmult > 1:
+        from link_profiler_repo_ray.pipelines.retrieval import bm25_topk
+
+        sdir = _scaled_docs_dir(SF_DIR, tmult)  # untimed, cached
+        n1 = timed("minhash_lsh_x1", lambda: textdata.minhash_lsh_dups(SF_DIR).count())
+        timed("line_dedup_x1", lambda: textdata.line_dedup(SF_DIR).count())
+        timed("exact_substring_x1", lambda: textdata.exact_substring_dups(SF_DIR).count())
+        timed("bm25_topk_x1", lambda: bm25_topk(SF_DIR).count())
+        timed(f"minhash_lsh_x{tmult}", lambda: textdata.minhash_lsh_dups(sdir).count())
+        timed(f"line_dedup_x{tmult}", lambda: textdata.line_dedup(sdir).count())
+        timed(f"exact_substring_x{tmult}", lambda: textdata.exact_substring_dups(sdir).count())
+        timed(f"bm25_topk_x{tmult}", lambda: bm25_topk(sdir).count())
+        for op in ("minhash_lsh", "line_dedup", "exact_substring", "bm25_topk"):
+            # per-doc cost ratio at Mx vs 1x: 1.0 = perfectly flat
+            extras[f"{op}_per_doc_cost_x{tmult}_vs_x1"] = round(
+                (timings[f"{op}_x{tmult}"] / tmult) / timings[f"{op}_x1"], 3
+            )
+        del n1
+
     ray.shutdown()
     total = sum(timings.values())
     return {
@@ -306,7 +370,14 @@ def run_scaling() -> dict:
     stage is disabled inside scaling runs to keep levels comparable.
     """
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), LPR_BENCH_CUCKOO="0")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            LPR_BENCH_CUCKOO="0",
+            # keep scaling levels comparable: the multiplier text tier
+            # is a flat-cost measurement, not a scaling stage
+            LPR_BENCH_TEXT_MULT=os.environ.get("LPR_BENCH_TEXT_MULT_SCALING", "0"),
+        )
         # Physical core fencing: ray.init(num_cpus=N) only bounds Ray's
         # LOGICAL scheduling quota — per-task Arrow/polars helper
         # threads happily spill onto idle host cores, so an unfenced

@@ -69,7 +69,14 @@ def compact_pages(pages_dir: str, dest: str, num_shards: int = 16) -> dict:
             manifest["skipped"] = True
             return manifest
 
+    # flat delta dir (output_dir layout) OR a checkpoint root, whose
+    # deltas live per-round under round=NNNNN/pages/ — so `cli compact`
+    # points straight at a (possibly killed-and-resumed) crawl's
+    # checkpoint and compacts its whole delta log, duplicates from
+    # re-run tail rounds included
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    if not files:
+        files = sorted(glob.glob(os.path.join(pages_dir, "round=*", "pages", "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no page deltas under {pages_dir!r}")
     os.makedirs(dest, exist_ok=True)
