@@ -134,6 +134,8 @@ _YIELD_WINDOW_SLOT = (
     # scan + word split
     "c4_filters",              # -> doc_quality (same scan + word split)
     "token_stats_bpe",         # -> doc_quality (same documents scan)
+    # displaced by media_features_jpeg joining the window (round 5)
+    "embedding_quantize",      # -> embedding_centroids (same embeddings scan)
 )
 
 
@@ -1428,6 +1430,14 @@ SELECT b.doc_id, b.n_windows, COALESCE(d.n_dup, 0)::BIGINT AS n_dup_windows,
        CASE WHEN b.n_windows = 0 THEN 0.0
             ELSE COALESCE(d.n_dup, 0)::DOUBLE / b.n_windows END AS dup_window_frac
 FROM base b LEFT JOIN d ON d.doc_id = b.doc_id""",
+        "media_features_jpeg": """
+SELECT doc_id,
+       'jpeg' AS kind,
+       CAST(16 + doc_id % 32 AS INTEGER) AS width,
+       CAST(8 + doc_id % 16 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+       TRUE AS mean_ok
+FROM documents""",
         "media_features_png": """
 SELECT doc_id,
        'png' AS kind,

@@ -165,6 +165,8 @@ def sniff_kind(b: bytes) -> str:
         return "wav"
     if b[:8] == _PNG_SIG:
         return "png"
+    if b[:2] == b"\xff\xd8":
+        return "jpeg"
     return "unknown"
 
 
@@ -341,8 +343,18 @@ def decode_png(b: bytes) -> dict:
             "mean_value": float(px.mean())}
 
 
+def decode_jpeg(b: bytes) -> dict:
+    """Baseline JPEG via the pure-numpy codec (functions/jpegx.py):
+    Huffman entropy decode, dequantize, IDCT, chroma upsample,
+    YCbCr->RGB.  Progressive/arithmetic/12-bit raise (the codec-library
+    swap-in point, same contract as the other decoders here)."""
+    from .jpegx import decode_jpeg as _dec
+
+    return _dec(b)
+
+
 _DECODERS = {"bmp": decode_bmp, "ppm": decode_ppm, "pgm": decode_pgm, "wav": decode_wav,
-             "png": decode_png}
+             "png": decode_png, "jpeg": decode_jpeg}
 
 
 def decode_media(b: bytes) -> dict:

@@ -1566,16 +1566,15 @@ def knn_ivf(
 class MediaDecodeStage:
     """Actor-pool media feature extraction over an opaque binary column.
 
-    Decode is REAL for the self-describing uncompressed formats —
-    BMP 24 bpp, binary PPM/PGM, RIFF/WAVE PCM16 — via the pure-numpy
-    parsers in :mod:`..functions.media` (header parse, row padding,
-    bottom-up pixel order, RIFF chunk walk, per-pixel/per-sample
-    statistics).  Compressed formats (JPEG/PNG/MP3) need a codec
-    library this container doesn't have; they sniff to ``"unknown"``
-    and degrade to byte-length-only features — that is the swap-in
-    point for PIL/ffmpeg in production (reference:
-    ``services/ocr_service.py``'s external-binary wrapper, same
-    actor-pool shape).
+    Decode is REAL for BMP 24 bpp, binary PPM/PGM, RIFF/WAVE PCM16,
+    PNG (zlib DEFLATE + unfilter) and baseline JPEG (pure-numpy
+    Huffman + IDCT, :mod:`..functions.jpegx`) via the parsers in
+    :mod:`..functions.media`.  The remaining codecs (progressive
+    JPEG, MP3, video) need libraries this container doesn't have;
+    they sniff to ``"unknown"`` and degrade to byte-length-only
+    features — the swap-in point for PIL/ffmpeg in production
+    (reference: ``services/ocr_service.py``'s external-binary
+    wrapper, same actor-pool shape).
     """
 
     def __init__(self):
@@ -1673,6 +1672,79 @@ def media_features_png(sf_dir: str) -> rd.Dataset:
         .map_batches(MediaDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
                      concurrency=auto_concurrency(), batch_size=256)
         .select_columns(["doc_id", "kind", "width", "height", "channels", "mean_value"])
+    )
+
+
+def synth_jpeg_payloads(batch: pa.Table) -> pa.Table:
+    """doc_id -> a real baseline JPEG: grayscale diagonal gradient
+    (or 4:4:4 RGB every third doc).  Geometry and pattern are closed
+    forms of doc_id; the pattern's ANALYTIC mean rides along so the
+    decode stage can assert the lossy round trip landed within
+    tolerance (JPEG means have no closed form, unlike PNG's)."""
+    from ..functions.jpegx import encode_jpeg_gray, encode_jpeg_rgb
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads, expected = [], []
+    for d in ids:
+        w, h, base = 16 + d % 32, 8 + d % 16, (13 * d) % 200
+        yy, xx = np.mgrid[0:h, 0:w]
+        if d % 3 == 0:
+            pix = np.stack(
+                [(base + xx % 40), (base + yy % 30), np.full_like(xx, base)], axis=-1
+            ).astype(np.uint8)
+            payloads.append(encode_jpeg_rgb(pix))
+        else:
+            pix = (base + (xx + yy) % 50).astype(np.uint8)
+            payloads.append(encode_jpeg_gray(pix))
+        expected.append(float(pix.mean()))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+            "expected_mean": pa.array(expected, pa.float64()),
+        }
+    )
+
+
+class JpegDecodeStage:
+    """Actor-pool baseline-JPEG feature extraction (T9's compressed leg
+    for the web's dominant image format): real Huffman entropy decode
+    + dequantize + IDCT + chroma upsample per payload.  Emits exact
+    metadata plus ``mean_ok`` — decoded mean within 1.5 grey levels of
+    the pattern's analytic mean (lossy codec, so the mean itself has
+    no closed form; the tolerance bool is what the SQL oracle pins)."""
+
+    def __init__(self):
+        from ..functions.jpegx import decode_jpeg
+
+        self.decode = decode_jpeg  # bind once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self.decode(p) for p in batch.column("payload").to_pylist()]
+        exp = batch.column("expected_mean").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "kind": pa.array([f["kind"] for f in feats], pa.string()),
+                "width": pa.array([f["width"] for f in feats], pa.int32()),
+                "height": pa.array([f["height"] for f in feats], pa.int32()),
+                "channels": pa.array([f["channels"] for f in feats], pa.int32()),
+                "mean_ok": pa.array(
+                    [abs(f["mean_value"] - e) <= 1.5 for f, e in zip(feats, exp)],
+                    pa.bool_(),
+                ),
+            }
+        )
+
+
+def media_features_jpeg(sf_dir: str) -> rd.Dataset:
+    """Baseline-JPEG leg of T9 through the same synth -> actor-pool
+    decode shape as :func:`media_features_png`."""
+    return (
+        documents_dataset(sf_dir, ["doc_id"])
+        .map_batches(synth_jpeg_payloads, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(JpegDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=auto_concurrency(), batch_size=256)
     )
 
 

@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": textdata.knn_ivf,
         "media_features": textdata.media_features,
         "media_features_png": textdata.media_features_png,
+        "media_features_jpeg": textdata.media_features_jpeg,
         "c4_filters": textdata.c4_filters,
         "tfidf_top_terms": textdata.tfidf_top_terms,
         "semdedup_survivors": textdata.semdedup_survivors,

@@ -190,7 +190,11 @@ class TestSniff:
         assert media.sniff_kind(media.encode_pgm(4, 4, 0)) == "pgm"
         assert media.sniff_kind(media.encode_wav(4, 8000, 1)) == "wav"
         assert media.sniff_kind(b"\x89PNG\r\n") == "unknown"
-        assert media.decode_media(b"\xff\xd8\xff jpeg") == {"kind": "unknown"}
+        # baseline JPEG is a real codec now (functions/jpegx.py); a
+        # truncated stream raises instead of degrading to "unknown"
+        assert media.sniff_kind(b"\xff\xd8\xff jpeg") == "jpeg"
+        with pytest.raises(ValueError):
+            media.decode_media(b"\xff\xd8\xff jpeg")
 
     def test_exactness_against_numpy_oracle(self):
         # decoded statistics must be EXACT (the SQL oracle states them

@@ -97,6 +97,8 @@ SIBLINGS = {
     # displaced by whois_domain_age + domain_intelligence_sources (round 5)
     "c4_filters": "doc_quality",
     "token_stats_bpe": "doc_quality",
+    # displaced by media_features_jpeg joining the window (round 5)
+    "embedding_quantize": "embedding_centroids",
 }
 
 
