@@ -73,46 +73,66 @@ def bm25_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
     ).with_columns(pl.col("query_id").cast(pl.Int64))
     qterms = sorted(set(qmap.get_column("w").to_list()))
 
-    # --- corpus scalars: N and avgdl (one tiny per-block partial row
-    # each; the concat is O(#blocks), never O(rows)) ----------------
-    def len_partials(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch)
-        dl = df.select(pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("dl"))
-        return pl.DataFrame(
-            {"n_docs": [df.height], "n_tok": [int(dl.get_column("dl").sum())]}
-        ).to_arrow()
-
-    parts = pa.concat_tables(
-        ray.get(
-            documents_dataset(sf_dir, ["text"])
-            .map_batches(len_partials, batch_format="pyarrow", zero_copy_batch=True)
-            .to_arrow_refs()
-        )
-    )
-    n_docs = sum(parts.column("n_docs").to_pylist())
-    total_tok = sum(parts.column("n_tok").to_pylist())
-    # exactly the oracle's CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
-    avgdl = float(total_tok) / float(n_docs)
-    n_f = float(n_docs)
-
-    # --- postings: (doc, term in Q, tf, dl), filtered pre-exchange --
+    # --- ONE documents scan (ADVICE round 4): each block emits its
+    # filtered query-term postings PLUS one marker row (doc_id = −1)
+    # carrying the block's (doc count, token count) partials in the
+    # (tf, dl) columns.  Materializing this is bounded by
+    # construction — only query-term postings and one row per block
+    # ever exist — and gives both the corpus scalars and the postings
+    # without a second scan of the documents table.
     def tf_stage(batch: pa.Table) -> pa.Table:
         df = (
             pl.from_arrow(batch)
             .select("doc_id", pl.col("text").str.split(" ").alias("w"))
             .with_columns(dl=pl.col("w").list.len().cast(pl.Int64))
         )
-        return (
+        posts = (
             df.explode("w")
             .filter(pl.col("w").is_in(qterms))
             .group_by("doc_id", "w", "dl")
             .len("tf")
             .with_columns(pl.col("tf").cast(pl.Int64))
-            .to_arrow()
+            .select("doc_id", "w", "dl", "tf")
         )
+        marker = pl.DataFrame(
+            {
+                "doc_id": pl.Series([-1], dtype=pl.Int64),
+                "w": pl.Series([""], dtype=pl.Utf8),
+                "dl": pl.Series([int(df.get_column("dl").sum())], dtype=pl.Int64),
+                "tf": pl.Series([df.height], dtype=pl.Int64),
+            }
+        )
+        return pl.concat([posts, marker]).to_arrow()
 
-    postings = documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
-        tf_stage, batch_format="pyarrow", zero_copy_batch=True
+    scanned = (
+        documents_dataset(sf_dir, ["doc_id", "text"])
+        .map_batches(tf_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # bounded: query-term postings + 1 marker row/block
+    )
+    def _keep(neg: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            return df.filter(
+                pl.col("doc_id") < 0 if neg else pl.col("doc_id") >= 0
+            ).to_arrow()
+
+        return fn
+
+    markers = pa.concat_tables(
+        ray.get(
+            scanned.map_batches(
+                _keep(True), batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+    )
+    n_docs = sum(markers.column("tf").to_pylist())
+    total_tok = sum(markers.column("dl").to_pylist())
+    # exactly the oracle's CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+    avgdl = float(total_tok) / float(n_docs)
+    n_f = float(n_docs)
+
+    postings = scanned.map_batches(
+        _keep(False), batch_format="pyarrow", zero_copy_batch=True
     )
 
     # --- term partition: df window count + per-row micro score ------
