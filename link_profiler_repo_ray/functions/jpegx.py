@@ -461,7 +461,8 @@ def _dht_payload(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
 
 
-def _headers(width: int, height: int, ncomp: int) -> bytes:
+def _headers(width: int, height: int, ncomp: int, luma_hv: int = 0x11,
+             restart_interval: int = 0) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     qz_l = bytes([0]) + bytes(int(v) for v in _QT_LUMA.reshape(-1)[_ZIGZAG])
@@ -473,14 +474,16 @@ def _headers(width: int, height: int, ncomp: int) -> bytes:
     if ncomp == 1:
         sof += bytes([1, 0x11, 0])
     else:
-        # 4:4:4 — every component h=v=1
-        sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        # luma_hv 0x11 -> 4:4:4; 0x22 -> 4:2:0 (chroma stays 1x1)
+        sof += bytes([1, luma_hv, 0, 2, 0x11, 1, 3, 0x11, 1])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_payload(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
     out += _seg(0xC4, _dht_payload(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS))
     if ncomp == 3:
         out += _seg(0xC4, _dht_payload(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
         out += _seg(0xC4, _dht_payload(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     if ncomp == 1:
         out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     else:
@@ -495,53 +498,98 @@ def _pad_blocks(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg_gray(pix: np.ndarray) -> bytes:
-    """Encode a (h, w) uint8 array as single-component baseline JPEG."""
+def encode_jpeg_gray(pix: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Encode a (h, w) uint8 array as single-component baseline JPEG.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart resync path)."""
     pix = np.asarray(pix, dtype=np.float64)
     h, w = pix.shape
-    out = bytearray(_headers(w, h, 1))
+    out = bytearray(_headers(w, h, 1, restart_interval=restart_interval))
     bw = _BitWriter()
     dc = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     p = _pad_blocks(pix)
     pred = 0
+    mcu = 0
+    rst = 0
     for y0 in range(0, p.shape[0], 8):
         for x0 in range(0, p.shape[1], 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                pred = 0
             pred = _encode_block(bw, p[y0 : y0 + 8, x0 : x0 + 8], _QT_LUMA.reshape(8, 8), pred, dc, ac)
+            mcu += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
 
 
-def encode_jpeg_rgb(pix: np.ndarray) -> bytes:
-    """Encode a (h, w, 3) uint8 array as 4:4:4 baseline JPEG (JFIF
-    YCbCr primaries)."""
+def encode_jpeg_rgb(pix: np.ndarray, subsample: bool = False) -> bytes:
+    """Encode a (h, w, 3) uint8 array as baseline JPEG (JFIF YCbCr
+    primaries) — 4:4:4 by default, 4:2:0 with ``subsample=True``
+    (luma 2×2 per MCU, chroma box-filtered 2:1 both axes; exercises
+    the decoder's interleaved-MCU + upsampling path)."""
     pix = np.asarray(pix, dtype=np.float64)
     h, w, _ = pix.shape
     r, g, b = pix[..., 0], pix[..., 1], pix[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    out = bytearray(_headers(w, h, 3))
     bw = _BitWriter()
     dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    comps = [
-        (_pad_blocks(y), _QT_LUMA.reshape(8, 8), dc_l, ac_l),
-        (_pad_blocks(cb), _QT_CHROMA.reshape(8, 8), dc_c, ac_c),
-        (_pad_blocks(cr), _QT_CHROMA.reshape(8, 8), dc_c, ac_c),
-    ]
+    q_l, q_c = _QT_LUMA.reshape(8, 8), _QT_CHROMA.reshape(8, 8)
     preds = [0, 0, 0]
-    ph, pw = comps[0][0].shape
-    for y0 in range(0, ph, 8):  # 4:4:4 MCU = one block per component
-        for x0 in range(0, pw, 8):
-            for ci, (plane, q, dc, ac) in enumerate(comps):
-                preds[ci] = _encode_block(
-                    bw, plane[y0 : y0 + 8, x0 : x0 + 8], q, preds[ci], dc, ac
-                )
+    if not subsample:
+        out = bytearray(_headers(w, h, 3))
+        comps = [
+            (_pad_blocks(y), q_l, dc_l, ac_l),
+            (_pad_blocks(cb), q_c, dc_c, ac_c),
+            (_pad_blocks(cr), q_c, dc_c, ac_c),
+        ]
+        ph, pw = comps[0][0].shape
+        for y0 in range(0, ph, 8):  # 4:4:4 MCU = one block per component
+            for x0 in range(0, pw, 8):
+                for ci, (plane, q, dc, ac) in enumerate(comps):
+                    preds[ci] = _encode_block(
+                        bw, plane[y0 : y0 + 8, x0 : x0 + 8], q, preds[ci], dc, ac
+                    )
+        bw.flush()
+        out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+    # --- 4:2:0: MCU = 16x16 luma (4 blocks) + one 8x8 block each of
+    # box-filtered chroma --------------------------------------------
+    out = bytearray(_headers(w, h, 3, luma_hv=0x22))
+    # pad luma to multiples of 16, chroma (after 2:1 box filter) to 8
+    yh, yw = y.shape
+    yp = np.pad(y, ((0, -yh % 16), (0, -yw % 16)), mode="edge")
+    def down(p):
+        p = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+        return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+    cbp = _pad_blocks(down(np.pad(cb, ((0, -yh % 16), (0, -yw % 16)), mode="edge")))
+    crp = _pad_blocks(down(np.pad(cr, ((0, -yh % 16), (0, -yw % 16)), mode="edge")))
+    for my in range(yp.shape[0] // 16):
+        for mx in range(yp.shape[1] // 16):
+            for by in range(2):
+                for bx in range(2):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    preds[0] = _encode_block(
+                        bw, yp[y0 : y0 + 8, x0 : x0 + 8], q_l, preds[0], dc_l, ac_l
+                    )
+            preds[1] = _encode_block(
+                bw, cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], q_c, preds[1], dc_c, ac_c
+            )
+            preds[2] = _encode_block(
+                bw, crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], q_c, preds[2], dc_c, ac_c
+            )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

@@ -1692,10 +1692,16 @@ def synth_jpeg_payloads(batch: pa.Table) -> pa.Table:
             pix = np.stack(
                 [(base + xx % 40), (base + yy % 30), np.full_like(xx, base)], axis=-1
             ).astype(np.uint8)
-            payloads.append(encode_jpeg_rgb(pix))
+            # every other RGB doc uses 4:2:0 subsampling (the dominant
+            # real-web layout) so the interleaved-MCU decode path runs
+            # in-pipeline, not just in unit tests
+            payloads.append(encode_jpeg_rgb(pix, subsample=(d % 6 == 0)))
         else:
             pix = (base + (xx + yy) % 50).astype(np.uint8)
-            payloads.append(encode_jpeg_gray(pix))
+            # every fifth gray doc carries restart markers
+            payloads.append(
+                encode_jpeg_gray(pix, restart_interval=2 if d % 5 == 0 else 0)
+            )
         expected.append(float(pix.mean()))
     return pa.table(
         {

@@ -97,3 +97,27 @@ def test_jpeg_decode_stage(ray_session):
     assert out.num_rows == 12
     assert out.column("mean_ok").to_pylist() == [True] * 12
     assert out.column("channels").to_pylist() == [3 if d % 3 == 0 else 1 for d in range(12)]
+
+
+def test_restart_markers_roundtrip():
+    pix = ((np.arange(48)[None, :] * 7 + np.arange(24)[:, None] * 3) % 256).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg_gray(pix), return_pixels=True)
+    with_rst = decode_jpeg(encode_jpeg_gray(pix, restart_interval=3), return_pixels=True)
+    # restart markers change the entropy stream layout, not the pixels
+    assert (plain["pixels"] == with_rst["pixels"]).all()
+
+
+def test_420_subsampled_roundtrip():
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([(40 + xx * 2) % 256, (80 + yy * 3) % 256, np.full_like(xx, 180)],
+                   axis=-1).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg_rgb(rgb, subsample=True), return_pixels=True)
+    assert d["pixels"].shape == (h, w, 3)
+    assert _psnr(rgb, d["pixels"]) > 28.0
+
+
+def test_420_flat_gray_exact():
+    flat = np.full((16, 16, 3), 120, np.uint8)  # gray -> chroma exactly 128
+    d = decode_jpeg(encode_jpeg_rgb(flat, subsample=True), return_pixels=True)
+    assert (d["pixels"] == 120).all()
