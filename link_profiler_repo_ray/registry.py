@@ -156,7 +156,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dups": textdata.minhash_lsh_dups,
         "near_dup_survivors": textdata.near_dup_survivors,
         "simhash_dups": textdata.simhash_dups,
-        "word_jaccard_pairs": textdata.word_jaccard_pairs,
+        # PPJoin prefix-filtered exact Jaccard IS the default since round 5
+        # (no hub-token O(df^2) blowup); the all-pairs variant stays for
+        # equality tests
+        "word_jaccard_pairs": textdata.word_jaccard_pairs_prefix,
         "embedding_topk": textdata.embedding_topk,
         "embedding_centroids": textdata.embedding_centroids,
         "knn_ivf": textdata.knn_ivf,

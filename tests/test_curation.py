@@ -110,3 +110,47 @@ def test_pii_scrub_empty_blocklist_is_noop_on_terms():
     got = _collect(textdata.pii_scrub(SF, extra_terms=())).sort("doc_id")
     assert got["n_terms"].sum() == 0
     assert got.filter(pl.col("text_scrubbed").str.contains(r"\[TERM\]")).height == 0
+
+
+class TestPrefixJaccard:
+    """PPJoin prefix-filtered exact Jaccard (round 5)."""
+
+    def test_equals_allpairs_on_corpus(self, ray_session):
+        from link_profiler_repo_ray.pipelines.textdata import (
+            word_jaccard_pairs,
+            word_jaccard_pairs_prefix,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        old = word_jaccard_pairs(sf, threshold=0.9).to_pandas()
+        new = word_jaccard_pairs_prefix(sf, threshold=0.9).to_pandas()
+        ko = {(r.doc_a, r.doc_b): r.jaccard for r in old.itertuples()}
+        kn = {(r.doc_a, r.doc_b): r.jaccard for r in new.itertuples()}
+        assert ko == kn
+
+    def test_hub_token_emits_no_pairs(self, ray_session, tmp_path):
+        """A token present in EVERY doc sorts to every doc's suffix, so
+        the prefix path generates zero candidates from it — the exact
+        all-pairs path would emit O(n²) pairs for the same corpus."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from link_profiler_repo_ray.pipelines.textdata import word_jaccard_pairs_prefix
+
+        n = 40
+        # every doc: the hub token + 9 unique tokens -> all pairwise J = 1/19
+        texts = ["hub " + " ".join(f"t{i}_{k}" for k in range(9)) for i in range(n)]
+        # plus one planted near-dup pair (J = 1.0)
+        texts.append(texts[0])
+        d = str(tmp_path / "sf")
+        import os
+
+        os.makedirs(d)
+        pq.write_table(
+            pa.table({"doc_id": list(range(n + 1)), "text": texts}),
+            os.path.join(d, "documents.parquet"),
+        )
+        got = word_jaccard_pairs_prefix(d, threshold=0.9).to_pandas()
+        assert len(got) == 1
+        assert (got.doc_a[0], got.doc_b[0]) == (0, n)
+        assert got.jaccard[0] == 1.0
