@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from .pipelines import (
         audit,
         bloomjoin,
+        bpe,
         curate,
         encode,
         graph,
@@ -131,6 +132,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "token_stats": textdata.token_stats,
         "token_stats_bpe": textdata.token_stats_bpe,
+        # distributed BPE tokenizer training + application (iterative;
+        # pytest-oracled vs the sequential learner, no SQL oracle)
+        "bpe_train": bpe.bpe_train,
+        "bpe_apply_counts": bpe.bpe_apply_counts,
         "doc_quality": textdata.doc_quality,
         "compression_ratio": textdata.compression_ratio,
         "token_entropy": textdata.token_entropy,
