@@ -1722,14 +1722,31 @@ class MediaDecodeStage:
     wrapper, same actor-pool shape).
     """
 
-    def __init__(self):
+    def __init__(self, lenient: bool = False):
         from ..functions.media import decode_media
 
         self.decode = decode_media  # bind once per actor
+        # web-scale crawls hit truncated/corrupt payloads constantly; a
+        # lenient pool degrades them to kind="corrupt" rows instead of
+        # failing the whole batch (and with it the task's other
+        # payloads).  The oracle queries keep strict=default because
+        # their synth payloads are valid by construction — an error
+        # there is a codec bug and SHOULD be loud.
+        self.lenient = lenient
+        self.corrupt_total = 0  # A8 counter
+
+    def _decode_one(self, p: bytes) -> dict:
+        if not self.lenient:
+            return self.decode(p)
+        try:
+            return self.decode(p)
+        except (ValueError, IndexError, OverflowError):
+            self.corrupt_total += 1
+            return {"kind": "corrupt"}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = [self.decode(p or b"") for p in payloads]
+        feats = [self._decode_one(p or b"") for p in payloads]
 
         def col(key, typ):
             return pa.array([f.get(key) for f in feats], typ)

@@ -205,3 +205,29 @@ class TestSniff:
             assert got == (d % 200) + (16 + d % 32 - 1) / 2.0
             wav = media.encode_wav(256 + d % 256, 8000, 100 * (1 + d % 100))
             assert media.decode_wav(wav)["rms"] == 100.0 * (1 + d % 100)
+
+
+class TestLenientDecode:
+    def test_corrupt_payloads_degrade_not_fail(self):
+        import pyarrow as pa
+
+        from link_profiler_repo_ray.functions import media
+        from link_profiler_repo_ray.pipelines.textdata import MediaDecodeStage
+
+        good = media.encode_bmp(8, 8, 10)
+        bad_jpeg = b"\xff\xd8\xff truncated"
+        bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 4
+        batch = pa.table({"doc_id": [0, 1, 2], "payload": [good, bad_jpeg, bad_png]})
+        out = MediaDecodeStage(lenient=True)(batch)
+        kinds = out.column("kind").to_pylist()
+        assert kinds[0] == "bmp" and kinds[1] == "corrupt" and kinds[2] == "corrupt"
+
+    def test_strict_default_still_raises(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from link_profiler_repo_ray.pipelines.textdata import MediaDecodeStage
+
+        batch = pa.table({"doc_id": [0], "payload": [b"\xff\xd8\xff truncated"]})
+        with _pytest.raises(ValueError):
+            MediaDecodeStage()(batch)
