@@ -260,6 +260,9 @@ def decode_jpeg(b: bytes, return_pixels: bool = False) -> dict:
         marker = b[i + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

@@ -76,19 +76,6 @@ def _word_histogram(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _split_column(words: pl.Series, merges: list[tuple[str, str]]) -> list[list[str]]:
-    """Apply the merge list to each word (memoized per call site)."""
-    cache: dict[str, list[str]] = {}
-    out = []
-    for w in words:
-        hit = cache.get(w)
-        if hit is None:
-            hit = bpe_split_word(w, merges)
-            cache[w] = hit
-        out.append(hit)
-    return out
-
-
 def bpe_split_word(w: str, merges: list[tuple[str, str]]) -> list[str]:
     """Sequential merge application: chars + EOW, then each learned
     merge in rank order (the standard greedy BPE segmenter)."""
