@@ -136,6 +136,8 @@ _YIELD_WINDOW_SLOT = (
     "token_stats_bpe",         # -> doc_quality (same documents scan)
     # displaced by media_features_jpeg joining the window (round 5)
     "embedding_quantize",      # -> embedding_centroids (same embeddings scan)
+    # displaced by video_frame_features joining the window (round 5)
+    "crawl_tier_assignment",   # -> top_valuable_domains (same score rollup)
 )
 
 
@@ -1438,6 +1440,23 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels,
        TRUE AS mean_ok
 FROM documents""",
+        "video_frame_features": """
+WITH f AS (SELECT doc_id, (2 + doc_id % 5)::BIGINT AS n_frames FROM documents),
+s AS (SELECT doc_id, n_frames, g.k AS k
+      FROM f CROSS JOIN generate_series(0, 6, 2) g(k) WHERE g.k < n_frames),
+m AS (SELECT doc_id,
+             avg(2 * ((7 * doc_id + 11 * k) % 100) + 10) AS mean_value,
+             count(*)::BIGINT AS n_sampled
+      FROM s GROUP BY doc_id)
+SELECT f.doc_id,
+       'avi_mjpeg' AS kind,
+       CAST(16 + (f.doc_id % 8) * 2 AS INTEGER) AS width,
+       CAST(8 + (f.doc_id % 4) * 2 AS INTEGER) AS height,
+       f.n_frames,
+       m.n_sampled,
+       CAST(5 + f.doc_id % 10 AS DOUBLE) AS fps,
+       m.mean_value
+FROM f JOIN m USING (doc_id)""",
         "media_features_png": """
 SELECT doc_id,
        'png' AS kind,

@@ -163,6 +163,8 @@ def sniff_kind(b: bytes) -> str:
         return "pgm"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
     if b[:8] == _PNG_SIG:
         return "png"
     if b[:2] == b"\xff\xd8":
@@ -354,7 +356,8 @@ def decode_jpeg(b: bytes) -> dict:
 
 
 _DECODERS = {"bmp": decode_bmp, "ppm": decode_ppm, "pgm": decode_pgm, "wav": decode_wav,
-             "png": decode_png, "jpeg": decode_jpeg}
+             "png": decode_png, "jpeg": decode_jpeg,
+             "avi": lambda b: decode_avi_mjpeg(b)}
 
 
 def decode_media(b: bytes) -> dict:
@@ -365,3 +368,101 @@ def decode_media(b: bytes) -> dict:
     if fn is None:
         return {"kind": "unknown"}
     return fn(b)
+
+
+# --- MJPEG/AVI video (round 5): RIFF container walk + per-frame JPEG --------
+
+def encode_avi_mjpeg(frames: "list[np.ndarray]", fps: int = 10) -> bytes:
+    """Minimal RIFF/AVI container holding MJPEG ('00dc') frames — each
+    frame a baseline JPEG from :mod:`.jpegx`.  Enough structure for any
+    MJPEG-aware reader: RIFF('AVI ') → LIST('hdrl') with 'avih' →
+    LIST('movi') with one '00dc' chunk per frame.  Deterministic bytes
+    for given pixels (the synth-payload role of the other encoders)."""
+    from .jpegx import encode_jpeg_gray, encode_jpeg_rgb
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [
+        encode_jpeg_rgb(f) if f.ndim == 3 else encode_jpeg_gray(f) for f in frames
+    ]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+    def list_chunk(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = (
+        (1_000_000 // fps).to_bytes(4, "little")  # usec/frame
+        + (0).to_bytes(4, "little")  # max bytes/sec
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # flags
+        + len(frames).to_bytes(4, "little")  # total frames
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")  # streams
+        + (0).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + bytes(16)
+    )
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi_mjpeg(b: bytes, sample_every: int = 1) -> dict:
+    """Walk the RIFF/AVI structure, decode every ``sample_every``-th
+    MJPEG frame (the frame-sample primitive of a video feature
+    pipeline), and aggregate features.  Non-MJPEG codecs have no JPEG
+    SOI in their '00dc' chunks and raise — the ffmpeg swap-in point."""
+    from .jpegx import decode_jpeg
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    # header fields from 'avih' (first LIST('hdrl'))
+    n_frames_hdr = usec_pf = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, start: int, end: int):
+        nonlocal n_frames_hdr, usec_pf
+        i = start
+        while i + 8 <= end:
+            fourcc = buf[i : i + 4]
+            size = int.from_bytes(buf[i + 4 : i + 8], "little")
+            data_start = i + 8
+            if fourcc == b"LIST":
+                walk(buf, data_start + 4, data_start + size)
+            elif fourcc == b"avih":
+                usec_pf = int.from_bytes(buf[data_start : data_start + 4], "little")
+                n_frames_hdr = int.from_bytes(
+                    buf[data_start + 16 : data_start + 20], "little"
+                )
+            elif fourcc == b"00dc":
+                frames.append(buf[data_start : data_start + size])
+            i = data_start + size + (size % 2)
+
+    walk(b, 12, len(b))
+    if not frames:
+        raise ValueError("AVI holds no video frames")
+    if n_frames_hdr is not None and n_frames_hdr != len(frames):
+        raise ValueError(
+            f"AVI header declares {n_frames_hdr} frames, found {len(frames)}"
+        )
+    sampled = frames[::sample_every]
+    feats = [decode_jpeg(f) for f in sampled]
+    w, h = feats[0]["width"], feats[0]["height"]
+    fps = round(1_000_000 / usec_pf, 3) if usec_pf else None
+    return {
+        "kind": "avi_mjpeg",
+        "width": w,
+        "height": h,
+        "channels": max(f["channels"] for f in feats),
+        "n_frames": len(frames),
+        "n_sampled": len(sampled),
+        "fps": fps,
+        "duration_ms": round(len(frames) * (usec_pf or 0) / 1000.0, 3),
+        "mean_value": float(np.mean([f["mean_value"] for f in feats])),
+    }

@@ -1916,6 +1916,75 @@ def media_features_jpeg(sf_dir: str) -> rd.Dataset:
     )
 
 
+def synth_video_payloads(batch: pa.Table) -> pa.Table:
+    """doc_id -> a real MJPEG/AVI clip of flat grayscale frames.
+
+    Flat frames with EVEN sample values survive the JPEG round trip
+    exactly (DC-only blocks, (v−128)·8 divisible by q00=16), so every
+    decoded feature — including the mean over sampled frames — is a
+    closed form of doc_id and the oracle is full SQL, not a tolerance
+    bool.  Frame k of doc d is the constant ``2·((7d + 11k) % 100) +
+    10``; clips carry ``2 + d % 5`` frames at ``5 + d % 10`` fps."""
+    from ..functions.media import encode_avi_mjpeg
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for d in ids:
+        n_frames = 2 + d % 5
+        w, h = 16 + (d % 8) * 2, 8 + (d % 4) * 2
+        frames = [
+            np.full((h, w), 2 * ((7 * d + 11 * k) % 100) + 10, np.uint8)
+            for k in range(n_frames)
+        ]
+        payloads.append(encode_avi_mjpeg(frames, fps=5 + d % 10))
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+class VideoDecodeStage:
+    """Actor-pool MJPEG/AVI frame-sample feature extraction — the
+    video leg of the multimodal family: RIFF container walk, every
+    2nd frame JPEG-decoded (the frame-sample primitive), features
+    aggregated over the sampled frames."""
+
+    def __init__(self, sample_every: int = 2):
+        from ..functions.media import decode_avi_mjpeg
+
+        self.decode = decode_avi_mjpeg  # bind once per actor
+        self.sample_every = sample_every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self.decode(p, sample_every=self.sample_every)
+            for p in batch.column("payload").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "kind": pa.array([f["kind"] for f in feats], pa.string()),
+                "width": pa.array([f["width"] for f in feats], pa.int32()),
+                "height": pa.array([f["height"] for f in feats], pa.int32()),
+                "n_frames": pa.array([f["n_frames"] for f in feats], pa.int64()),
+                "n_sampled": pa.array([f["n_sampled"] for f in feats], pa.int64()),
+                "fps": pa.array([f["fps"] for f in feats], pa.float64()),
+                "mean_value": pa.array([f["mean_value"] for f in feats], pa.float64()),
+            }
+        )
+
+
+def video_frame_features(sf_dir: str) -> rd.Dataset:
+    """MJPEG/AVI frame-sampling through the synth -> actor-pool decode
+    shape of the other media legs; fully SQL-oracled (flat frames
+    decode exactly)."""
+    return (
+        documents_dataset(sf_dir, ["doc_id"])
+        .map_batches(synth_video_payloads, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(VideoDecodeStage, batch_format="pyarrow", zero_copy_batch=True,
+                     concurrency=auto_concurrency(), batch_size=256)
+    )
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
     """Embedding-cosine near-duplicate pairs (exact, distributed).
 

@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": textdata.media_features,
         "media_features_png": textdata.media_features_png,
         "media_features_jpeg": textdata.media_features_jpeg,
+        "video_frame_features": textdata.video_frame_features,
         "c4_filters": textdata.c4_filters,
         "tfidf_top_terms": textdata.tfidf_top_terms,
         "semdedup_survivors": textdata.semdedup_survivors,

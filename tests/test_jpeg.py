@@ -121,3 +121,51 @@ def test_420_flat_gray_exact():
     flat = np.full((16, 16, 3), 120, np.uint8)  # gray -> chroma exactly 128
     d = decode_jpeg(encode_jpeg_rgb(flat, subsample=True), return_pixels=True)
     assert (d["pixels"] == 120).all()
+
+
+class TestAviMjpeg:
+    def test_roundtrip_exact_flat_frames(self):
+        from link_profiler_repo_ray.functions.media import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        frames = [np.full((16, 24), 100 + 10 * k, np.uint8) for k in range(6)]
+        d = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=5), sample_every=2)
+        assert d["kind"] == "avi_mjpeg"
+        assert (d["n_frames"], d["n_sampled"], d["fps"]) == (6, 3, 5.0)
+        assert d["mean_value"] == (100 + 120 + 140) / 3
+
+    def test_rgb_frames_and_sniff(self):
+        from link_profiler_repo_ray.functions.media import (
+            decode_media,
+            encode_avi_mjpeg,
+            sniff_kind,
+        )
+
+        frames = [np.full((8, 8, 3), 64, np.uint8) for _ in range(3)]
+        b = encode_avi_mjpeg(frames)
+        assert sniff_kind(b) == "avi"
+        d = decode_media(b)
+        assert d["kind"] == "avi_mjpeg" and d["channels"] == 3
+        assert d["mean_value"] == 64.0  # gray RGB decodes exactly
+
+    def test_header_frame_count_guard(self):
+        from link_profiler_repo_ray.functions.media import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        b = bytearray(encode_avi_mjpeg([np.full((8, 8), 50, np.uint8)] * 4))
+        # corrupt the avih total-frames field (offset: RIFF(12) + LIST hdr
+        # (8) + 'hdrl'(4) + 'avih' hdr(8) + 16 bytes into avih payload)
+        off = 12 + 8 + 4 + 8 + 16
+        b[off:off + 4] = (99).to_bytes(4, "little")
+        with pytest.raises(ValueError, match="declares"):
+            decode_avi_mjpeg(bytes(b))
+
+    def test_not_avi_refused(self):
+        from link_profiler_repo_ray.functions.media import decode_avi_mjpeg
+
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")

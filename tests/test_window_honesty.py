@@ -99,6 +99,8 @@ SIBLINGS = {
     "token_stats_bpe": "doc_quality",
     # displaced by media_features_jpeg joining the window (round 5)
     "embedding_quantize": "embedding_centroids",
+    # displaced by video_frame_features joining the window (round 5)
+    "crawl_tier_assignment": "top_valuable_domains",
 }
 
 
