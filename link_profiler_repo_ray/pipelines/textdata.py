@@ -1457,6 +1457,14 @@ def word_jaccard_pairs(
 
 # --- similarity search ----------------------------------------------------
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize; all-zero rows (possible for hashed/cancelled
+    embeddings) stay zero instead of dividing to NaN — a zero vector
+    has cosine 0 with everything, which is the intended semantics."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0.0, 1.0, n)
+
+
 def _load_queries(sf_dir: str, n_queries: int):
     """First ``n_queries`` vectors (by vec_id) as the query matrix.
 
@@ -1518,7 +1526,7 @@ def embedding_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> rd.Dataset:
     round-2 verdict's 1.9→3.3 s regression was autoscaling-pool
     spin-up dominating this seconds-scale workload."""
     qids, qmat = _load_queries(sf_dir, n_queries)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm = _unit_rows(qmat)
     ref = ray.put((qids, qnorm))
     empty = pa.table(
         {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
@@ -1533,7 +1541,7 @@ def embedding_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> rd.Dataset:
             return empty
         emb = _embedding_matrix(batch.column("embedding"))[mask]
         vids = vids[mask]
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = _unit_rows(emb)
         sims = q @ emb.T  # (nq, nb)
         nq, nb = sims.shape
         kk = min(k, nb)
@@ -1625,7 +1633,7 @@ def _kmeans_centroids(
         .take_all()
     )
     x = np.array([r["embedding"] for r in sampled], dtype=np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    x = _unit_rows(x)
     rng = np.random.RandomState(42)
     cents = x[rng.choice(len(x), size=n_cells, replace=False)]
     for _ in range(iters):
@@ -1634,7 +1642,9 @@ def _kmeans_centroids(
             m = assign == c
             if m.any():
                 v = x[m].mean(axis=0)
-                cents[c] = v / np.linalg.norm(v)
+                nv = float(np.linalg.norm(v))
+                if nv > 0.0:  # an all-cancelling cell keeps its old centroid
+                    cents[c] = v / nv
     return cents
 
 
@@ -1648,7 +1658,7 @@ def knn_ivf(
     contributes candidates only for queries probing its vectors' cells;
     recall vs :func:`embedding_topk` is asserted in tests."""
     qids, qmat = _load_queries(sf_dir, n_queries)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm = _unit_rows(qmat)
 
     cents = _kmeans_centroids(sf_dir, n_cells)
     probe = np.argsort(-(qnorm @ cents.T), axis=1)[:, :n_probe]
@@ -1670,7 +1680,7 @@ def knn_ivf(
             )
         embs = _embedding_matrix(batch.column("embedding"))[keep]
         vids = vids[keep]
-        embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+        embs = _unit_rows(embs)
         cell = np.argmax(embs @ cents_m.T, axis=1)
         out_q, out_v, out_s = [], [], []
         for qi, qvec in enumerate(q):
@@ -2000,7 +2010,7 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
     t = t.sort_by("vec_id")
     all_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     mat = _embedding_matrix(t.column("embedding"))
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = _unit_rows(mat)
     ref = ray.put((all_ids, mat))
 
     # task-pool function; the (ids, matrix) broadcast is a zero-copy
@@ -2010,7 +2020,7 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
         all_ids_l, mat_l = ray.get(ref)
         vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         emb = _embedding_matrix(batch.column("embedding"))
-        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = _unit_rows(emb)
         sims = emb @ mat_l.T  # (batch, all)
         rows, cols = np.nonzero(sims >= threshold)
         a = vids[rows]
@@ -2064,7 +2074,7 @@ def embedding_near_dups_bucketed(
                 }
             )
         emb = _embedding_matrix(batch.column("embedding"))
-        emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        emb_n = _unit_rows(emb)
         sims = emb_n @ cents_m.T  # (n, cells)
         top = np.argsort(-sims, axis=1)[:, :n_assign]  # (n, n_assign)
         rep_idx = pa.array(np.repeat(np.arange(len(vids)), n_assign))
@@ -2084,7 +2094,7 @@ def embedding_near_dups_bucketed(
                 continue
             vids = g.get_column("vec_id").to_numpy()
             emb = np.array(g.get_column("embedding").to_list(), dtype=np.float64)
-            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = _unit_rows(emb)
             sims = emb @ emb.T
             i, j = np.triu_indices(len(vids), k=1)
             keep = sims[i, j] >= threshold

@@ -99,3 +99,21 @@ def test_encode_corpus_vec_ids_unique_and_sorted_layout(ray_session, tmp_path):
     vids = t.column("vec_id").to_numpy()
     assert len(np.unique(vids)) == len(vids)
     assert (np.diff(vids) > 0).all()  # the input-hint sorted layout
+
+
+def test_encoded_semdedup_consumes_encoder_output(ray_session, tmp_path):
+    """Extend the loop one stage further: chunked+encoded corpus →
+    SemDeDup.  Overlapping chunks of the same document are near-
+    identical token bags, so the semantic-dup clusters must be
+    non-empty and every survivor must be its cluster's minimum
+    vec_id (first-wins)."""
+    from link_profiler_repo_ray.pipelines.encode import write_embeddings_fixture
+    from link_profiler_repo_ray.pipelines.textdata import semdedup_survivors
+
+    out = str(tmp_path / "enc")
+    # heavy overlap (stride << size) plants semantic near-dups
+    write_embeddings_fixture(SF, out, dim=16, chunk_size=96, stride=16)
+    got = semdedup_survivors(out, threshold=0.85).to_pandas()
+    assert len(got) > 0
+    by_cluster = got.groupby("survivor_id")["vec_id"].min()
+    assert (by_cluster.index <= by_cluster.values).all()
