@@ -82,3 +82,54 @@ def test_token_hashes_deterministic(tokens):
     a = token_hashes(tokens)
     b = token_hashes(tokens)
     assert (a == b).all()
+
+
+# --- round 5: JPEG codec + BPE segmenter properties ------------------------
+
+import numpy as np
+from hypothesis import HealthCheck
+from hypothesis.extra import numpy as hnp
+
+
+@given(
+    pix=hnp.arrays(
+        dtype=np.uint8,
+        shape=st.tuples(st.integers(1, 24), st.integers(1, 32)),
+    )
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_jpeg_gray_roundtrip_never_crashes_and_bounds_error(pix):
+    from link_profiler_repo_ray.functions.jpegx import decode_jpeg, encode_jpeg_gray
+
+    d = decode_jpeg(encode_jpeg_gray(pix), return_pixels=True)
+    assert d["pixels"].shape == pix.shape
+    # worst-case per-pixel error of Annex-K luma quantization on any
+    # 8-bit input stays far from saturating the range
+    assert float(np.abs(d["pixels"].astype(float) - pix.astype(float)).mean()) < 64.0
+
+
+@given(
+    pix=hnp.arrays(dtype=np.uint8, shape=st.tuples(st.integers(1, 16), st.integers(1, 16))),
+    rst=st.integers(0, 4),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_jpeg_restart_interval_never_changes_pixels(pix, rst):
+    from link_profiler_repo_ray.functions.jpegx import decode_jpeg, encode_jpeg_gray
+
+    plain = decode_jpeg(encode_jpeg_gray(pix), return_pixels=True)["pixels"]
+    with_rst = decode_jpeg(encode_jpeg_gray(pix, restart_interval=rst), return_pixels=True)["pixels"]
+    assert (plain == with_rst).all()
+
+
+_word = st.text(alphabet=string.ascii_lowercase, min_size=0, max_size=8)
+
+
+@given(w=_word, merges=st.lists(st.tuples(_word.filter(bool), _word.filter(bool)), max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_bpe_split_reconstructs_word(w, merges):
+    from link_profiler_repo_ray.pipelines.bpe import bpe_split_word
+
+    syms = bpe_split_word(w, merges)
+    # segmentation is lossless: concatenating subwords restores word + EOW
+    assert "".join(syms) == w + "</w>"
+    assert all(s for s in syms)
