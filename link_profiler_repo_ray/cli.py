@@ -81,6 +81,18 @@ def main(argv=None) -> int:
     cu.add_argument("--out", required=True)
     cu.add_argument("--budget", type=int, default=512, help="tokens per packed sequence")
 
+    en = sub.add_parser(
+        "encode",
+        help="chunk documents and encode them into the embeddings-table "
+        "layout (vec_id-sorted parquet) for the ANN/quantize/semdedup "
+        "consumers",
+    )
+    en.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    en.add_argument("--out", required=True)
+    en.add_argument("--dim", type=int, default=16)
+    en.add_argument("--chunk-size", type=int, default=128)
+    en.add_argument("--stride", type=int, default=96)
+
     co = sub.add_parser(
         "compact",
         help="compact a crawl's page-delta log into a host-sharded, "
@@ -195,6 +207,17 @@ def main(argv=None) -> int:
 
             m = compact_pages(args.pages_dir, args.out, num_shards=args.shards)
             print(json.dumps({k: m[k] for k in ("num_shards", "total_rows", "total_bytes")}))
+        elif args.cmd == "encode":
+            from .pipelines.encode import write_embeddings_fixture
+
+            path = write_embeddings_fixture(
+                args.sf_dir, args.out, dim=args.dim,
+                chunk_size=args.chunk_size, stride=args.stride,
+            )
+            import pyarrow.parquet as _pq
+
+            print(json.dumps({"written": path,
+                              "rows": _pq.ParquetFile(path).metadata.num_rows}))
         elif args.cmd == "curate":
             from .pipelines.curate import curate_corpus
 

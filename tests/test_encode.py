@@ -117,3 +117,22 @@ def test_encoded_semdedup_consumes_encoder_output(ray_session, tmp_path):
     assert len(got) > 0
     by_cluster = got.groupby("survivor_id")["vec_id"].min()
     assert (by_cluster.index <= by_cluster.values).all()
+
+
+def test_cli_encode_surface(ray_session, tmp_path):
+    import json
+    import subprocess
+
+    out = str(tmp_path / "cli_enc")
+    res = subprocess.run(
+        [sys.executable, "-m", "link_profiler_repo_ray.cli", "encode",
+         "--sf-dir", SF, "--out", out, "--dim", "8"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["rows"] > 0
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(info["written"])
+    assert t.schema.field("embedding").type == pa.list_(pa.float32())
