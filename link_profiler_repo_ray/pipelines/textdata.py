@@ -2247,6 +2247,121 @@ def near_dup_survivors(
     return labels.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def knn_lsh(
+    sf_dir: str, k: int = 10, n_queries: int = 5, n_bits: int = 6,
+    n_tables: int = 8, n_probe_bits: int | None = None,
+) -> rd.Dataset:
+    """LSH-bucketed ANN — the sibling scale path to :func:`knn_ivf`
+    (the task spec's "IVF **or** LSH-bucketed variant"; here both
+    exist).  Random-hyperplane signatures (Charikar 2002, SimHash for
+    cosine): bucket = the ``n_bits`` sign bits of the vector against
+    deterministic splitmix64-derived hyperplanes (the
+    ``embedding_random_projection`` discipline — every task
+    regenerates the identical planes from two ints, nothing is
+    shipped), multi-probe = the query's own bucket plus every bucket
+    at Hamming distance 1 in its ``n_probe_bits`` least-confident bits
+    (the smallest |margin| planes — the standard multi-probe LSH
+    heuristic), exact cosine ONLY against vectors whose bucket is
+    probed.
+
+    Per batch: one matmul against the (d × n_bits) plane matrix +
+    bitpack; candidates filtered by an O(1) probed-bucket set. No
+    exchanges, no broadcast beyond the tiny query state.  Recall vs
+    :func:`embedding_topk` is pytest-asserted.
+    """
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    qnorm = _unit_rows(qmat)
+
+    def planes(d: int, table: int) -> np.ndarray:
+        i = np.arange(d, dtype=np.uint64)[:, None]
+        j = np.arange(n_bits, dtype=np.uint64)[None, :]
+        z = i * np.uint64(0x9E3779B97F4A7C15) + (
+            j + np.uint64(101 + table * 1009)
+        ) * np.uint64(0xC2B2AE3D27D4EB4F)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        u = (z >> np.uint64(8)).astype(np.float64) / float(1 << 56)
+        return u - 0.5  # centered, deterministic hyperplanes
+
+    def bucket_of(m: np.ndarray, pl_m: np.ndarray) -> np.ndarray:
+        proj = m @ pl_m
+        bits = (proj > 0).astype(np.int64)
+        return (bits << np.arange(n_bits, dtype=np.int64)[None, :]).sum(axis=1)
+
+    # per-table probe sets for every query (multi-probe inside each)
+    probe_sets: list[list[set[int]]] = []
+    for t in range(n_tables):
+        pl_m = planes(qnorm.shape[1], t)
+        qproj = qnorm @ pl_m
+        qbucket = bucket_of(qnorm, pl_m)
+        per_q = []
+        for qi in range(len(qids)):
+            margins = np.abs(qproj[qi])
+            weak = (
+                np.argsort(margins)[:n_probe_bits]
+                if n_probe_bits is not None
+                else np.arange(n_bits)
+            )
+            buckets = {int(qbucket[qi])}
+            for b in weak:
+                buckets.add(int(qbucket[qi]) ^ (1 << int(b)))
+            per_q.append(buckets)
+        probe_sets.append(per_q)
+    ref = ray.put((qids, qnorm, probe_sets))
+
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_l, q, probes = ray.get(ref)
+        vids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = vids >= len(qids_l)
+        if not mask.any():
+            return empty
+        emb = _unit_rows(_embedding_matrix(batch.column("embedding"))[mask])
+        vids = vids[mask]
+        vb_tables = [bucket_of(emb, planes(emb.shape[1], t)) for t in range(n_tables)]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_l)):
+            cand = np.zeros(len(vids), dtype=bool)
+            for t in range(n_tables):
+                cand |= np.isin(vb_tables[t], list(probes[t][qi]))
+            if not cand.any():
+                continue
+            sims = q[qi] @ emb[cand].T
+            cv = vids[cand]
+            kk = min(k, len(cv))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qids_l[qi]] * kk)
+            out_v.extend(cv[idx].tolist())
+            out_s.extend(sims[idx].tolist())
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def final(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.sort(["query_id", "score", "vec_id"], descending=[False, True, False])
+            .group_by("query_id", maintain_order=True)
+            .head(k)
+            .with_columns(pl.col("score").round(6))
+        )
+
+    partials = embeddings_dataset(sf_dir, ["vec_id", "embedding"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_group_apply(partials, ["query_id"], final)
+
+
 def semdedup_survivors(
     sf_dir: str,
     threshold: float = 0.45,

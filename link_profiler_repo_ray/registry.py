@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": textdata.embedding_topk,
         "embedding_centroids": textdata.embedding_centroids,
         "knn_ivf": textdata.knn_ivf,
+        "knn_lsh": textdata.knn_lsh,
         "media_features": textdata.media_features,
         "media_features_png": textdata.media_features_png,
         "media_features_jpeg": textdata.media_features_jpeg,

@@ -102,3 +102,28 @@ def test_random_projection_deterministic_and_jl():
     # must sit near 1 and no pair may collapse or explode wildly
     assert 0.7 < np.median(ratios) < 1.3
     assert (ratios > 0.2).all() and (ratios < 2.5).all()
+
+
+def test_knn_lsh_recall_vs_bruteforce(ray_session):
+    """LSH-bucketed ANN (the IVF sibling) recall against exact cosine."""
+    from link_profiler_repo_ray.pipelines.textdata import embedding_topk, knn_lsh
+
+    sf = "/root/testdata/sf0.001"
+    exact = embedding_topk(sf, k=5, n_queries=4).to_pandas()
+    lsh = knn_lsh(sf, k=5, n_queries=4).to_pandas()
+    hits = total = 0
+    for qid, grp in exact.groupby("query_id"):
+        want = set(grp.vec_id)
+        got = set(lsh[lsh.query_id == qid].vec_id)
+        hits += len(want & got)
+        total += len(want)
+    assert total > 0 and hits / total >= 0.7, f"LSH recall {hits}/{total}"
+
+
+def test_knn_lsh_deterministic(ray_session):
+    from link_profiler_repo_ray.pipelines.textdata import knn_lsh
+
+    sf = "/root/testdata/sf0.001"
+    a = knn_lsh(sf, k=3, n_queries=2).to_pandas().sort_values(["query_id", "vec_id"])
+    b = knn_lsh(sf, k=3, n_queries=2).to_pandas().sort_values(["query_id", "vec_id"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
