@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         audit,
         bloomjoin,
         bpe,
+        classifier,
         curate,
         encode,
         graph,
@@ -136,6 +137,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-oracled vs the sequential learner, no SQL oracle)
         "bpe_train": bpe.bpe_train,
         "bpe_apply_counts": bpe.bpe_apply_counts,
+        # distributed trained quality classifier (FineWeb-Edu-style
+        # label distillation; iterative, pytest-oracled vs the
+        # sequential learner — same class as bpe_train/PageRank)
+        "quality_classifier_train": classifier.quality_classifier_train,
+        "quality_classifier_scores": classifier.quality_classifier_scores,
         "doc_quality": textdata.doc_quality,
         "compression_ratio": textdata.compression_ratio,
         "token_entropy": textdata.token_entropy,
