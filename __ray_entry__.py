@@ -75,7 +75,7 @@ _YIELD_WINDOW_SLOT = (
     "domain_intelligence",     # -> enriched_edges (same closed-form metrics join)
     "url_priority_scores",     # -> url_filter_scores (same pages-url scan + scoring)
     "text_extract",            # -> web3_content_index (same documents scan + slice)
-    "extract_links",           # -> link_health_audit (same edge extraction)
+    "extract_links",           # -> enriched_edges (same edge extraction)
     "crawl_bfs",               # -> robots_block_rates (same robots parse + admission)
     "link_profiles",           # -> top_anchors_referrers (same per-target rollup)
     "host_graph",              # -> host_triangles (same host-pair exchange)
@@ -120,7 +120,7 @@ _YIELD_WINDOW_SLOT = (
     "host_degree_assortativity", # -> host_triangles (same pair exchange)
     "profiles_incremental",    # -> top_anchors_referrers (same pair-index rollup)
     "expired_domain_finder",   # -> top_valuable_domains (same score expr)
-    "anchor_fuzzy_pairs",      # -> link_health_audit (same edges parse)
+    "anchor_fuzzy_pairs",      # -> enriched_edges (same edges parse)
     "shard_balance_report",    # -> url_filter_scores (same pages scan)
     "tar_shard_roundtrip",     # -> web3_content_index (same documents identity scan)
     "snapshot_diff",           # -> mixture_sample (same md5 discipline over documents)
@@ -138,6 +138,10 @@ _YIELD_WINDOW_SLOT = (
     "embedding_quantize",      # -> embedding_centroids (same embeddings scan)
     # displaced by video_frame_features joining the window (round 5)
     "crawl_tier_assignment",   # -> top_valuable_domains (same score rollup)
+    # displaced by recrawl_schedule joining the window (round 5):
+    # full_seo_audit's bl CTE IS link_health_audit's broken-link scan
+    # (same edges parse, same tdoc % 17 rule), just rolled up per page
+    "link_health_audit",       # -> full_seo_audit (same broken-link scan)
 )
 
 
@@ -368,6 +372,54 @@ SELECT host, value_score, tier,
        (CASE tier WHEN 0 THEN 6 WHEN 1 THEN 24 ELSE 168 END)::BIGINT
          AS recrawl_interval_hours
 FROM tiers""",
+        "recrawl_schedule": graph_cte
+        + """
+, perhost AS (
+  SELECT target_host,
+         count(*)::BIGINT AS inbound_links,
+         count(DISTINCT source_host)::BIGINT AS referring_domains,
+         sum(CASE WHEN link_type = 'dofollow' THEN 1 ELSE 0 END)::BIGINT AS dofollow_links
+  FROM edges GROUP BY target_host),
+scored AS (
+  SELECT target_host,
+         (CASE WHEN inbound_links >= 100 THEN 30 ELSE 0 END
+          + CASE WHEN referring_domains >= 5 THEN 25 ELSE 0 END
+          + CASE WHEN dofollow_links >= 50 THEN 40 ELSE 0 END
+          + CASE WHEN inbound_links >= 20 THEN 15 ELSE 0 END)::BIGINT AS value_score
+  FROM perhost),
+o AS (SELECT value_score, row_number() OVER (ORDER BY value_score) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM scored),
+t AS (SELECT max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                      THEN value_score END) AS t50,
+             max(CASE WHEN rn = CAST(floor(0.8 * (n - 1)) AS BIGINT)
+                      THEN value_score END) AS t80
+      FROM o),
+tiers AS (
+  SELECT target_host AS host,
+         (CASE WHEN value_score >= t80 THEN 0
+               WHEN value_score >= t50 THEN 1 ELSE 2 END)::BIGINT AS tier
+  FROM scored CROSS JOIN t),
+pages AS (SELECT doc_id, 'h' || host_id || '.example.com' AS host FROM docurl),
+j AS (
+  SELECT COALESCE(tr.tier, 2)::BIGINT AS tier,
+         (CASE COALESCE(tr.tier, 2) WHEN 0 THEN 6 WHEN 1 THEN 24 ELSE 168 END)::BIGINT
+           AS recrawl_interval_hours,
+         (12 * (1 + p.doc_id % 9))::BIGINT AS change_period_h
+  FROM pages p LEFT JOIN tiers tr ON tr.host = p.host),
+m AS (
+  SELECT tier, recrawl_interval_hours,
+         336 // recrawl_interval_hours AS n_revisits,
+         336 // change_period_h AS n_changes
+  FROM j)
+SELECT tier, recrawl_interval_hours,
+       count(*)::BIGINT AS n_pages,
+       sum(n_revisits)::BIGINT AS total_revisits,
+       sum(n_changes)::BIGINT AS total_changes,
+       sum(n_changes - LEAST(n_changes, n_revisits))::BIGINT AS total_missed,
+       round(sum(n_changes - LEAST(n_changes, n_revisits))::DOUBLE / sum(n_changes), 6)
+         AS missed_rate
+FROM m GROUP BY tier, recrawl_interval_hours""",
         "expired_domain_finder": graph_cte
         + """
 , perhost AS (

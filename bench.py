@@ -604,6 +604,10 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        print("usage: bench.py [--scaling | --scaling-hosts]")
+        sys.exit(0)
     if "--scaling-hosts" in sys.argv:
         print(json.dumps(run_scaling_hosts()))
     elif "--scaling" in sys.argv:

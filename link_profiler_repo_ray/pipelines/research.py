@@ -909,3 +909,95 @@ def dns_enrichment(sf_dir: str, doh_url: str | None = None) -> rd.Dataset:
         zero_copy_batch=True,
         concurrency=ops.auto_concurrency(),
     )
+
+
+def recrawl_schedule(
+    sf_dir: str, horizon_hours: int = 336, multiplier: int = 1
+) -> rd.Dataset:
+    """Tiered-recrawl *schedule simulation*: how much change does each
+    crawl tier's refresh interval actually capture over a horizon?
+
+    The reference schedules recrawls per domain value tier
+    (expired_domain_finder_service / domain_analyzer_service shapes);
+    this closes the loop by simulating the schedule against a
+    deterministic per-page change cadence (``change_period_h =
+    12·(1 + doc_id % 9)`` — 12 h..108 h, the synthetic stand-in for a
+    change-detection history) over ``horizon_hours`` (14 days):
+
+      n_revisits = horizon // interval,  n_changes = horizon // period,
+      captured   = min(n_changes, n_revisits),  missed = rest
+
+    Scale shape: :func:`crawl_tier_assignment`'s per-host table is the
+    SMALL side (one row per host) — broadcast once via ``ray.put`` and
+    looked up inside the page map (no shuffle join); pages not in the
+    backlink graph default to tier 2 (weekly).  The per-page pass
+    pre-aggregates to per-(tier, interval) partials inside each batch,
+    so the only exchange is a ≤3-group ``hash_aggregate``.
+    """
+    tiers = crawl_tier_assignment(sf_dir, multiplier)
+    # bounded take_all: one row per host (the small broadcast side)
+    tier_rows = tiers.select_columns(["host", "tier"]).take_all()
+    tier_ref = ray.put({r["host"]: r["tier"] for r in tier_rows})
+    intervals = {0: 6, 1: 24, 2: 168}
+
+    def per_page(batch: pa.Table) -> pa.Table:
+        tmap = ray.get(tier_ref)
+        df = pl.from_arrow(batch)
+        doc_id = pl.col("url").str.extract(r"/doc/(\d+)$", 1).cast(pl.Int64)
+        host = pl.col("url").str.extract(r"^https://([^/]+)/", 1)
+        df = df.select(doc_id.alias("doc_id"), host.alias("host"))
+        tier = pl.Series(
+            "tier", [tmap.get(hh, 2) for hh in df["host"]], dtype=pl.Int64
+        )
+        df = df.with_columns(
+            tier,
+            tier.replace_strict(intervals, return_dtype=pl.Int64).alias(
+                "recrawl_interval_hours"
+            ),
+            (12 * (1 + pl.col("doc_id") % 9)).alias("change_period_h"),
+        ).with_columns(
+            (horizon_hours // pl.col("recrawl_interval_hours")).alias("n_revisits"),
+            (horizon_hours // pl.col("change_period_h")).alias("n_changes"),
+        )
+        return (
+            df.group_by(["tier", "recrawl_interval_hours"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_pages"),
+                pl.col("n_revisits").sum().alias("total_revisits"),
+                pl.col("n_changes").sum().alias("total_changes"),
+                (
+                    pl.col("n_changes")
+                    - pl.min_horizontal("n_changes", "n_revisits")
+                )
+                .sum()
+                .alias("total_missed"),
+            )
+            .to_arrow()
+        )
+
+    partials = graph.pages_dataset(sf_dir, multiplier, columns=["url"]).map_batches(
+        per_page, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sums = [
+        pl.col(c).sum()
+        for c in ("n_pages", "total_revisits", "total_changes", "total_missed")
+    ]
+    rolled = hash_aggregate(
+        partials, ["tier", "recrawl_interval_hours"], combine=sums, merge=sums
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .with_columns(
+                (
+                    pl.col("total_missed").cast(pl.Float64)
+                    / pl.col("total_changes").cast(pl.Float64)
+                )
+                .round(6)
+                .alias("missed_rate")
+            )
+            .to_arrow()
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

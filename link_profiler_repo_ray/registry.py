@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seo_metrics": research.seo_metrics,
         "domain_value_scores": research.domain_value_scores,
         "crawl_tier_assignment": research.crawl_tier_assignment,
+        "recrawl_schedule": research.recrawl_schedule,
         "expired_domain_finder": research.expired_domain_finder,
         "link_health_audit": research.link_health_audit,
         "customers_without_orders": research.customers_without_orders,

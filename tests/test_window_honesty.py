@@ -40,7 +40,9 @@ SIBLINGS = {
     "domain_intelligence": "enriched_edges",
     "url_priority_scores": "url_filter_scores",
     "text_extract": "web3_content_index",
-    "extract_links": "link_health_audit",
+    # enriched_edges consumes the same ExtractLinksStage edge rows
+    # (link_health_audit moved out of the window in round 5)
+    "extract_links": "enriched_edges",
     "crawl_bfs": "robots_block_rates",
     "link_profiles": "top_anchors_referrers",
     "host_graph": "host_triangles",
@@ -86,7 +88,7 @@ SIBLINGS = {
     "host_degree_assortativity": "host_triangles",
     "profiles_incremental": "top_anchors_referrers",
     "expired_domain_finder": "top_valuable_domains",
-    "anchor_fuzzy_pairs": "link_health_audit",
+    "anchor_fuzzy_pairs": "enriched_edges",  # same edges parse (round-5 repoint)
     "shard_balance_report": "url_filter_scores",
     "tar_shard_roundtrip": "web3_content_index",
     "snapshot_diff": "mixture_sample",
@@ -101,6 +103,9 @@ SIBLINGS = {
     "embedding_quantize": "embedding_centroids",
     # displaced by video_frame_features joining the window (round 5)
     "crawl_tier_assignment": "top_valuable_domains",
+    # full_seo_audit's bl CTE is link_health_audit's broken-link scan
+    # rolled up per page (same edges parse, same tdoc % 17 rule)
+    "link_health_audit": "full_seo_audit",
 }
 
 
