@@ -359,7 +359,21 @@ def run_bench() -> dict:
         timed(f"line_dedup_x{tmult}", lambda: textdata.line_dedup(sdir).count())
         timed(f"exact_substring_x{tmult}", lambda: textdata.exact_substring_dups(sdir).count())
         timed(f"bm25_topk_x{tmult}", lambda: bm25_topk(sdir).count())
-        for op in ("minhash_lsh", "line_dedup", "exact_substring", "bm25_topk"):
+        # trained-classifier GD: featurize + 6 streaming gradient epochs
+        from link_profiler_repo_ray.pipelines.classifier import quality_classifier_train
+
+        timed("classifier_train_x1", lambda: quality_classifier_train(SF_DIR).num_rows)
+        timed(
+            f"classifier_train_x{tmult}",
+            lambda: quality_classifier_train(sdir).num_rows,
+        )
+        for op in (
+            "minhash_lsh",
+            "line_dedup",
+            "exact_substring",
+            "bm25_topk",
+            "classifier_train",
+        ):
             # per-doc cost ratio at Mx vs 1x: 1.0 = perfectly flat
             extras[f"{op}_per_doc_cost_x{tmult}_vs_x1"] = round(
                 (timings[f"{op}_x{tmult}"] / tmult) / timings[f"{op}_x1"], 3
