@@ -41,10 +41,10 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..ops import hash_aggregate
+from ..ops import hash_aggregate, hash_group_apply
 from .textdata import documents_dataset
 
-__all__ = ["bpe_train", "bpe_apply_counts", "bpe_learn_merges", "bpe_split_word"]
+__all__ = ["bpe_train", "bpe_apply_counts", "bpe_learn_merges", "bpe_split_word", "bpe_sequence_packing"]
 
 # end-of-word marker (the standard '</w>' sentinel keeps merges from
 # crossing word boundaries)
@@ -275,4 +275,58 @@ def bpe_apply_counts(sf_dir: str, k: int = 24) -> rd.Dataset:
 
     return documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def bpe_sequence_packing(sf_dir: str, k: int = 24, budget: int = 512) -> rd.Dataset:
+    """Trained-tokenizer sequence packing — closes the
+    train-tokenizer → tokenize → pack loop the way ``encode_corpus``
+    closed chunk → encode → index.
+
+    ``bpe_train``'s merge list broadcasts once via ``ray.put``; one
+    pruned documents pass tokenizes per doc (memoized word → split,
+    Zipf hit-rate) emitting only ``(doc_id, source, n_tokens)`` — no
+    text crosses the exchange — and the greedy first-fit pack runs
+    per source inside one hash partition
+    (:func:`..textdata.greedy_pack_partition`, the exact scan
+    ``sequence_packing`` uses, so the pytest oracle replays it
+    sequentially on a sequentially-trained tokenizer).
+    """
+    from .textdata import greedy_pack_partition
+
+    merges_tbl = bpe_train(sf_dir, k).to_pandas()
+    merges = (
+        list(zip(merges_tbl["left"], merges_tbl["right"]))
+        if "left" in merges_tbl.columns
+        else []
+    )
+    ref = ray.put(merges)
+
+    def count(batch: pa.Table) -> pa.Table:
+        ms = ray.get(ref)
+        df = pl.from_arrow(batch)
+        n_sub = []
+        cache: dict[str, int] = {}
+        for ws in df.select(pl.col("text").str.split(" ").alias("w")).get_column("w"):
+            total = 0
+            for w in ws:
+                hit = cache.get(w)
+                if hit is None:
+                    hit = len(bpe_split_word(w, ms))
+                    cache[w] = hit
+                total += hit
+            n_sub.append(total)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_tokens": pa.array(n_sub, pa.int64()),
+            }
+        )
+
+    counts = documents_dataset(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_group_apply(
+        counts, ["source"], lambda df: greedy_pack_partition(df, budget)
     )

@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-oracled vs the sequential learner, no SQL oracle)
         "bpe_train": bpe.bpe_train,
         "bpe_apply_counts": bpe.bpe_apply_counts,
+        "bpe_sequence_packing": bpe.bpe_sequence_packing,
         # distributed trained quality classifier (FineWeb-Edu-style
         # label distillation; iterative, pytest-oracled vs the
         # sequential learner — same class as bpe_train/PageRank)

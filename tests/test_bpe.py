@@ -75,3 +75,45 @@ def test_merges_reduce_token_count(ray_session):
     n0 = bpe_apply_counts(SF, k=0).to_pandas()["n_subwords"].sum()
     n16 = bpe_apply_counts(SF, k=16).to_pandas()["n_subwords"].sum()
     assert n16 < n0  # every merge strictly shrinks some words
+
+
+def test_bpe_sequence_packing_matches_sequential_oracle(ray_session):
+    """Distributed tokenize-with-trained-BPE → pack must equal a fully
+    sequential replay (sequential BPE learner + python greedy pack)."""
+    import polars as pl
+
+    from link_profiler_repo_ray.pipelines.bpe import (
+        bpe_learn_merges,
+        bpe_sequence_packing,
+        bpe_split_word,
+    )
+
+    k, budget = 16, 256
+    got = bpe_sequence_packing(SF, k=k, budget=budget).to_pandas().sort_values("doc_id")
+
+    merges = [(a, b) for a, b, _ in bpe_learn_merges(_corpus_histogram(SF), k)]
+    docs = pl.read_parquet(f"{SF}/documents.parquet").select("doc_id", "source", "text")
+    cache = {}
+
+    def n_sub(text):
+        total = 0
+        for w in text.split(" "):
+            if w not in cache:
+                cache[w] = len(bpe_split_word(w, merges))
+            total += cache[w]
+        return total
+
+    counts = docs.with_columns(
+        pl.col("text").map_elements(n_sub, return_dtype=pl.Int64).alias("n_tokens")
+    )
+    expect = {}
+    for (src,), g in sorted(counts.group_by("source"), key=lambda kv: kv[0][0]):
+        b, acc = 0, 0
+        for doc_id, _, _, t in g.sort("doc_id").iter_rows():
+            if acc > 0 and acc + t > budget:
+                b, acc = b + 1, 0
+            acc += t
+            expect[doc_id] = (f"{src}-{b}", t)
+    assert len(got) == len(expect)
+    for r in got.itertuples():
+        assert (r.bin_id, r.n_tokens) == expect[int(r.doc_id)], r.doc_id
