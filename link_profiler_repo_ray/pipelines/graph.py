@@ -37,6 +37,7 @@ __all__ = [
     "host_pagerank",
     "host_hits",
     "host_components",
+    "host_communities",
     "host_triangles",
     "host_kcore",
     "host_reciprocal_links",
@@ -1775,3 +1776,106 @@ def host_pagerank_personalized(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def host_communities(
+    sf_dir: str,
+    multiplier: int = 1,
+    edges: rd.Dataset | None = None,
+    rounds: int = 8,
+) -> rd.Dataset:
+    """Fixed-round synchronous label-propagation communities over the
+    undirected host graph → (host, community).
+
+    LPA (Raghavan et al. 2007) made fully deterministic: every host
+    starts labelled with itself; each round every host SYNCHRONOUSLY
+    adopts the neighbor label with the largest total edge weight,
+    ties broken by lexicographically smallest label.  The round count
+    is FIXED (synchronous LPA can 2-cycle on bipartite structure, so
+    "run to convergence" is not well-defined) — after exactly
+    ``rounds`` rounds the labelling is a pure function of the graph,
+    which is what the sequential pytest oracle replays
+    (tests/test_graph_iter.py).  Communities differ from
+    :func:`host_components`: a component is connectivity-only, a
+    community follows weight density (a weakly-attached bridge host
+    joins the side that links to it more).
+
+    Scale shape per round: ONE partitioned join (labels onto edge
+    targets — ``tagged_union_join``, both sides stay partitioned) and
+    ONE ``hash_aggregate`` of integer (host, label) weights followed
+    by a per-host argmax inside the partition.  Labels materialize
+    each round (O(hosts) rows), edges materialize once.
+    """
+    from ..ops import tagged_union_join
+
+    hg = host_graph(sf_dir, multiplier, edges=edges)
+
+    # undirected: symmetrize, summing directed weights
+    def sym(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        return pl.concat(
+            [
+                df.select(
+                    pl.col("source_host").alias("u"),
+                    pl.col("target_host").alias("v"),
+                    pl.col("n_links").alias("w"),
+                ),
+                df.select(
+                    pl.col("target_host").alias("u"),
+                    pl.col("source_host").alias("v"),
+                    pl.col("n_links").alias("w"),
+                ),
+            ]
+        ).to_arrow()
+
+    und = hash_aggregate(
+        hg.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True),
+        ["u", "v"],
+        combine=[pl.col("w").sum()],
+        merge=[pl.col("w").sum()],
+    ).materialize()
+
+    labels = hash_group_apply(
+        und.map_batches(
+            lambda b: pl.from_arrow(b).select(pl.col("u").alias("host")).to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["host"],
+        lambda df: df.unique(),
+    ).map_batches(
+        lambda b: pl.from_arrow(b)
+        .with_columns(pl.col("host").alias("community"))
+        .to_arrow(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    und_schema = pa.schema([("u", pa.string()), ("v", pa.string()), ("w", pa.int64())])
+    lbl_schema = pa.schema([("host", pa.string()), ("community", pa.string())])
+
+    for _ in range(rounds):
+        # label of each edge's far end, delivered to the near end
+        j = tagged_union_join(
+            und, labels, "v", "host",
+            left_schema=und_schema, right_schema=lbl_schema,
+        ).map_batches(
+            lambda b: pl.from_arrow(b).select("u", "community", "w").to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        freq = hash_aggregate(
+            j, ["u", "community"], combine=[pl.col("w").sum()], merge=[pl.col("w").sum()]
+        )
+
+        def pick(df: pl.DataFrame) -> pl.DataFrame:
+            return (
+                df.sort(["u", "w", "community"], descending=[False, True, False])
+                .group_by("u", maintain_order=True)
+                .first()
+                .select(pl.col("u").alias("host"), pl.col("community"))
+            )
+
+        labels = hash_group_apply(freq, ["u"], pick).materialize()
+
+    return labels

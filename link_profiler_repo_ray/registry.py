@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_personalized": graph.host_pagerank_personalized,
         "host_hits": graph.host_hits,
         "host_components": graph.host_components,
+        "host_communities": graph.host_communities,
         "host_triangles": graph.host_triangles,
         "host_kcore": graph.host_kcore,
         "host_reciprocal_links": graph.host_reciprocal_links,

@@ -695,3 +695,79 @@ def test_personalized_pagerank_matches_dense_oracle():
     ranks = dict(zip(got.get_column("host"), got.get_column("rank")))
     assert ranks["h0.example.com"] == max(ranks.values())
     assert got.get_column("rank").sum() <= 1.0 + 1e-6
+
+
+def _ref_lpa(pairs: pl.DataFrame, rounds: int) -> dict[str, str]:
+    """Sequential fixed-round synchronous LPA: undirected weight sum,
+    argmax neighbor-label weight, ties -> smallest label."""
+    import collections
+
+    adj = collections.defaultdict(lambda: collections.defaultdict(int))
+    for s, t, c in pairs.iter_rows():
+        adj[s][t] += c
+        adj[t][s] += c
+    labels = {h: h for h in adj}
+    for _ in range(rounds):
+        new = {}
+        for u, nbrs in adj.items():
+            freq = collections.defaultdict(int)
+            for v, w in nbrs.items():
+                freq[labels[v]] += w
+            best = min(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[u] = best[0]
+        labels = new
+    return labels
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_communities_matches_sequential_lpa(ray_session=None):
+    from link_profiler_repo_ray.pipelines import graph
+
+    rounds = 4
+    got = pl.from_pandas(graph.host_communities(SF, rounds=rounds).to_pandas())
+    pairs = pl.from_pandas(graph.host_graph(SF).to_pandas()).select(
+        ["source_host", "target_host", "n_links"]
+    )
+    want = _ref_lpa(pairs, rounds)
+    assert got.height == len(want)
+    for h, c in zip(got.get_column("host"), got.get_column("community")):
+        assert c == want[h], h
+    # communities are non-trivial: fewer communities than hosts
+    assert got.get_column("community").n_unique() < got.height
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_communities_planted_two_cliques():
+    """Two dense cliques joined by one weak bridge edge must resolve
+    to exactly two communities with the bridge endpoints separated."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    rows = []
+    a = [f"a{i}.example.com" for i in range(5)]
+    b = [f"b{i}.example.com" for i in range(5)]
+    for grp in (a, b):
+        for i, u in enumerate(grp):
+            for v in grp[i + 1:]:
+                rows.append((u, v, 3))
+    rows.append((a[0], b[0], 1))  # weak bridge
+
+    # replicate rows by weight so host_graph's count IS the weight
+    reps = []
+    for u, v, w in rows:
+        reps += [(u, v)] * w
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "source_host": [r[0] for r in reps],
+                "target_host": [r[1] for r in reps],
+            }
+        )
+    )
+    got = pl.from_pandas(graph.host_communities(SF, edges=edges, rounds=6).to_pandas())
+    comm = dict(zip(got.get_column("host"), got.get_column("community")))
+    assert len({comm[h] for h in a}) == 1
+    assert len({comm[h] for h in b}) == 1
+    assert comm[a[0]] != comm[b[0]]
