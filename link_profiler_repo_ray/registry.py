@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referring_domains_exact": graph.referring_domains_exact,
         "referring_domains_hll": graph.referring_domains_hll,
         "link_intersect": lambda sf: graph.link_intersect(sf, "h1.example.com", "h2.example.com"),
+        "link_overlap_hll": lambda sf: graph.link_overlap_hll(sf, "h1.example.com", "h2.example.com"),
         "link_velocity": graph.link_velocity,
         # training-data ops
         "token_stats": textdata.token_stats,

@@ -70,3 +70,51 @@ def test_host_components_vs_union_find():
     for root, members in got.items():
         assert root in members
     assert {frozenset(v) for v in got.values()} == expected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_link_overlap_hll_planted():
+    """Planted referrer sets: A=200 sources, B=150, 60 shared — the
+    inclusion-exclusion HLL estimates must land within a few percent
+    of the exact cardinalities (deterministic: fixed hash, fixed p)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    a_only = [f"sa{i}.net" for i in range(140)]
+    b_only = [f"sb{i}.net" for i in range(90)]
+    shared = [f"sc{i}.net" for i in range(60)]
+    rows = [("A.com", s) for s in a_only + shared] + [
+        ("B.com", s) for s in b_only + shared
+    ]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "target_host": [r[0] for r in rows],
+                "source_host": [r[1] for r in rows],
+            }
+        )
+    )
+    t = graph.link_overlap_hll("unused", "A.com", "B.com", edges=edges).to_pandas()
+    r = t.iloc[0]
+    assert abs(r["referring_a_est"] - 200) / 200 < 0.05
+    assert abs(r["referring_b_est"] - 150) / 150 < 0.05
+    assert abs(r["union_est"] - 290) / 290 < 0.05
+    # intersection inherits summed error: generous band, still useful
+    assert 30 <= r["intersection_est"] <= 90
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_link_overlap_hll_matches_exact_on_corpus():
+    from link_profiler_repo_ray.pipelines import graph
+
+    t = graph.link_overlap_hll(
+        "/root/testdata/sf0.001", "h1.example.com", "h2.example.com"
+    ).to_pandas()
+    exact = graph.link_intersect(
+        "/root/testdata/sf0.001", "h1.example.com", "h2.example.com"
+    ).to_pandas()
+    est = t.iloc[0]["intersection_est"]
+    # 10-host corpus: linear-counting regime, estimates are near-exact
+    assert abs(est - len(exact)) <= max(2.0, 0.1 * len(exact))
