@@ -151,6 +151,8 @@ def train_weights(
         # bounded take_all: one row per block (#blocks × (DIM+2) ints)
         rows = partials.take_all()
         n = sum(r["n"] for r in rows)
+        if n == 0:
+            raise ValueError("train_weights: empty feature dataset (no documents)")
         g_int = [sum(r[f"g{j}"] for r in rows) for j in range(_DIM)]
         loss_micro = sum(r["loss_micro"] for r in rows)
         w = w - lr * (np.array(g_int, dtype=np.float64) / _Q) / float(n)
