@@ -771,3 +771,39 @@ def test_host_communities_planted_two_cliques():
     assert len({comm[h] for h in a}) == 1
     assert len({comm[h] for h in b}) == 1
     assert comm[a[0]] != comm[b[0]]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed,n,m,rounds", [(11, 20, 35, 3), (12, 30, 80, 5)])
+def test_host_communities_random_graphs(seed, n, m, rounds):
+    """Randomized cross-check: distributed fixed-round LPA equals the
+    sequential replay on random multigraphs (duplicate directed edges
+    exercise the weight summation; varying density exercises ties)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    rng = np.random.default_rng(seed)
+    hosts = [f"r{i:02d}.test" for i in range(n)]
+    pairs = [
+        (hosts[int(a)], hosts[int(b)])
+        for a, b in rng.integers(0, n, size=(m, 2))
+        if a != b
+    ]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "source_host": [u for u, v in pairs],
+                "target_host": [v for u, v in pairs],
+            }
+        )
+    )
+    got = pl.from_pandas(graph.host_communities("", edges=edges, rounds=rounds).to_pandas())
+    hg = pl.from_pandas(graph.host_graph("", edges=edges).to_pandas()).select(
+        ["source_host", "target_host", "n_links"]
+    )
+    want = _ref_lpa(hg, rounds)
+    assert got.height == len(want)
+    for h, c in zip(got.get_column("host"), got.get_column("community")):
+        assert c == want[h], (seed, h)
