@@ -315,6 +315,21 @@ def run_bench() -> dict:
         ).count(),
     )
 
+    # 4b. iterative graph ops: per-iteration join + aggregate cost over
+    # the full-corpus host graph (the all-to-all-per-round shape)
+    timed(
+        "host_pagerank",
+        lambda: graph.host_pagerank(
+            SF_DIR, iters=10, edges=edges(["source_host", "target_host"])
+        ).count(),
+    )
+    timed(
+        "host_communities",
+        lambda: graph.host_communities(
+            SF_DIR, rounds=4, edges=edges(["source_host", "target_host"])
+        ).count(),
+    )
+
     # 5. MinHash-LSH near-dup over documents
     timed("minhash_lsh", lambda: textdata.minhash_lsh_dups(SF_DIR).count())
 
