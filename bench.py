@@ -316,19 +316,24 @@ def run_bench() -> dict:
     )
 
     # 4b. iterative graph ops: per-iteration join + aggregate cost over
-    # the full-corpus host graph (the all-to-all-per-round shape)
-    timed(
-        "host_pagerank",
-        lambda: graph.host_pagerank(
-            SF_DIR, iters=10, edges=edges(["source_host", "target_host"])
-        ).count(),
-    )
-    timed(
-        "host_communities",
-        lambda: graph.host_communities(
-            SF_DIR, rounds=4, edges=edges(["source_host", "target_host"])
-        ).count(),
-    )
+    # the full-corpus host graph (the all-to-all-per-round shape).
+    # Excluded from --scaling runs (LPR_BENCH_ITER_TIER=0) for
+    # comparability with earlier rounds' artifacts AND because the
+    # per-iteration driver barrier is a fixed cost by design — it
+    # measures iteration latency, not corpus throughput.
+    if int(os.environ.get("LPR_BENCH_ITER_TIER", "1")):
+        timed(
+            "host_pagerank",
+            lambda: graph.host_pagerank(
+                SF_DIR, iters=10, edges=edges(["source_host", "target_host"])
+            ).count(),
+        )
+        timed(
+            "host_communities",
+            lambda: graph.host_communities(
+                SF_DIR, rounds=4, edges=edges(["source_host", "target_host"])
+            ).count(),
+        )
 
     # 5. MinHash-LSH near-dup over documents
     timed("minhash_lsh", lambda: textdata.minhash_lsh_dups(SF_DIR).count())
@@ -435,6 +440,7 @@ def run_scaling_hosts() -> dict:
             RAY_GRAFT_CPUS=str(fixed),
             LPR_BENCH_CUCKOO="0",
             LPR_BENCH_TEXT_MULT="0",
+            LPR_BENCH_ITER_TIER="0",
             LPR_BENCH_ONLY="crawl",
             LPR_BENCH_BUDGET=budget,
             LPR_BENCH_PAGES=str(base_pages * tier),
@@ -512,6 +518,7 @@ def run_scaling() -> dict:
             # keep scaling levels comparable: the multiplier text tier
             # is a flat-cost measurement, not a scaling stage
             LPR_BENCH_TEXT_MULT=os.environ.get("LPR_BENCH_TEXT_MULT_SCALING", "0"),
+            LPR_BENCH_ITER_TIER="0",
         )
         # Physical core fencing: ray.init(num_cpus=N) only bounds Ray's
         # LOGICAL scheduling quota — per-task Arrow/polars helper
