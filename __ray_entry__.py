@@ -142,6 +142,10 @@ _YIELD_WINDOW_SLOT = (
     # full_seo_audit's bl CTE IS link_health_audit's broken-link scan
     # (same edges parse, same tdoc % 17 rule), just rolled up per page
     "link_health_audit",       # -> full_seo_audit (same broken-link scan)
+    # displaced by weighted_sample_systematic joining the window
+    # (round 5): the per-target distinct-referrer rollup is exactly
+    # what top_anchors_referrers / link_profiles exercise in-window
+    "referring_domains_exact", # -> top_anchors_referrers (same per-target rollup)
 )
 
 
@@ -1021,6 +1025,27 @@ SELECT doc_id,
        len(string_split(text, ' '))::BIGINT AS n_tokens,
        len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens
 FROM documents""",
+        # integer-exact systematic PPS sampling: stride = total // k,
+        # pick once per stride multiple inside [cum_before, cum_before+w)
+        "weighted_sample_systematic": """
+WITH w AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+tot AS (
+  SELECT sum(n_tokens)::BIGINT AS total,
+         GREATEST(20, count(*) // 25)::BIGINT AS k
+  FROM w),
+c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT
+           AS cum_before
+  FROM w),
+s AS (
+  SELECT c.*, GREATEST(1, (SELECT total // k FROM tot))::BIGINT AS stride FROM c)
+SELECT doc_id, n_tokens, cum_before,
+       ((cum_before + n_tokens) // stride - cum_before // stride)::BIGINT AS n_picks
+FROM s
+WHERE (cum_before + n_tokens) // stride > cum_before // stride""",
         # per-term p·ln(p) quantized to integer micro-nats (floor(x·−1e6 + .5))
         # exactly as pipelines/textdata.py:token_entropy does, so the per-doc
         # sum is an order-free integer and the nats column one int→double div

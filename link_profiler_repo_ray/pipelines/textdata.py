@@ -3981,3 +3981,95 @@ def embedding_quantize(sf_dir: str) -> rd.Dataset:
     return embeddings_dataset(sf_dir, columns=["vec_id", "embedding"]).map_batches(
         encode, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def weighted_sample_systematic(sf_dir: str, bucket_size: int = 4096) -> rd.Dataset:
+    """Systematic PPS sampling: pick ~k documents with probability
+    proportional to token count, integer-exact (no floats anywhere).
+
+    Classic systematic/probability-proportional-to-size sampling
+    (Madow 1949): lay every document's ``n_tokens`` end-to-end on an
+    integer line, then take every ``stride``-th point (``stride =
+    total_tokens // k``); a document is picked once per stride
+    multiple inside its [cum_before, cum_before + n_tokens) interval
+    — long documents can be picked multiple times (``n_picks``), the
+    textbook behavior.  Everything is int64 arithmetic, so the DuckDB
+    oracle matches bit-for-bit with no quantization step at all.
+
+    The global running total is a PREFIX SCAN, distributed the same
+    two-pass way as ``watermark_lateness``: (1) per-bucket
+    (``doc_id // bucket_size``) token sums via one tiny aggregate,
+    prefix-summed on the driver (O(n/bucket_size) scalars); (2) one
+    bucket-keyed exchange where each partition sorts its bucket,
+    cum-sums locally and offsets by the carried-in prefix.  Token
+    counts cross the exchanges, never text; k = max(20, n_docs // 25)
+    is the same corpus-scaled parameter rule the other oracle queries
+    use.
+    """
+
+    def count(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(
+                "doc_id",
+                pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("n_tokens"),
+            )
+            .with_columns((pl.col("doc_id") // bucket_size).alias("bucket"))
+            .to_arrow()
+        )
+
+    # bounded materialize: 3 ints per doc; epochs of the scan reuse it
+    counts = documents_dataset(sf_dir, ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    bsum = hash_aggregate(
+        counts,
+        ["bucket"],
+        combine=[pl.col("n_tokens").sum(), pl.len().cast(pl.Int64).alias("n_docs")],
+        merge=[pl.col("n_tokens").sum(), pl.col("n_docs").sum()],
+    )
+    btab = (
+        pl.from_arrow(pa.concat_tables(ray.get(bsum.to_arrow_refs())))
+        .group_by("bucket")
+        .agg(pl.col("n_tokens").sum(), pl.col("n_docs").sum())
+        .sort("bucket")
+    )
+    total = int(btab.get_column("n_tokens").sum())
+    n_docs = int(btab.get_column("n_docs").sum())
+    k = max(20, n_docs // 25)
+    stride = max(1, total // k)
+    prefix = dict(
+        zip(
+            btab.get_column("bucket").to_list(),
+            (btab.get_column("n_tokens").cum_sum() - btab.get_column("n_tokens")).to_list(),
+        )
+    )
+
+    def scan(df: pl.DataFrame) -> pl.DataFrame:
+        out = []
+        for (bk,), g in df.group_by("bucket", maintain_order=False):
+            g = g.sort("doc_id").with_columns(
+                (pl.col("n_tokens").cum_sum() - pl.col("n_tokens") + int(prefix[bk])).alias(
+                    "cum_before"
+                )
+            )
+            out.append(g)
+        if not out:
+            return df.select("doc_id", "n_tokens").with_columns(
+                pl.lit(0, dtype=pl.Int64).alias("cum_before"),
+                pl.lit(0, dtype=pl.Int64).alias("n_picks"),
+            ).head(0)
+        return (
+            pl.concat(out)
+            .with_columns(
+                (
+                    (pl.col("cum_before") + pl.col("n_tokens")) // stride
+                    - pl.col("cum_before") // stride
+                ).alias("n_picks")
+            )
+            .filter(pl.col("n_picks") > 0)
+            .select("doc_id", "n_tokens", "cum_before", "n_picks")
+        )
+
+    return hash_group_apply(counts, ["bucket"], scan)

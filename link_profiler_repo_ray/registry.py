@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_ngrams": textdata.contamination_ngrams,
         "sequence_packing": textdata.sequence_packing,
         "dataset_split": textdata.dataset_split,
+        "weighted_sample_systematic": textdata.weighted_sample_systematic,
         "mixture_sample": textdata.mixture_sample,
         "curated_documents": curate.curated_documents,
         # historical snapshot analytics + redirect resolution

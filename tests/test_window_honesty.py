@@ -106,6 +106,9 @@ SIBLINGS = {
     # full_seo_audit's bl CTE is link_health_audit's broken-link scan
     # rolled up per page (same edges parse, same tdoc % 17 rule)
     "link_health_audit": "full_seo_audit",
+    # the per-target distinct-referrer rollup is the same pair-index
+    # machinery top_anchors_referrers exercises in-window
+    "referring_domains_exact": "top_anchors_referrers",
 }
 
 
