@@ -1026,7 +1026,7 @@ SELECT doc_id,
        len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens
 FROM documents""",
         # integer-exact systematic PPS sampling: stride = total // k,
-        # pick once per stride multiple inside [cum_before, cum_before+w)
+        # pick once per stride multiple inside the half-open (cum_before, cum_before+w]
         "weighted_sample_systematic": """
 WITH w AS (
   SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),

@@ -3991,7 +3991,8 @@ def weighted_sample_systematic(sf_dir: str, bucket_size: int = 4096) -> rd.Datas
     (Madow 1949): lay every document's ``n_tokens`` end-to-end on an
     integer line, then take every ``stride``-th point (``stride =
     total_tokens // k``); a document is picked once per stride
-    multiple inside its [cum_before, cum_before + n_tokens) interval
+    multiple inside its half-open (cum_before, cum_before + n_tokens]
+    interval
     — long documents can be picked multiple times (``n_picks``), the
     textbook behavior.  Everything is int64 arithmetic, so the DuckDB
     oracle matches bit-for-bit with no quantization step at all.

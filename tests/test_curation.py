@@ -154,3 +154,41 @@ class TestPrefixJaccard:
         assert len(got) == 1
         assert (got.doc_a[0], got.doc_b[0]) == (0, n)
         assert got.jaccard[0] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_systematic_invariants():
+    """PPS invariants: total picks = floor(total/stride); every picked
+    doc's interval really contains a stride multiple; ≥k picks."""
+    from link_profiler_repo_ray.pipelines import textdata
+
+    got = _collect(textdata.weighted_sample_systematic(SF)).sort("doc_id")
+    docs = pl.read_parquet(f"{SF}/documents.parquet").select(
+        "doc_id", pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("n_tokens")
+    )
+    total = int(docs.get_column("n_tokens").sum())
+    n = docs.height
+    k = max(20, n // 25)
+    stride = max(1, total // k)
+    assert int(got.get_column("n_picks").sum()) == total // stride
+    assert int(got.get_column("n_picks").sum()) >= k
+    for doc_id, w, cb, p in got.iter_rows():
+        # pick convention: stride multiples in the half-open (cb, cb+w]
+        lo = (cb // stride + 1) * stride  # first multiple > cb
+        assert lo <= cb + w, doc_id
+        assert (cb + w) // stride - cb // stride == p
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_recrawl_schedule_invariants():
+    from link_profiler_repo_ray.pipelines import research
+
+    got = _collect(research.recrawl_schedule(SF))
+    docs = pl.read_parquet(f"{SF}/documents.parquet").height
+    assert int(got.get_column("n_pages").sum()) == docs
+    assert (got.get_column("total_missed") <= got.get_column("total_changes")).all()
+    assert (got.get_column("missed_rate") >= 0).all()
+    # finer refresh tiers must not miss a larger fraction than coarser
+    srt = got.sort("recrawl_interval_hours")
+    rates = srt.get_column("missed_rate").to_list()
+    assert rates == sorted(rates)
