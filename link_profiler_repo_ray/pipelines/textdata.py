@@ -4074,3 +4074,110 @@ def weighted_sample_systematic(sf_dir: str, bucket_size: int = 4096) -> rd.Datas
         )
 
     return hash_group_apply(counts, ["bucket"], scan)
+
+
+def kmeans_lloyd(
+    sf_dir: str, k: int = 8, iters: int = 5, quant: int = 1_000_000
+) -> rd.Dataset:
+    """Full-corpus distributed Lloyd k-means over the embeddings table
+    → (centroid_id, n_assigned, c0..c{D-1}) after exactly ``iters``
+    synchronous iterations.
+
+    Unlike :func:`embedding_centroids` (per-label means) and the
+    bounded-sample k-means inside ``knn_ivf``'s index build, every
+    iteration here assigns EVERY vector: per block, a vectorized
+    argmin over the broadcast (k×D) centroid matrix (ties → lowest
+    centroid id), then ONE partial row per (block, centroid) carrying
+    the count and per-dimension component sums quantized to integer
+    micro-units *per row before summing* — the same order-free
+    discipline as the logistic-regression trainer
+    (pipelines/classifier.py), so the centroid trajectory is
+    bit-identical to a sequential Lloyd run regardless of
+    partitioning (tests/test_textdata_kmeans.py).  Init is
+    deterministic: the k lowest-``vec_id`` vectors.  Empty clusters
+    keep their previous centroid (the standard convention the oracle
+    replays).  Driver state per iteration: k×(D+1) integers.
+    """
+    import numpy as np
+
+    emb = embeddings_dataset(sf_dir, ["vec_id", "embedding"])
+
+    # deterministic init: k lowest vec_ids — per-block k-lowest
+    # partials then a driver merge (bounded: ≤ k rows per block), no
+    # global sort
+    def lowk(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .sort("vec_id")
+            .head(k)
+            .select("vec_id", "embedding")
+            .to_arrow()
+        )
+
+    init_rows = sorted(
+        emb.map_batches(lowk, batch_format="pyarrow", zero_copy_batch=True).take_all(),
+        key=lambda r: r["vec_id"],
+    )[:k]
+    cents = np.array([r["embedding"] for r in init_rows], dtype=np.float64)
+    dim = cents.shape[1]
+
+    def partials_fn(cents_now: np.ndarray):
+        def run(batch: pa.Table) -> pa.Table:
+            x = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            if x.size == 0:
+                cols = {"centroid_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+                for j in range(dim):
+                    cols[f"s{j}"] = pa.array([], pa.int64())
+                return pa.table(cols)
+            # argmin over squared distance; ties -> lowest centroid id
+            d2 = ((x[:, None, :] - cents_now[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            xq = np.floor(x * quant + 0.5).astype(np.int64)  # per-row quantize
+            cols = {"centroid_id": [], "n": []}
+            sums = {j: [] for j in range(dim)}
+            for c in np.unique(assign):
+                sel = xq[assign == c]
+                cols["centroid_id"].append(int(c))
+                cols["n"].append(int(sel.shape[0]))
+                ssum = sel.sum(axis=0)
+                for j in range(dim):
+                    sums[j].append(int(ssum[j]))
+            out = {
+                "centroid_id": pa.array(cols["centroid_id"], pa.int64()),
+                "n": pa.array(cols["n"], pa.int64()),
+            }
+            for j in range(dim):
+                out[f"s{j}"] = pa.array(sums[j], pa.int64())
+            return pa.table(out)
+
+        return run
+
+    n_assigned = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        # bounded take_all: ≤ k rows per block
+        rows = emb.map_batches(
+            partials_fn(cents), batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        cnt = np.zeros(k, dtype=np.int64)
+        acc = np.zeros((k, dim), dtype=np.int64)
+        for r in rows:
+            c = r["centroid_id"]
+            cnt[c] += r["n"]
+            for j in range(dim):
+                acc[c, j] += r[f"s{j}"]
+        nonempty = cnt > 0
+        cents = cents.copy()
+        cents[nonempty] = (acc[nonempty].astype(np.float64) / quant) / cnt[
+            nonempty, None
+        ]
+        n_assigned = cnt
+
+    cols = {
+        "centroid_id": pa.array(range(k), pa.int64()),
+        "n_assigned": pa.array(n_assigned, pa.int64()),
+    }
+    for j in range(dim):
+        cols[f"c{j}"] = pa.array(cents[:, j], pa.float64())
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table(cols))

@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jaccard_pairs": textdata.word_jaccard_pairs_prefix,
         "embedding_topk": textdata.embedding_topk,
         "embedding_centroids": textdata.embedding_centroids,
+        "kmeans_lloyd": textdata.kmeans_lloyd,
         "knn_ivf": textdata.knn_ivf,
         "knn_lsh": textdata.knn_lsh,
         "media_features": textdata.media_features,
