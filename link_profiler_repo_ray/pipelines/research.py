@@ -946,8 +946,10 @@ def recrawl_schedule(
         doc_id = pl.col("url").str.extract(r"/doc/(\d+)$", 1).cast(pl.Int64)
         host = pl.col("url").str.extract(r"^https://([^/]+)/", 1)
         df = df.select(doc_id.alias("doc_id"), host.alias("host"))
-        tier = pl.Series(
-            "tier", [tmap.get(hh, 2) for hh in df["host"]], dtype=pl.Int64
+        tier = (
+            pl.col("host")
+            .replace_strict(tmap, default=2, return_dtype=pl.Int64)
+            .alias("tier")
         )
         df = df.with_columns(
             tier,
