@@ -4123,7 +4123,7 @@ def kmeans_lloyd(
 
     def partials_fn(cents_now: np.ndarray):
         def run(batch: pa.Table) -> pa.Table:
-            x = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            x = _embedding_matrix(batch.column("embedding"))
             if x.size == 0:
                 cols = {"centroid_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
                 for j in range(dim):
