@@ -192,3 +192,45 @@ def test_recrawl_schedule_invariants():
     srt = got.sort("recrawl_interval_hours")
     rates = srt.get_column("missed_rate").to_list()
     assert rates == sorted(rates)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed,n", [(7, 300), (8, 1200)])
+def test_weighted_sample_systematic_random_corpora(seed, n, tmp_path):
+    """Randomized replay: distributed PPS equals a sequential scan on
+    corpora with random token counts (incl. docs longer than stride,
+    which must be picked multiple times)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from link_profiler_repo_ray.pipelines import textdata
+
+    rng = np.random.default_rng(seed)
+    toks = rng.integers(1, 400, size=n)
+    toks[rng.integers(0, n, size=3)] = 5000  # oversized docs
+    texts = ["w " * (t - 1) + "w" for t in toks]  # exactly t tokens
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    got = _collect(textdata.weighted_sample_systematic(str(tmp_path))).sort("doc_id")
+
+    total = int(toks.sum())
+    k = max(20, n // 25)
+    stride = max(1, total // k)
+    cum = 0
+    expect = {}
+    for d in range(n):
+        w = int(toks[d])
+        p = (cum + w) // stride - cum // stride
+        if p > 0:
+            expect[d] = (w, cum, p)
+        cum += w
+    assert got.height == len(expect)
+    for doc_id, w, cb, p in got.iter_rows():
+        assert expect[doc_id] == (w, cb, p), doc_id
+    # any doc longer than the stride is guaranteed at least one pick
+    for d in range(n):
+        if int(toks[d]) > stride:
+            assert d in expect, d
