@@ -234,12 +234,9 @@ def bpe_train(sf_dir: str, k: int = 24) -> rd.Dataset:
     )
 
 
-def bpe_apply_counts(sf_dir: str, k: int = 24) -> rd.Dataset:
-    """Train ``k`` merges, then tokenize every document with them.
-
-    Output: (doc_id, n_subwords, n_words) — the packing/budgeting
-    input.  The merge table broadcasts once via ``ray.put``; each task
-    memoizes word → split (Zipf hit-rate)."""
+def _load_merges_ref(sf_dir: str, k: int):
+    """Train k merges and broadcast the merge list once (shared by
+    bpe_apply_counts and bpe_sequence_packing)."""
     merges_tbl = bpe_train(sf_dir, k).to_pandas()
     # a 0-row Dataset can surface schema-less in pandas (k=0 / early stop)
     merges = (
@@ -247,24 +244,40 @@ def bpe_apply_counts(sf_dir: str, k: int = 24) -> rd.Dataset:
         if "left" in merges_tbl.columns
         else []
     )
-    ref = ray.put(merges)
+    return ray.put(merges)
+
+
+def _subword_counts(word_lists, merges) -> list[int]:
+    """Per-row total subword counts with a word→split memo (Zipf
+    hit-rate makes the cache the fast path)."""
+    cache: dict[str, int] = {}
+    out = []
+    for ws in word_lists:
+        total = 0
+        for w in ws:
+            hit = cache.get(w)
+            if hit is None:
+                hit = len(bpe_split_word(w, merges))
+                cache[w] = hit
+            total += hit
+        out.append(total)
+    return out
+
+
+def bpe_apply_counts(sf_dir: str, k: int = 24) -> rd.Dataset:
+    """Train ``k`` merges, then tokenize every document with them.
+
+    Output: (doc_id, n_subwords, n_words) — the packing/budgeting
+    input.  The merge table broadcasts once via ``ray.put``; each task
+    memoizes word → split (Zipf hit-rate)."""
+    ref = _load_merges_ref(sf_dir, k)
 
     def run(batch: pa.Table) -> pa.Table:
         ms = ray.get(ref)
         df = pl.from_arrow(batch)
-        words = df.select(pl.col("text").str.split(" ").alias("w"))
-        n_sub, n_words = [], []
-        cache: dict[str, int] = {}
-        for ws in words.get_column("w"):
-            total = 0
-            for w in ws:
-                hit = cache.get(w)
-                if hit is None:
-                    hit = len(bpe_split_word(w, ms))
-                    cache[w] = hit
-                total += hit
-            n_sub.append(total)
-            n_words.append(len(ws))
+        words = df.select(pl.col("text").str.split(" ").alias("w")).get_column("w")
+        n_sub = _subword_counts(words, ms)
+        n_words = [len(ws) for ws in words]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -294,28 +307,14 @@ def bpe_sequence_packing(sf_dir: str, k: int = 24, budget: int = 512) -> rd.Data
     """
     from .textdata import greedy_pack_partition
 
-    merges_tbl = bpe_train(sf_dir, k).to_pandas()
-    merges = (
-        list(zip(merges_tbl["left"], merges_tbl["right"]))
-        if "left" in merges_tbl.columns
-        else []
-    )
-    ref = ray.put(merges)
+    ref = _load_merges_ref(sf_dir, k)
 
     def count(batch: pa.Table) -> pa.Table:
         ms = ray.get(ref)
         df = pl.from_arrow(batch)
-        n_sub = []
-        cache: dict[str, int] = {}
-        for ws in df.select(pl.col("text").str.split(" ").alias("w")).get_column("w"):
-            total = 0
-            for w in ws:
-                hit = cache.get(w)
-                if hit is None:
-                    hit = len(bpe_split_word(w, ms))
-                    cache[w] = hit
-                total += hit
-            n_sub.append(total)
+        n_sub = _subword_counts(
+            df.select(pl.col("text").str.split(" ").alias("w")).get_column("w"), ms
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -43,14 +43,13 @@ distributed float reduction order-free by never reducing floats.
 
 from __future__ import annotations
 
+import functools
 import math
-import os
 
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from .. import ops
 from .textdata import documents_dataset
 
 __all__ = [
@@ -139,6 +138,8 @@ def train_weights(
     driver arithmetic runs on exact int64 gradient totals, so the
     float64 weight trajectory is a pure function of the corpus.
     """
+    if epochs < 1:
+        raise ValueError("train_weights: epochs must be >= 1")
     w = np.zeros(_DIM, dtype=np.float64)
     curve: list[dict] = []
     for epoch in range(epochs):
@@ -166,6 +167,16 @@ def train_weights(
     return w, curve
 
 
+@functools.lru_cache(maxsize=4)
+def _trained(sf_dir: str, epochs: int, lr: float):
+    """Featurize + train ONCE per (sf_dir, epochs, lr) within a driver
+    session — both registry queries share the materialized feature
+    table and the trained weights instead of re-scanning the corpus."""
+    feats = featurize(sf_dir).materialize()  # bounded: DIM+2 numerics/doc
+    w, curve = train_weights(feats, epochs=epochs, lr=lr)
+    return feats, w, curve
+
+
 def quality_classifier_train(sf_dir: str, epochs: int = 6, lr: float = 1.0) -> pa.Table:
     """Registry query: the training curve (one row per epoch).
 
@@ -173,8 +184,7 @@ def quality_classifier_train(sf_dir: str, epochs: int = 6, lr: float = 1.0) -> p
     sequential learner (tests/test_classifier.py), no SQL oracle (the
     same class as ``bpe_train`` / PageRank).
     """
-    feats = featurize(sf_dir).materialize()  # bounded: DIM+2 numerics/doc
-    _, curve = train_weights(feats, epochs=epochs, lr=lr)
+    _, _, curve = _trained(sf_dir, epochs, lr)
     cols = {k: pa.array([r[k] for r in curve], pa.int64()) for k in curve[0]}
     return pa.table(cols)
 
@@ -188,8 +198,7 @@ def quality_classifier_scores(sf_dir: str, epochs: int = 6, lr: float = 1.0) -> 
     sigmoid, ``predicted`` the 0.5-threshold class, ``y`` the
     AIScoreStage label it was distilled from.
     """
-    feats = featurize(sf_dir).materialize()
-    w, _ = train_weights(feats, epochs=epochs, lr=lr)
+    feats, w, _ = _trained(sf_dir, epochs, lr)
 
     def score(batch: pa.Table) -> pa.Table:
         x, y = _batch_xy(batch)

@@ -1946,13 +1946,8 @@ def link_overlap_hll(
         np.maximum.at(reg, entries >> 6, (entries & 63).astype(np.uint8))
 
     def est(reg: np.ndarray) -> float:
-        mf = float(m)
-        alpha = 0.7213 / (1 + 1.079 / mf)
-        e = alpha * mf * mf / np.sum(2.0 ** (-reg.astype(np.float64)))
-        zeros = np.count_nonzero(reg == 0)
-        if e <= 2.5 * mf and zeros > 0:
-            e = mf * np.log(mf / zeros)
-        return float(e)
+        # single source of truth for the estimator math
+        return HyperLogLog(p, registers=reg).estimate()
 
     ea, eb = est(dense[host_a]), est(dense[host_b])
     eu = est(np.maximum(dense[host_a], dense[host_b]))

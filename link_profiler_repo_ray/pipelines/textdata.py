@@ -4100,7 +4100,8 @@ def kmeans_lloyd(
     """
     import numpy as np
 
-    emb = embeddings_dataset(sf_dir, ["vec_id", "embedding"])
+    # materialize once: iterations re-scan features, not parquet
+    emb = embeddings_dataset(sf_dir, ["vec_id", "embedding"]).materialize()
 
     # deterministic init: k lowest vec_ids — per-block k-lowest
     # partials then a driver merge (bounded: ≤ k rows per block), no
@@ -4118,6 +4119,10 @@ def kmeans_lloyd(
         emb.map_batches(lowk, batch_format="pyarrow", zero_copy_batch=True).take_all(),
         key=lambda r: r["vec_id"],
     )[:k]
+    if not init_rows:
+        raise ValueError("kmeans_lloyd: empty embeddings table")
+    k = min(k, len(init_rows))  # fewer vectors than clusters: clamp
+    init_rows = init_rows[:k]
     cents = np.array([r["embedding"] for r in init_rows], dtype=np.float64)
     dim = cents.shape[1]
 
@@ -4178,6 +4183,4 @@ def kmeans_lloyd(
     }
     for j in range(dim):
         cols[f"c{j}"] = pa.array(cents[:, j], pa.float64())
-    import ray.data as _rd
-
-    return _rd.from_arrow(pa.table(cols))
+    return rd.from_arrow(pa.table(cols))

@@ -51,3 +51,27 @@ def test_kmeans_lloyd_matches_sequential():
     # clustering is non-degenerate: every vector assigned, >1 cluster used
     assert int(got["n_assigned"].sum()) == 500
     assert (got["n_assigned"] > 0).sum() >= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_lloyd_fewer_vectors_than_k(tmp_path):
+    """n < k must clamp k to n (one vector per cluster), not crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from link_profiler_repo_ray.pipelines import textdata
+
+    vecs = [[float(i), 0.0] for i in range(3)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(3), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0, 1, 2], pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    got = textdata.kmeans_lloyd(str(tmp_path), k=8, iters=2).to_pandas()
+    assert len(got) == 3
+    assert list(got["n_assigned"]) == [1, 1, 1]
