@@ -118,3 +118,35 @@ def test_link_overlap_hll_matches_exact_on_corpus():
     est = t.iloc[0]["intersection_est"]
     # 10-host corpus: linear-counting regime, estimates are near-exact
     assert abs(est - len(exact)) <= max(2.0, 0.1 * len(exact))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_link_overlap_hll_large_planted():
+    """10k-scale planted sets: p=14 estimates must land within the
+    3-sigma HLL band (~2.5% per estimate; intersection inherits the
+    summed error of three estimates)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from link_profiler_repo_ray.pipelines import graph
+
+    a_only = [f"la{i}.net" for i in range(9000)]
+    b_only = [f"lb{i}.net" for i in range(6000)]
+    shared = [f"lc{i}.net" for i in range(3000)]
+    rows = [("A.com", s) for s in a_only + shared] + [
+        ("B.com", s) for s in b_only + shared
+    ]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "target_host": [r[0] for r in rows],
+                "source_host": [r[1] for r in rows],
+            }
+        )
+    )
+    t = graph.link_overlap_hll("unused", "A.com", "B.com", edges=edges).to_pandas()
+    r = t.iloc[0]
+    assert abs(r["referring_a_est"] - 12000) / 12000 < 0.025
+    assert abs(r["referring_b_est"] - 9000) / 9000 < 0.025
+    assert abs(r["union_est"] - 18000) / 18000 < 0.025
+    assert abs(r["intersection_est"] - 3000) / 3000 < 0.30
