@@ -9,10 +9,14 @@ default 32) and prints ONE JSON line:
      "queries": {...}, "sf": ..., "num_cpus": N,
      "pages_fetched_per_sec": ..., "frontier_ops_per_sec": ...}
 
-``--scaling`` runs the identical workload in two fresh processes at
-num_cpus=8 and num_cpus=32 and reports both throughputs plus
-efficiency = (T8/T32)/4 — the sandbox evidence protocol for the
-N→4N ≥ 0.8 criterion (BASELINE.md).
+``--scaling`` runs the identical workload in paired fresh processes
+at an N→4N CPU tier (taskset-fenced; the tier is calibrated to the
+host's measured effective parallelism at start time, e.g. 4→16, and
+drops to 2→8 on a starved host) and reports each pair's throughputs
+plus efficiency = (T_lo/T_hi)/4 — the sandbox evidence protocol for
+the N→4N ≥ 0.8 criterion (BASELINE.md).  ``--scaling-hosts`` measures
+the politeness crawl's host-count axis instead (fixed CPUs, 1×/2×/4×
+frontier hosts).
 
 The synthetic page corpus is scaled with a doc multiplier so the crawl
 works over ~LPR_BENCH_PAGES pages (default 500k); corpus generation
