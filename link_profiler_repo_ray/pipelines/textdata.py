@@ -4130,7 +4130,11 @@ def kmeans_lloyd(
         def run(batch: pa.Table) -> pa.Table:
             x = _embedding_matrix(batch.column("embedding"))
             if x.size == 0:
-                cols = {"centroid_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+                cols = {
+                    "centroid_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int64()),
+                }
                 for j in range(dim):
                     cols[f"s{j}"] = pa.array([], pa.int64())
                 return pa.table(cols)
@@ -4138,18 +4142,25 @@ def kmeans_lloyd(
             d2 = ((x[:, None, :] - cents_now[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
             xq = np.floor(x * quant + 0.5).astype(np.int64)  # per-row quantize
-            cols = {"centroid_id": [], "n": []}
+            # per-row quantized inertia so the distributed sum is order-free
+            iq = np.floor(d2[np.arange(len(assign)), assign] * quant + 0.5).astype(
+                np.int64
+            )
+            cols = {"centroid_id": [], "n": [], "i": []}
             sums = {j: [] for j in range(dim)}
             for c in np.unique(assign):
-                sel = xq[assign == c]
+                mask = assign == c
+                sel = xq[mask]
                 cols["centroid_id"].append(int(c))
                 cols["n"].append(int(sel.shape[0]))
+                cols["i"].append(int(iq[mask].sum()))
                 ssum = sel.sum(axis=0)
                 for j in range(dim):
                     sums[j].append(int(ssum[j]))
             out = {
                 "centroid_id": pa.array(cols["centroid_id"], pa.int64()),
                 "n": pa.array(cols["n"], pa.int64()),
+                "i": pa.array(cols["i"], pa.int64()),
             }
             for j in range(dim):
                 out[f"s{j}"] = pa.array(sums[j], pa.int64())
@@ -4158,6 +4169,7 @@ def kmeans_lloyd(
         return run
 
     n_assigned = np.zeros(k, dtype=np.int64)
+    last_inertia = np.zeros(k, dtype=np.int64)
     for _ in range(iters):
         # bounded take_all: ≤ k rows per block
         rows = emb.map_batches(
@@ -4165,9 +4177,11 @@ def kmeans_lloyd(
         ).take_all()
         cnt = np.zeros(k, dtype=np.int64)
         acc = np.zeros((k, dim), dtype=np.int64)
+        inertia = np.zeros(k, dtype=np.int64)
         for r in rows:
             c = r["centroid_id"]
             cnt[c] += r["n"]
+            inertia[c] += r["i"]
             for j in range(dim):
                 acc[c, j] += r[f"s{j}"]
         nonempty = cnt > 0
@@ -4176,10 +4190,14 @@ def kmeans_lloyd(
             nonempty, None
         ]
         n_assigned = cnt
+        last_inertia = inertia
 
     cols = {
         "centroid_id": pa.array(range(k), pa.int64()),
         "n_assigned": pa.array(n_assigned, pa.int64()),
+        # inertia of the LAST assignment (pre-final-update centroids),
+        # quantized micro-units — the convergence observable
+        "inertia_micro": pa.array(last_inertia, pa.int64()),
     }
     for j in range(dim):
         cols[f"c{j}"] = pa.array(cents[:, j], pa.float64())

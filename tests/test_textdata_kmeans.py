@@ -20,21 +20,25 @@ def _sequential(sf_dir, k=8, iters=5):
     x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order]
     cents = x[:k].copy()
     cnt = np.zeros(k, dtype=np.int64)
+    inertia = np.zeros(k, dtype=np.int64)
     for _ in range(iters):
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
         xq = np.floor(x * QUANT + 0.5).astype(np.int64)
+        iq = np.floor(d2[np.arange(len(assign)), assign] * QUANT + 0.5).astype(np.int64)
         cnt = np.zeros(k, dtype=np.int64)
+        inertia = np.zeros(k, dtype=np.int64)
         acc = np.zeros((k, x.shape[1]), dtype=np.int64)
         for c in range(k):
             sel = xq[assign == c]
             cnt[c] = sel.shape[0]
+            inertia[c] = iq[assign == c].sum()
             if sel.shape[0]:
                 acc[c] = sel.sum(axis=0)
         nonempty = cnt > 0
         cents = cents.copy()
         cents[nonempty] = (acc[nonempty].astype(np.float64) / QUANT) / cnt[nonempty, None]
-    return cents, cnt
+    return cents, cnt, inertia
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -42,8 +46,9 @@ def test_kmeans_lloyd_matches_sequential():
     from link_profiler_repo_ray.pipelines import textdata
 
     got = textdata.kmeans_lloyd(SF, k=8, iters=5).to_pandas().sort_values("centroid_id")
-    want_c, want_n = _sequential(SF, k=8, iters=5)
+    want_c, want_n, want_i = _sequential(SF, k=8, iters=5)
     assert list(got["n_assigned"]) == list(want_n)
+    assert list(got["inertia_micro"]) == list(want_i)
     dim = want_c.shape[1]
     for i in range(8):
         for j in range(dim):
