@@ -4080,8 +4080,10 @@ def kmeans_lloyd(
     sf_dir: str, k: int = 8, iters: int = 5, quant: int = 1_000_000
 ) -> rd.Dataset:
     """Full-corpus distributed Lloyd k-means over the embeddings table
-    → (centroid_id, n_assigned, c0..c{D-1}) after exactly ``iters``
-    synchronous iterations.
+    → (centroid_id, n_assigned, inertia_micro, c0..c{D-1}) after
+    exactly ``iters`` synchronous iterations (inertia = the last
+    assignment's quantized sum of squared distances — the convergence
+    observable, order-free by the same per-row quantization).
 
     Unlike :func:`embedding_centroids` (per-label means) and the
     bounded-sample k-means inside ``knn_ivf``'s index build, every
