@@ -56,6 +56,7 @@ __all__ = [
     "featurize",
     "quality_classifier_train",
     "quality_classifier_scores",
+    "quality_classifier_eval",
     "train_weights",
 ]
 
@@ -215,3 +216,45 @@ def quality_classifier_scores(sf_dir: str, epochs: int = 6, lr: float = 1.0) -> 
         )
 
     return feats.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_classifier_eval(sf_dir: str, epochs: int = 6, lr: float = 1.0) -> pa.Table:
+    """Registry query: one-row confusion matrix + accuracy of the
+    trained classifier against its own distillation labels.
+
+    Counts reduce as integers inside ``map_batches`` partials (one row
+    per block), so the rollup is exact and order-free; accuracy_micro
+    = floor(1e6·correct/total + 0.5).  pytest-oracled via the scores
+    oracle (tests/test_classifier.py)."""
+    scores = quality_classifier_scores(sf_dir, epochs=epochs, lr=lr)
+
+    def part(batch: pa.Table) -> pa.Table:
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        p = batch.column("predicted").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tp": pa.array([int(((y == 1) & (p == 1)).sum())], pa.int64()),
+                "tn": pa.array([int(((y == 0) & (p == 0)).sum())], pa.int64()),
+                "fp": pa.array([int(((y == 0) & (p == 1)).sum())], pa.int64()),
+                "fn": pa.array([int(((y == 1) & (p == 0)).sum())], pa.int64()),
+            }
+        )
+
+    # bounded take_all: one partial row per block
+    rows = scores.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    tp = sum(r["tp"] for r in rows)
+    tn = sum(r["tn"] for r in rows)
+    fp = sum(r["fp"] for r in rows)
+    fn = sum(r["fn"] for r in rows)
+    total = tp + tn + fp + fn
+    acc_micro = int(math.floor(1_000_000 * (tp + tn) / total + 0.5)) if total else 0
+    return pa.table(
+        {
+            "tp": pa.array([tp], pa.int64()),
+            "tn": pa.array([tn], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "n": pa.array([total], pa.int64()),
+            "accuracy_micro": pa.array([acc_micro], pa.int64()),
+        }
+    )

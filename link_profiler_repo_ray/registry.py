@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequential learner — same class as bpe_train/PageRank)
         "quality_classifier_train": classifier.quality_classifier_train,
         "quality_classifier_scores": classifier.quality_classifier_scores,
+        "quality_classifier_eval": classifier.quality_classifier_eval,
         "doc_quality": textdata.doc_quality,
         "compression_ratio": textdata.compression_ratio,
         "token_entropy": textdata.token_entropy,

@@ -93,3 +93,18 @@ def test_training_actually_learns(ray_session):
     acc = (df["y"] == df["predicted"]).mean()
     base = max(df["y"].mean(), 1 - df["y"].mean())
     assert acc >= base - 0.02  # at least competitive with majority vote
+
+
+def test_eval_matches_scores(ray_session):
+    from link_profiler_repo_ray.pipelines.classifier import (
+        quality_classifier_eval,
+        quality_classifier_scores,
+    )
+
+    ev = quality_classifier_eval(SF).to_pandas().iloc[0]
+    df = quality_classifier_scores(SF).to_pandas()
+    tp = int(((df.y == 1) & (df.predicted == 1)).sum())
+    tn = int(((df.y == 0) & (df.predicted == 0)).sum())
+    assert (ev.tp, ev.tn) == (tp, tn)
+    assert ev.n == len(df) == ev.tp + ev.tn + ev.fp + ev.fn
+    assert ev.accuracy_micro == int(math.floor(1e6 * (tp + tn) / len(df) + 0.5))
